@@ -1,0 +1,148 @@
+"""Averaging / binning operators.
+
+Reference parity:
+- ``time_average`` — cngi/vis/time_average.py:21-120 (coarsen N adjacent
+  times, or resample to a uniform width; weighted mean of DATA by its
+  WEIGHT, plain mean of other vars, SUM of weights; optional grouping by
+  scan/state)
+- ``chan_average`` — cngi/vis/chan_average.py:21-70 (coarsen chan by
+  width with 1/sigma^2-style weighting)
+- ``rebin``        — cngi/image/rebin.py:21-50 (coarsen one axis by a
+  factor, mean)
+
+Spark-first shape: each is ONE hash aggregation (partial map-side combine
++ final) on the binned key — Spark's partial/final agg is exactly the
+reference's per-chunk-partial + tree-sum pattern
+(_standard_grid.py:109-120) done by the engine instead of by hand.
+
+Scale notes:
+- One shuffle each, keyed by the (binned) cube dims. Cardinality shrinks
+  by the bin factor, so the shuffle writes less than it reads with
+  map-side combine — this is the best possible plan for the op.
+- ``timebin`` mode needs a per-group time *index*; computed by ranking
+  the distinct times (tiny: n_time values) and broadcast-joining back,
+  NOT by a global window over the fact table (which would funnel 100 TB
+  through one partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cngi_prototype_spark.functions import exact
+from cngi_prototype_spark.schema import DEFAULT_VIS, VisSchema
+
+
+def _agg_exprs(vs: VisSchema, precise: bool) -> list[Column]:
+    """The time/chan-average shared aggregate set: weighted mean per
+    complex data pair, summed weight, count, plain mean of extras."""
+    aggs: list[Column] = []
+    w = F.col(vs.weight)
+    for re, im in vs.data_cols:
+        aggs.append(exact.wmean(F.col(re), w, precise).alias(re))
+        aggs.append(exact.wmean(F.col(im), w, precise).alias(im))
+    if precise:
+        aggs.append(exact.dsum(w).alias(vs.weight))
+    else:
+        aggs.append(F.sum(w).alias(vs.weight))
+    aggs.append(F.count(F.lit(1)).alias("n_samples"))
+    # flag of the average: all-flagged bins stay flagged (reference ANDs
+    # flags through averaging via nan-propagation of fully-flagged cells)
+    aggs.append(F.min(F.coalesce(F.col(vs.flag), F.lit(False))).alias(vs.flag))
+    for c in vs.extra_mean_cols:
+        aggs.append(exact.mean(F.col(c), precise).alias(c))
+    for c in vs.carry_cols:
+        aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
+    return aggs
+
+
+def time_average(
+    df: DataFrame,
+    bin: int | None = None,  # noqa: A002 - reference arg name (time_average.py:21)
+    width: str | None = None,
+    span: str = "none",
+    vs: VisSchema = DEFAULT_VIS,
+    precise: bool = False,
+) -> DataFrame:
+    """Average N adjacent time steps (``bin``) or resample to a uniform
+    interval (``width``, e.g. ``'10 seconds'``).
+
+    ``span='state'`` keeps scan boundaries (groups by scan_number),
+    ``span='scan'`` keeps state boundaries, ``'both'`` keeps both —
+    mirroring time_average.py:89-105 (note the reference's naming is
+    inverted the same way: span='state' groups by SCAN_NUMBER).
+
+    Output: one row per (time-bin, baseline, chan, pol[, span keys]) with
+    weighted-mean data, summed weight, and ``n_samples``.
+    """
+    if (bin is None) == (width is None):
+        raise ValueError("specify exactly one of bin= or width=")
+
+    span_keys: list[str] = []
+    if span in ("state", "both"):
+        span_keys.append(vs.scan)
+    if span in ("scan", "both"):
+        span_keys.append(vs.state)
+
+    if width is not None:
+        # tumbling window: window start is a pure expression of time ->
+        # no global ordering, scales embarrassingly
+        binned = df.withColumn("__tbin", F.window(F.col(vs.time), width).start)
+    else:
+        # rank distinct times within each span group via a window over the
+        # *distinct-times* table (n_time rows), then broadcast back
+        dt = df.select(*span_keys, vs.time).distinct()
+        rank_w = Window.partitionBy(*[F.col(k) for k in span_keys]).orderBy(vs.time) \
+            if span_keys else Window.partitionBy().orderBy(vs.time)
+        dt = dt.withColumn("__tidx", F.row_number().over(rank_w) - 1)
+        dt = dt.withColumn(
+            "__tbin", F.min(F.col(vs.time)).over(
+                Window.partitionBy(*span_keys, F.floor(F.col("__tidx") / bin))
+            )
+        ).select(*span_keys, vs.time, "__tbin")
+        binned = df.join(F.broadcast(dt), span_keys + [vs.time])
+
+    group_cols = span_keys + ["__tbin", vs.baseline, vs.chan, vs.pol]
+    out = binned.groupBy(*group_cols).agg(*_agg_exprs(vs, precise))
+    return out.withColumnRenamed("__tbin", vs.time)
+
+
+def chan_average(
+    df: DataFrame,
+    width: int,
+    vs: VisSchema = DEFAULT_VIS,
+    precise: bool = False,
+) -> DataFrame:
+    """Average ``width`` adjacent channels (chan_average.py:21-70).
+
+    chan is an integer channel index, so the bin is a pure projection
+    ``floor(chan/width)`` — no ranking pass needed. Weighted mean with
+    the data-group weight implements the *intended* reference formula
+    (see SURVEY.md §7.4 on the chan_average.py:55-60 weighting bug).
+    """
+    binned = df.withColumn("__cbin", (F.col(vs.chan) / width).cast("long") * width)
+    group_cols = [vs.time, vs.baseline, "__cbin", vs.pol]
+    out = binned.groupBy(*group_cols).agg(*_agg_exprs(vs, precise))
+    return out.withColumnRenamed("__cbin", vs.chan)
+
+
+def rebin(
+    df: DataFrame,
+    axis: str,
+    factor: int,
+    group_cols: list[str],
+    value_cols: list[str],
+    precise: bool = False,
+) -> DataFrame:
+    """Coarsen one integer axis by ``factor`` with a plain mean
+    (cngi/image/rebin.py:21-50: ``coarsen(axis=factor).sum()/factor``;
+    for full bins sum/factor == mean; for the ragged tail the reference
+    pads — we use the mean of present samples, i.e. NaN-skip semantics).
+    """
+    binned = df.withColumn("__bin", (F.col(axis) / factor).cast("long") * factor)
+    keys = [c for c in group_cols if c != axis] + ["__bin"]
+    aggs = [exact.mean(F.col(c), precise).alias(c) for c in value_cols]
+    aggs.append(F.count(F.lit(1)).alias("n_samples"))
+    return binned.groupBy(*keys).agg(*aggs).withColumnRenamed("__bin", axis)

@@ -1,0 +1,121 @@
+"""Flagging operators.
+
+Reference parity:
+- ``apply_flags``  — cngi/vis/apply_flags.py:21-55 (``da.where(flag==0)``)
+- ``auto_clip``    — ngcasa/flagging/auto_clip.py:22-51
+- ``manual_flag``/``manual_unflag`` — ngcasa/flagging/manual_flag.py:26-88,
+  manual_unflag.py:26-70
+- flag-version manager — cngi/vis/manager_add.py (FLAG_* naming)
+
+All are pure column expressions — no shuffle, no UDF; Catalyst fuses them
+into the enclosing stage, and the clip/selection predicates push down to
+the Parquet scan when applied directly after read. At 100 TB these
+operators are free (scan-rate bound).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cngi_prototype_spark.functions.complex import c_abs
+from cngi_prototype_spark.schema import DEFAULT_VIS, VisSchema
+
+
+def apply_flags(
+    df: DataFrame,
+    vs: VisSchema = DEFAULT_VIS,
+    cols: Iterable[str] | None = None,
+    drop: bool = False,
+) -> DataFrame:
+    """NULL-out data columns where the flag is set.
+
+    Reference sets flagged cells to NaN for every variable sharing the
+    flag's dims (apply_flags.py:39-53). In long form the same effect is
+    ``when(~flag, col)``; ``drop=True`` instead removes the rows, which
+    is the cheaper plan when downstream ops ignore NULLs anyway (the
+    filter pushes into the scan).
+    """
+    if drop:
+        return df.filter(~F.col(vs.flag) | F.col(vs.flag).isNull())
+    targets = list(cols) if cols is not None else list(vs.flat_data_cols())
+    flagged = F.col(vs.flag)
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.when(~flagged | flagged.isNull(), F.col(c)))
+    return out
+
+
+def auto_clip(
+    df: DataFrame,
+    clip_min: float,
+    clip_max: float,
+    vs: VisSchema = DEFAULT_VIS,
+) -> DataFrame:
+    """flag |= |DATA| outside [clip_min, clip_max].
+
+    Reference: auto_clip.py:45-46 computes abs of the complex DATA and
+    ORs the range test into FLAG.
+    """
+    re, im = vs.data_cols[0]
+    amp = c_abs(F.col(re), F.col(im))
+    clip = (amp < F.lit(clip_min)) | (amp > F.lit(clip_max))
+    return df.withColumn(
+        vs.flag, F.coalesce(F.col(vs.flag), F.lit(False)) | F.coalesce(clip, F.lit(False))
+    )
+
+
+def manual_flag(
+    df: DataFrame,
+    predicate: Column,
+    vs: VisSchema = DEFAULT_VIS,
+) -> DataFrame:
+    """OR a selection predicate into FLAG (manual_flag.py:84-86: the
+    selection slab is reindexed over the cube and OR-ed; in long form the
+    predicate IS the slab)."""
+    return df.withColumn(
+        vs.flag,
+        F.coalesce(F.col(vs.flag), F.lit(False)) | F.coalesce(predicate, F.lit(False)),
+    )
+
+
+def manual_unflag(
+    df: DataFrame,
+    predicate: Column | None = None,
+    vs: VisSchema = DEFAULT_VIS,
+) -> DataFrame:
+    """AND-NOT a selection out of FLAG; ``predicate=None`` unflags all
+    (manual_unflag.py: empty commands -> clear)."""
+    if predicate is None:
+        return df.withColumn(vs.flag, F.lit(False))
+    return df.withColumn(
+        vs.flag,
+        F.coalesce(F.col(vs.flag), F.lit(False)) & ~F.coalesce(predicate, F.lit(False)),
+    )
+
+
+# --- flag-version manager (cngi/vis/manager_add.py etc.) -----------------
+
+FLAG_PREFIX = "FLAG_"
+
+
+def manager_add(df: DataFrame, name: str, source_col: str | None = None,
+                vs: VisSchema = DEFAULT_VIS) -> DataFrame:
+    """Save the current FLAG column as a named version ``FLAG_<name>``
+    (manager_add.py:47-49 naming convention)."""
+    return df.withColumn(FLAG_PREFIX + name, F.col(source_col or vs.flag))
+
+
+def manager_list(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.startswith(FLAG_PREFIX)]
+
+
+def manager_remove(df: DataFrame, name: str) -> DataFrame:
+    return df.drop(FLAG_PREFIX + name)
+
+
+def manager_apply(df: DataFrame, name: str, vs: VisSchema = DEFAULT_VIS) -> DataFrame:
+    """Restore a saved flag version into the active FLAG column."""
+    return df.withColumn(vs.flag, F.col(FLAG_PREFIX + name))

@@ -1,0 +1,467 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark implementation (built from the engine's
+operators) with a DuckDB-oracle SQL twin over the same parquet tables.
+The driver hash-compares values, so every query follows
+cross-engine-reproducibility rules:
+
+- exact decimal sums under every mean/sum of doubles
+  (:mod:`cngi_prototype_spark.functions.exact`) so accumulation order
+  can't shift the result;
+- every derived double output rounded to 6 decimals on BOTH sides —
+  DuckDB's decimal->double cast is not correctly rounded (computed as
+  int128/10^s in floating point), so exact sums can still differ by
+  1 ulp after the cast; rounding absorbs it;
+- never output a raw timestamp (testdata ts is nanosecond-precision;
+  Spark truncates to microseconds) — output epoch seconds of a bucket
+  instead. events.parquet needs ``spark.sql.legacy.parquet.nanosAsLong``
+  (Spark 4 refuses TIMESTAMP(NANOS) otherwise); the long is converted
+  with integer ``div`` to keep full precision;
+- deterministic tie-breaks for any arg-extremum;
+- aliases identical on both sides (driver sorts columns by name).
+
+The vis-shaped operators (time_average, chan_average, apply_flags, ...)
+run here over vis-shaped *derivations* of the driver tables (events,
+lineitem): the operator code is generic over VisSchema column roles, so
+the gate exercises the same code paths the unit tests cover on the
+synthetic cube. Reference citations live in the operator docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cngi_prototype_spark.functions import exact
+from cngi_prototype_spark.functions.exact import sql_dsum, sql_mean, sql_rms, sql_stddev, sql_wmean
+from cngi_prototype_spark.operators import averaging as OA
+from cngi_prototype_spark.operators import flags as OF
+from cngi_prototype_spark.operators.statistics import flag_summary, moments, statistics
+from cngi_prototype_spark.schema import VisSchema
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def round_doubles(df: DataFrame, ndigits: int = 6,
+                  only: tuple[str, ...] | None = None) -> DataFrame:
+    """Round selected DoubleType output columns (gate-comparison hygiene for
+    quantities whose engine-internal formulas may differ by 1 ulp, e.g.
+    percentile interpolation; everything derived from exact decimal sums is
+    bit-identical across engines and must NOT be rounded — rounding a value
+    that sits exactly on a .xxxxxx5 decimal tie flips differently per
+    engine's rounding mode)."""
+    cols: list[Column] = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DoubleType) and (only is None or f.name in only):
+            cols.append(F.round(F.col(f.name), ndigits).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def R(expr: str) -> str:  # noqa: N802 - SQL-side twin of round_doubles
+    return f"ROUND({expr}, 6)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (groupBy + 8 aggregates).
+# Exercises: scan w/ predicate pushdown, hash agg w/ map-side combine —
+# the same shape as the reference's weighted averaging core.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_mean('l_quantity')} AS avg_qty,
+           {sql_mean('l_extendedprice')} AS avg_price,
+           {sql_mean('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact.dsum(F.col("l_quantity")).alias("sum_qty"),
+            exact.dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact.dsum(disc_price).alias("sum_disc_price"),
+            exact.dsum(charge).alias("sum_charge"),
+            exact.mean(F.col("l_quantity")).alias("avg_qty"),
+            exact.mean(F.col("l_extendedprice")).alias("avg_price"),
+            exact.mean(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# describe_vis analog (cngi/dio/describe_vis.py:21-56): per-partition
+# row/cardinality summary, here per event_type.
+# ---------------------------------------------------------------------------
+
+@register(
+    "describe_partitions",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS first_id,
+           MAX(event_id) AS last_id
+    FROM events GROUP BY event_type
+    """,
+)
+def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_vis(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vis-shaped derivation of `events`: the flagging + time_average substrate.
+# flag := value > 400 OR event_type = 'error'   (deterministic, no FP ops)
+# weight := 1 + (event_id % 5)
+# ---------------------------------------------------------------------------
+
+_EV_VIS = VisSchema(
+    time="ts", baseline="bl", chan="chan", pol="pol",
+    data_cols=(("data_re", "data_im"),), weight="w", flag="flag",
+    scan="scan", state="state",
+)
+
+_EV_SQL_BASE = """
+    SELECT event_id, ts, user_id, event_type, user_id % 20 AS bl,
+           0 AS chan, 0 AS pol,
+           value AS data_re, -value AS data_im,
+           CAST(1 + event_id % 5 AS DOUBLE) AS w,
+           (value > 400 OR event_type = 'error') AS flag,
+           user_id % 3 AS scan, user_id % 2 AS state
+    FROM events
+"""
+
+
+def _events_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata ts is TIMESTAMP(NANOS): read as long, convert via integer
+    # division (double division would lose precision on ns epochs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("user_id") % 20).alias("bl"),
+        F.lit(0).alias("chan"),
+        F.lit(0).alias("pol"),
+        F.col("value").alias("data_re"),
+        (-F.col("value")).alias("data_im"),
+        (1 + F.col("event_id") % 5).cast("double").alias("w"),
+        ((F.col("value") > 400) | (F.col("event_type") == "error")).alias("flag"),
+        (F.col("user_id") % 3).alias("scan"),
+        (F.col("user_id") % 2).alias("state"),
+    )
+
+
+@register(
+    "apply_flags",
+    f"""
+    SELECT event_id,
+           CASE WHEN NOT flag THEN data_re END AS data_re,
+           CASE WHEN NOT flag THEN data_im END AS data_im,
+           flag
+    FROM ({_EV_SQL_BASE})
+    """,
+)
+def apply_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = OF.apply_flags(_events_vis(spark, sf_dir), vs=_EV_VIS)
+    return df.select("event_id", "data_re", "data_im", "flag")
+
+
+@register(
+    "auto_clip",
+    f"""
+    SELECT event_id,
+           (flag OR SQRT(data_re*data_re + data_im*data_im) < 50.0
+                 OR SQRT(data_re*data_re + data_im*data_im) > 600.0) AS flag
+    FROM ({_EV_SQL_BASE})
+    """,
+)
+def auto_clip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = OF.auto_clip(_events_vis(spark, sf_dir), clip_min=50.0, clip_max=600.0, vs=_EV_VIS)
+    return df.select("event_id", "flag")
+
+
+@register(
+    "manual_flag",
+    f"""
+    SELECT flag, COUNT(*) AS n
+    FROM (SELECT (flag OR bl = 7) AS flag FROM ({_EV_SQL_BASE}))
+    GROUP BY flag
+    """,
+)
+def manual_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = OF.manual_flag(_events_vis(spark, sf_dir), F.col("bl") == 7, vs=_EV_VIS)
+    return df.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "time_average",
+    f"""
+    SELECT bl, chan, pol,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t_epoch,
+           {sql_wmean('data_re', 'w')} AS data_re,
+           {sql_wmean('data_im', 'w')} AS data_im,
+           {sql_dsum('w')} AS w,
+           COUNT(*) AS n_samples,
+           bool_and(flag) AS flag
+    FROM ({_EV_SQL_BASE})
+    GROUP BY bl, chan, pol, date_trunc('hour', ts)
+    """,
+)
+def time_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = OA.time_average(_events_vis(spark, sf_dir), width="1 hour", vs=_EV_VIS, precise=True)
+    out = out.select(
+        "bl", "chan", "pol",
+        F.unix_timestamp("ts").alias("t_epoch"),
+        "data_re", "data_im", "w", "n_samples", "flag",
+    )
+    return out
+
+
+@register(
+    "time_average_binned",
+    f"""
+    WITH base AS ({_EV_SQL_BASE}),
+    dt AS (
+      SELECT scan, ts,
+             (ROW_NUMBER() OVER (PARTITION BY scan ORDER BY ts) - 1) // 4 AS tb
+      FROM (SELECT DISTINCT scan, ts FROM base)
+    ),
+    dtb AS (SELECT scan, ts, MIN(ts) OVER (PARTITION BY scan, tb) AS tbin FROM dt)
+    SELECT b.scan, b.bl, b.chan, b.pol,
+           CAST(FLOOR(epoch(dtb.tbin)) AS BIGINT) AS t_epoch,
+           {sql_wmean('b.data_re', 'b.w')} AS data_re,
+           {sql_dsum('b.w')} AS w,
+           COUNT(*) AS n_samples
+    FROM base b JOIN dtb ON b.scan = dtb.scan AND b.ts = dtb.ts
+    GROUP BY b.scan, b.bl, b.chan, b.pol, dtb.tbin
+    """,
+)
+def time_average_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timebin mode with span grouping (time_average.py:89-105)."""
+    out = OA.time_average(_events_vis(spark, sf_dir), bin=4, span="state", vs=_EV_VIS,
+                          precise=True)
+    out = out.select(
+        "scan", "bl", "chan", "pol",
+        F.unix_timestamp("ts").alias("t_epoch"),
+        "data_re", "w", "n_samples",
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vis-shaped derivation of `lineitem` for chan_average: order = baseline,
+# linenumber = channel.
+# ---------------------------------------------------------------------------
+
+_LI_VIS = VisSchema(
+    time="t", baseline="bl", chan="chan", pol="pol",
+    data_cols=(("data_re", "data_im"),), weight="w", flag="flag",
+)
+
+_LI_SQL_BASE = """
+    SELECT 0 AS t, l_orderkey AS bl, l_linenumber AS chan, 0 AS pol,
+           l_extendedprice AS data_re, l_tax AS data_im,
+           l_quantity AS w, (l_returnflag = 'R') AS flag
+    FROM lineitem
+"""
+
+
+def _lineitem_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.lit(0).alias("t"),
+        F.col("l_orderkey").alias("bl"),
+        F.col("l_linenumber").alias("chan"),
+        F.lit(0).alias("pol"),
+        F.col("l_extendedprice").alias("data_re"),
+        F.col("l_tax").alias("data_im"),
+        F.col("l_quantity").alias("w"),
+        (F.col("l_returnflag") == "R").alias("flag"),
+    )
+
+
+@register(
+    "chan_average",
+    f"""
+    SELECT bl, pol, (chan // 2) * 2 AS chan,
+           {sql_wmean('data_re', 'w')} AS data_re,
+           {sql_wmean('data_im', 'w')} AS data_im,
+           {sql_dsum('w')} AS w,
+           COUNT(*) AS n_samples,
+           bool_and(flag) AS flag
+    FROM ({_LI_SQL_BASE})
+    GROUP BY bl, pol, chan // 2
+    """,
+)
+def chan_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = OA.chan_average(_lineitem_vis(spark, sf_dir), width=2, vs=_LI_VIS, precise=True)
+    return out.select("bl", "pol", "chan", "data_re", "data_im", "w", "n_samples", "flag")
+
+
+@register(
+    "rebin",
+    f"""
+    SELECT (user_id // 10) * 10 AS user_id,
+           {sql_mean('value')} AS value,
+           COUNT(*) AS n_samples
+    FROM events GROUP BY user_id // 10
+    """,
+)
+def rebin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_vis(spark, sf_dir).select("user_id", F.col("data_re").alias("value"))
+    out = OA.rebin(ev, axis="user_id", factor=10, group_cols=["user_id"],
+                   value_cols=["value"], precise=True)
+    return out
+
+
+@register(
+    "statistics",
+    f"""
+    SELECT COUNT(l_extendedprice) AS npts,
+           {sql_dsum('l_extendedprice')} AS sum,
+           {sql_dsum('l_extendedprice * l_extendedprice')} AS sumsq,
+           {sql_mean('l_extendedprice')} AS mean,
+           {sql_stddev('l_extendedprice')} AS sigma,
+           {sql_rms('l_extendedprice')} AS rms,
+           MIN(l_extendedprice) AS min,
+           MAX(l_extendedprice) AS max,
+           {R('quantile_cont(l_extendedprice, 0.5)')} AS median,
+           {R('quantile_cont(l_extendedprice, 0.25)')} AS q1,
+           {R('quantile_cont(l_extendedprice, 0.75)')} AS q3,
+           arg_min(l_orderkey, l_extendedprice) AS min_pos_l_orderkey,
+           arg_max(l_orderkey, l_extendedprice) AS max_pos_l_orderkey
+    FROM lineitem
+    """,
+)
+def statistics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = statistics(li, "l_extendedprice", pos_cols=["l_orderkey"])
+    return round_doubles(out, only=("median", "q1", "q3"))
+
+
+@register(
+    "moments",
+    f"""
+    SELECT l_suppkey, l_returnflag,
+           {sql_mean('l_extendedprice')} AS mom_mean,
+           {sql_dsum('l_extendedprice')} * 2.0 AS mom_integrated,
+           {sql_wmean('CAST(l_linenumber AS DOUBLE)', 'l_extendedprice')} AS mom_weighted_coord,
+           {R('quantile_cont(l_extendedprice, 0.5)')} AS mom_median,
+           {R('quantile_cont(l_extendedprice, 0.25)')} AS mom_median_coord,
+           {sql_stddev('l_extendedprice')} AS mom_stddev,
+           {sql_rms('l_extendedprice')} AS mom_rms,
+           MAX(l_extendedprice) AS mom_max,
+           CAST(arg_max(l_linenumber, l_extendedprice) AS DOUBLE) AS mom_max_coord,
+           MIN(l_extendedprice) AS mom_min,
+           CAST(arg_min(l_linenumber, l_extendedprice) AS DOUBLE) AS mom_min_coord
+    FROM lineitem
+    GROUP BY l_suppkey, l_returnflag
+    """,
+)
+def moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = moments(
+        li, group_cols=["l_suppkey", "l_returnflag"], axis_col="l_linenumber",
+        value_col="l_extendedprice", delta=2.0,
+        which=[-1, 0, 1, 3, 4, 5, 6, 8, 9, 10, 11],
+    )
+    return round_doubles(out, only=("mom_median", "mom_median_coord"))
+
+
+@register(
+    "flag_summary",
+    """
+    WITH flagged AS (
+      SELECT l_linestatus, l_suppkey % 10 AS supp_bucket,
+             o_orderpriority,
+             CAST(l_returnflag = 'R' AS BIGINT) AS f
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'l_linestatus' AS group_key, CAST(l_linestatus AS VARCHAR) AS group_value,
+           SUM(f) AS flagged, COUNT(*) AS total FROM flagged GROUP BY l_linestatus
+    UNION ALL
+    SELECT 'supp_bucket', CAST(supp_bucket AS VARCHAR), SUM(f), COUNT(*)
+    FROM flagged GROUP BY supp_bucket
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), SUM(f), COUNT(*)
+    FROM flagged GROUP BY o_orderpriority
+    """,
+)
+def flag_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_linestatus",
+        (F.col("l_suppkey") % 10).alias("supp_bucket"),
+        "o_orderpriority",
+        (F.col("l_returnflag") == "R").alias("flag"),
+    )
+    return flag_summary(joined, ["l_linestatus", "supp_bucket", "o_orderpriority"])
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )

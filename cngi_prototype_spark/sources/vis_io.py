@@ -1,0 +1,96 @@
+"""Read / write / describe visibility stores (Parquet layout).
+
+Reference parity:
+- ``read_vis``    — cngi/dio/read_vis.py:21-203 (open zarr store, pick a
+  partition, rechunk; S3 via s3fs)
+- ``write_vis``   — cngi/dio/write_vis.py:26-96 (per-variable Blosc-zstd
+  encoding, chunks_on_disk, execution timing stored as attr)
+- ``describe_vis`` — cngi/dio/describe_vis.py:21-56 (per-partition
+  rows/chans/size summary)
+- ``append_xds``  — cngi/dio/append_xds.py (add variables to an existing
+  store without rewriting)
+
+Layout: one store = one directory of Parquet, hive-partitioned by ``ddi``
+(the reference's partition axis), zstd-compressed (its Blosc-zstd-2
+analog). The reference's chunk-shape knob (``chunks_on_disk``,
+convert_ms.py:46-48 — BASELINE.md shows 6.7x/0.36x swings from sizing)
+maps to ``target_rows_per_file``: row-group/file sizing is the Parquet
+equivalent of zarr chunk shape. S3 works unmodified via ``s3a://`` paths.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_vis(
+    spark: SparkSession,
+    infile: str,
+    partition: int | list[int] | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Open a vis store; optionally select ddi partition(s) and columns.
+
+    The ddi filter prunes hive partitions at plan time and the column
+    list prunes the Parquet read schema — the lazy-variable behavior of
+    read_vis.py:183-199 for free from Catalyst.
+    """
+    df = spark.read.parquet(infile)
+    if partition is not None:
+        parts = [partition] if isinstance(partition, int) else list(partition)
+        df = df.filter(F.col("ddi").isin(parts))
+    if columns:
+        keep = [c for c in df.columns if c in set(columns) | {"ddi"}]
+        df = df.select(*keep)
+    return df
+
+
+def write_vis(
+    df: DataFrame,
+    outfile: str,
+    partition_by: list[str] | None = None,
+    target_rows_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a vis store; returns {'elapsed_sec': ...} the way write_vis
+    records graph-execution time as a store attr (write_vis.py:90-92)."""
+    t0 = time.time()
+    writer = df.write.mode(mode)
+    if target_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", str(target_rows_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(outfile)
+    return {"elapsed_sec": time.time() - t0}
+
+
+def append_vis_columns(
+    spark: SparkSession,
+    store: str,
+    new_cols: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """append_xds analog: attach new data variables to an existing store
+    without rewriting it — write the new columns as a side table and
+    join-on-read on the cube keys (append_xds.py:26-181 writes new zarr
+    arrays into the store directory)."""
+    side = store.rstrip("/") + "__cols"
+    new_cols.write.mode("overwrite").parquet(side)
+    base = spark.read.parquet(store)
+    return base.join(spark.read.parquet(side), keys, "left")
+
+
+def describe_vis(spark: SparkSession, infile: str) -> DataFrame:
+    """Per-ddi summary: rows, distinct times/baselines/chans/pols
+    (describe_vis.py:21-56 returns the same per-partition table)."""
+    df = spark.read.parquet(infile)
+    return df.groupBy("ddi").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("time").alias("n_time"),
+        F.countDistinct("baseline").alias("n_baseline"),
+        F.countDistinct("chan").alias("n_chan"),
+        F.countDistinct("pol").alias("n_pol"),
+    )

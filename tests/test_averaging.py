@@ -1,0 +1,92 @@
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from cngi_prototype_spark.operators import averaging as OA
+from tests.fixtures import make_vis_pdf
+
+TOL = 1e-8  # compare_xds tolerance (reference tests/test_ms_conversion.py:11-33)
+
+
+def _pd_wmean(g: pd.DataFrame, v: str) -> float:
+    m = g[v].notna()
+    if not m.any():
+        return np.nan
+    return float((g.loc[m, v] * g.loc[m, "data_weight"]).sum() / g.loc[m, "data_weight"].sum())
+
+
+def test_chan_average_matches_pandas(vis_df):
+    width = 4
+    out = OA.chan_average(vis_df, width=width).toPandas()
+    pdf = make_vis_pdf()
+    pdf["cbin"] = (pdf["chan"] // width) * width
+    exp = (
+        pdf.groupby(["time", "baseline", "cbin", "pol"])
+        .apply(lambda g: _pd_wmean(g, "data_re"), include_groups=False)
+        .rename("exp_re")
+        .reset_index()
+    )
+    merged = out.merge(
+        exp, left_on=["time", "baseline", "chan", "pol"],
+        right_on=["time", "baseline", "cbin", "pol"], how="outer",
+    )
+    assert len(merged) == len(exp) == len(out)
+    d = (merged["data_re"] - merged["exp_re"]).abs().fillna(0)
+    assert d.max() < TOL
+
+
+def test_chan_average_bin_count(vis_df):
+    out = OA.chan_average(vis_df, width=4)
+    assert out.select("chan").distinct().count() == 2  # 8 chans / 4
+    assert out.count() == vis_df.select("time", "baseline", "pol").distinct().count() * 2
+
+
+def test_time_average_width_matches_pandas(vis_df):
+    out = OA.time_average(vis_df, width="40 seconds").toPandas()
+    pdf = make_vis_pdf()
+    pdf["tbin"] = pdf["time"].dt.floor("40s")
+    exp = (
+        pdf.groupby(["tbin", "baseline", "chan", "pol"])
+        .apply(lambda g: _pd_wmean(g, "data_im"), include_groups=False)
+        .rename("exp_im")
+        .reset_index()
+    )
+    merged = out.merge(
+        exp, left_on=["time", "baseline", "chan", "pol"],
+        right_on=["tbin", "baseline", "chan", "pol"],
+    )
+    assert len(merged) == len(out) == len(exp)
+    d = (merged["data_im"] - merged["exp_im"]).abs().fillna(0)
+    assert d.max() < TOL
+
+
+def test_time_average_bin_span_state(vis_df):
+    # bin=3 adjacent times grouped by scan_number: bins never cross scans
+    out = OA.time_average(vis_df, bin=3, span="state")
+    pairs = out.select("scan_number", "time").distinct().toPandas()
+    pdf = make_vis_pdf()
+    scan_of_time = pdf.groupby("time")["scan_number"].first()
+    # every output bin-start time belongs to its scan
+    for _, row in pairs.iterrows():
+        assert scan_of_time[row["time"]] == row["scan_number"]
+    # 10 times per scan, bin 3 -> ceil(10/3)=4 bins per scan, 2 scans
+    assert len(pairs) == 8
+
+
+def test_time_average_weight_sum(vis_df):
+    out = OA.time_average(vis_df, bin=20)  # all times -> one bin
+    pdf = make_vis_pdf()
+    got = out.agg(F.sum("data_weight")).first()[0]
+    # the WEIGHT variable itself has no holes -> plain total, matching the
+    # reference's sum() of weights over the cube
+    exp = pdf["data_weight"].sum()
+    assert abs(got - exp) < 1e-6
+
+
+def test_rebin(vis_df):
+    out = OA.rebin(
+        vis_df, axis="chan", factor=2,
+        group_cols=["time", "baseline", "chan", "pol"],
+        value_cols=["data_re"],
+    )
+    assert out.select("chan").distinct().count() == 4
