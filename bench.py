@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries run the production fast path (plain double aggregation, no
+decimal-exact gate instrumentation). Each query is fully executed via a
+noop-format write (all partitions computed, nothing collected to the
+driver), which is the honest distributed-throughput measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cngi_prototype_spark import queries as Q  # noqa: E402
+from cngi_prototype_spark.session import initialize_framework  # noqa: E402
+
+# Benchmark the production double path, not the oracle-gate decimal path.
+Q.PRECISE = False
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "describe_partitions",
+    "apply_flags",
+    "auto_clip",
+    "time_average",
+    "time_average_binned",
+    "chan_average",
+    "rebin",
+    "statistics",
+    "moments",
+    "flag_summary",
+    "topk_orders",
+]
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = initialize_framework(cores=cpus, app_name="bench", shuffle_partitions=cpus)
+    qs = Q.queries()
+
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost
+    _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        _run(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

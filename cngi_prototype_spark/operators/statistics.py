@@ -45,6 +45,10 @@ def statistics(
     Lazy like the reference's ``compute=False`` default
     (statistics.py:34-36) — nothing runs until an action.
     """
+    # precise -> exact percentile (single-reducer sort: gate/small-data only);
+    # fast path -> percentile_approx (distributed t-digest mergeable sketch,
+    # the only sane plan at 100 TB)
+    pctl = "percentile" if precise else "percentile_approx"
     v = F.col(value_col)
     aggs = [
         F.count(v).alias("npts"),
@@ -55,9 +59,9 @@ def statistics(
         exact.rms(v, precise).alias("rms"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
-        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
-        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+        F.expr(f"{pctl}({value_col}, 0.5)").alias("median"),
+        F.expr(f"{pctl}({value_col}, 0.25)").alias("q1"),
+        F.expr(f"{pctl}({value_col}, 0.75)").alias("q3"),
     ]
     for p in pos_cols or []:
         aggs.append(F.expr(f"min_by({p}, {value_col})").alias(f"min_pos_{p}"))
@@ -67,7 +71,7 @@ def statistics(
         # second pass: median of |x - median| (statistics.py medabsdevmed)
         med = out.select("median").first()["median"]
         mad = df.agg(
-            F.expr(f"percentile(abs({value_col} - {med!r}), 0.5)").alias("medabsdevmed")
+            F.expr(f"{pctl}(abs({value_col} - {med!r}), 0.5)").alias("medabsdevmed")
         )
         out = out.crossJoin(mad)
     return out
@@ -95,14 +99,15 @@ def moments(
     (moments.py:104) — reproduced as-is.
     """
     which = which if which is not None else list(range(-1, 12))
+    pctl = "percentile" if precise else "percentile_approx"
     v, ax = F.col(value_col), F.col(axis_col)
     n = F.count(v).cast("double")
     mdefs: dict[int, tuple[str, Column]] = {
         -1: ("mom_mean", exact.mean(v, precise)),
         0: ("mom_integrated", (exact.dsum(v) if precise else F.sum(v)) * F.lit(delta)),
         1: ("mom_weighted_coord", exact.wmean(ax.cast("double"), v, precise)),
-        3: ("mom_median", F.expr(f"percentile({value_col}, 0.5)")),
-        4: ("mom_median_coord", F.expr(f"percentile({value_col}, 0.25)")),
+        3: ("mom_median", F.expr(f"{pctl}({value_col}, 0.5)")),
+        4: ("mom_median_coord", F.expr(f"{pctl}({value_col}, 0.25)")),
         5: ("mom_stddev", exact.stddev(v, precise)),
         6: ("mom_rms", exact.rms(v, precise)),
         8: ("mom_max", F.max(v)),

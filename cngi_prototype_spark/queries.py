@@ -63,6 +63,16 @@ def oracle_sql() -> dict[str, str]:
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 
+# Gate queries default to the decimal-exact aggregation paths so results
+# hash-match the DuckDB oracle; bench.py flips this to False to measure the
+# production (double) fast path.
+PRECISE = True
+
+
+def _precise() -> bool:
+    return PRECISE
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -115,17 +125,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    p = _precise()
+    s = exact.dsum if p else F.sum
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact.dsum(F.col("l_quantity")).alias("sum_qty"),
-            exact.dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            exact.dsum(disc_price).alias("sum_disc_price"),
-            exact.dsum(charge).alias("sum_charge"),
-            exact.mean(F.col("l_quantity")).alias("avg_qty"),
-            exact.mean(F.col("l_extendedprice")).alias("avg_price"),
-            exact.mean(F.col("l_discount")).alias("avg_disc"),
+            s(F.col("l_quantity")).alias("sum_qty"),
+            s(F.col("l_extendedprice")).alias("sum_base_price"),
+            s(disc_price).alias("sum_disc_price"),
+            s(charge).alias("sum_charge"),
+            exact.mean(F.col("l_quantity"), p).alias("avg_qty"),
+            exact.mean(F.col("l_extendedprice"), p).alias("avg_price"),
+            exact.mean(F.col("l_discount"), p).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -260,7 +272,7 @@ def manual_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def time_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = OA.time_average(_events_vis(spark, sf_dir), width="1 hour", vs=_EV_VIS, precise=True)
+    out = OA.time_average(_events_vis(spark, sf_dir), width="1 hour", vs=_EV_VIS, precise=_precise())
     out = out.select(
         "bl", "chan", "pol",
         F.unix_timestamp("ts").alias("t_epoch"),
@@ -291,7 +303,7 @@ def time_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_average_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timebin mode with span grouping (time_average.py:89-105)."""
     out = OA.time_average(_events_vis(spark, sf_dir), bin=4, span="state", vs=_EV_VIS,
-                          precise=True)
+                          precise=_precise())
     out = out.select(
         "scan", "bl", "chan", "pol",
         F.unix_timestamp("ts").alias("t_epoch"),
@@ -346,7 +358,7 @@ def _lineitem_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def chan_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = OA.chan_average(_lineitem_vis(spark, sf_dir), width=2, vs=_LI_VIS, precise=True)
+    out = OA.chan_average(_lineitem_vis(spark, sf_dir), width=2, vs=_LI_VIS, precise=_precise())
     return out.select("bl", "pol", "chan", "data_re", "data_im", "w", "n_samples", "flag")
 
 
@@ -362,7 +374,7 @@ def chan_average_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rebin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_vis(spark, sf_dir).select("user_id", F.col("data_re").alias("value"))
     out = OA.rebin(ev, axis="user_id", factor=10, group_cols=["user_id"],
-                   value_cols=["value"], precise=True)
+                   value_cols=["value"], precise=_precise())
     return out
 
 
@@ -387,7 +399,7 @@ def rebin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def statistics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    out = statistics(li, "l_extendedprice", pos_cols=["l_orderkey"])
+    out = statistics(li, "l_extendedprice", pos_cols=["l_orderkey"], precise=_precise())
     return round_doubles(out, only=("median", "q1", "q3"))
 
 
@@ -415,7 +427,7 @@ def moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = moments(
         li, group_cols=["l_suppkey", "l_returnflag"], axis_col="l_linenumber",
         value_col="l_extendedprice", delta=2.0,
-        which=[-1, 0, 1, 3, 4, 5, 6, 8, 9, 10, 11],
+        which=[-1, 0, 1, 3, 4, 5, 6, 8, 9, 10, 11], precise=_precise(),
     )
     return round_doubles(out, only=("mom_median", "mom_median_coord"))
 
