@@ -477,3 +477,108 @@ def topk_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins tier (SURVEY.md §2.3): join_vis full-outer coordinate merge,
+# split_dataset semi-join trim, join_dataset surrogate-key catalog union.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.operators import joins as OJ  # noqa: E402
+
+
+@register(
+    "join_vis",
+    f"""
+    WITH base AS ({_EV_SQL_BASE}),
+    a AS (SELECT event_id, data_re, user_id FROM base WHERE user_id % 2 = 0),
+    b AS (SELECT event_id, data_re, event_type FROM base
+          WHERE user_id % 2 = 1 OR user_id % 4 = 0)
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           COALESCE(a.data_re, b.data_re) AS data_re,
+           a.user_id, b.event_type
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    """,
+)
+def join_vis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_vis(spark, sf_dir)
+    a = ev.filter(F.col("user_id") % 2 == 0).select("event_id", "data_re", "user_id")
+    b = ev.filter((F.col("user_id") % 2 == 1) | (F.col("user_id") % 4 == 0)) \
+        .select("event_id", "data_re", "event_type")
+    # validate=True exercises the no-conflicts check (both sides derive
+    # from the same source, so it passes — conflict case is unit-tested)
+    return OJ.join_vis(a, b, keys=["event_id"], validate=True)
+
+
+@register(
+    "split_dataset",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderstatus = 'O' AND o_totalprice > 200000)
+    """,
+)
+def split_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    fact = orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+    _, trimmed = OJ.split_dataset(fact, {"customer": (customer, "c_custkey", "o_custkey")})
+    return trimmed["customer"]
+
+
+_JD_SQL = """
+    WITH dim1 AS (SELECT c_custkey AS id, c_name FROM customer WHERE c_custkey <= 1000),
+         dim2 AS (SELECT c_custkey - 800 AS id, c_name FROM customer WHERE c_custkey > 800),
+         matched AS (SELECT d2.id AS old_id, d1.id AS new_id
+                     FROM dim2 d2 JOIN dim1 d1 USING (c_name)),
+         unmatched AS (SELECT d2.id AS old_id, d2.c_name,
+                              1000 + ROW_NUMBER() OVER (ORDER BY d2.id) AS new_id
+                       FROM dim2 d2 ANTI JOIN dim1 d1 USING (c_name)),
+         remap AS (SELECT old_id, new_id FROM matched
+                   UNION ALL SELECT old_id, new_id FROM unmatched),
+         fact1 AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey <= 1000),
+         fact2 AS (SELECT o_orderkey, o_custkey - 800 AS o_custkey
+                   FROM orders WHERE o_custkey > 800),
+         fact2r AS (SELECT f.o_orderkey, COALESCE(r.new_id, f.o_custkey) AS o_custkey
+                    FROM fact2 f LEFT JOIN remap r ON f.o_custkey = r.old_id),
+         fact_all AS (SELECT * FROM fact1 UNION ALL SELECT * FROM fact2r),
+         dim_all AS (SELECT id, c_name FROM dim1
+                     UNION ALL SELECT new_id AS id, c_name FROM unmatched)
+"""
+
+
+def _join_dataset_parts(spark: SparkSession, sf_dir: str):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim1 = customer.filter(F.col("c_custkey") <= 1000) \
+        .select(F.col("c_custkey").alias("id"), "c_name")
+    dim2 = customer.filter(F.col("c_custkey") > 800) \
+        .select((F.col("c_custkey") - 800).alias("id"), "c_name")
+    fact1 = orders.filter(F.col("o_custkey") <= 1000).select("o_orderkey", "o_custkey")
+    fact2 = orders.filter(F.col("o_custkey") > 800) \
+        .select("o_orderkey", (F.col("o_custkey") - 800).alias("o_custkey"))
+    return OJ.join_dataset(fact1, dim1, fact2, dim2, dim_key="id", fact_fk="o_custkey")
+
+
+@register(
+    "join_dataset_facts",
+    _JD_SQL + """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM fact_all GROUP BY o_custkey
+    """,
+)
+def join_dataset_facts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_out, _ = _join_dataset_parts(spark, sf_dir)
+    return fact_out.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "join_dataset_dims",
+    _JD_SQL + """
+    SELECT id, c_name FROM dim_all
+    """,
+)
+def join_dataset_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, dim_out = _join_dataset_parts(spark, sf_dir)
+    return dim_out
