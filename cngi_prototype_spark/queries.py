@@ -582,3 +582,88 @@ def join_dataset_facts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_dataset_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, dim_out = _join_dataset_parts(spark, sf_dir)
     return dim_out
+
+
+# ---------------------------------------------------------------------------
+# UDF tier (SURVEY.md §2.5, §2.8): windowed smoothing + per-group fits.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.operators.fitting import (  # noqa: E402
+    cont_sub_linear, spec_fit, uv_cont_fit,
+)
+from cngi_prototype_spark.operators.smoothing import (  # noqa: E402
+    chan_smooth, sql_chan_smooth, window_weights,
+)
+
+_SMOOTH_W = window_weights("triang", 3)
+
+
+# smoothing axis must be totally ordered within a partition (lag/lead
+# tie-breaks are engine-dependent): event_id is globally unique, so smooth
+# data_re along event_id within each bl "spectrum".
+_EV_SMOOTH_VIS = VisSchema(
+    time="pol", baseline="bl", chan="event_id", pol="chan",
+    data_cols=(("data_re", "data_im"),), weight="w", flag="flag",
+)
+
+
+@register(
+    "chan_smooth",
+    f"""
+    SELECT bl, event_id,
+           {sql_chan_smooth('data_re', _SMOOTH_W, 'bl, pol, chan', 'event_id')} AS data_re
+    FROM ({_EV_SQL_BASE})
+    """,
+)
+def chan_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = chan_smooth(_events_vis(spark, sf_dir), window="triang", size=3,
+                      vs=_EV_SMOOTH_VIS, cols=["data_re"])
+    return out.select("bl", "event_id", "data_re")
+
+
+@register(
+    "cont_sub_linear",
+    f"""
+    WITH base AS ({_LI_SQL_BASE}),
+    sums AS (
+      SELECT bl,
+             {sql_dsum('CAST(chan AS DOUBLE)')} AS sx,
+             {sql_dsum('CAST(chan AS DOUBLE) * CAST(chan AS DOUBLE)')} AS sxx,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('data_re')} AS sy,
+             {sql_dsum('CAST(chan AS DOUBLE) * data_re')} AS sxy
+      FROM base GROUP BY bl
+    )
+    SELECT b.bl, b.chan,
+           b.data_re - (((s.sy - (CASE WHEN (s.n * s.sxx - s.sx * s.sx) <> 0
+                 THEN (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) END)
+                 * s.sx) / s.n)
+              + (CASE WHEN (s.n * s.sxx - s.sx * s.sx) <> 0
+                 THEN (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) END)
+                * CAST(b.chan AS DOUBLE)) AS data_re,
+           (((s.sy - (CASE WHEN (s.n * s.sxx - s.sx * s.sx) <> 0
+                 THEN (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) END)
+                 * s.sx) / s.n)
+              + (CASE WHEN (s.n * s.sxx - s.sx * s.sx) <> 0
+                 THEN (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) END)
+                * CAST(b.chan AS DOUBLE)) AS data_re_cont
+    FROM base b JOIN sums s ON b.bl = s.bl
+    """,
+)
+def cont_sub_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cont_sub_linear(
+        _lineitem_vis(spark, sf_dir), group_cols=["bl"], x_col="chan",
+        value_cols=["data_re"], precise=_precise(),
+    )
+    return out.select("bl", "chan", "data_re", "data_re_cont")
+
+
+@register("uv_cont_fit", None)  # grouped-map UDF: rows-only check
+def uv_cont_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uv_cont_fit(_lineitem_vis(spark, sf_dir), vs=_LI_VIS, fitorder=2)
+
+
+@register("spec_fit", None)  # iterative Gauss-Newton: rows-only check
+def spec_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_vis(spark, sf_dir)
+    return spec_fit(ev.filter(F.col("bl") < 5), ["bl"], "event_id", "data_re")
