@@ -1,0 +1,257 @@
+"""Deduplication operators.
+
+All hashing is md5-hex-string based so the DuckDB oracle reproduces every
+value exactly (both engines emit identical lowercase hex; string min and
+binary collation agree). A MinHash here is the lexicographic MIN of
+``md5(seed || '|' || shingle)`` — an order-statistic on a keyed hash,
+exactly the classic construction with strings instead of 64-bit ints.
+
+Scale design (100 TB):
+- exact_dedup: one hash agg on md5(text) — map-side combine shrinks to
+  distinct-hash cardinality before the shuffle.
+- minhash + LSH banding: signatures are a projection (no shuffle);
+  banding groups by (band, band_hash) — candidate generation touches
+  only bucket collisions, never the n^2 pair space. The self-join per
+  bucket is bounded by bucket width; hot buckets (boilerplate docs) are
+  the skew risk — AQE skew-join handles moderate cases, and a bucket
+  cap (drop buckets larger than `max_bucket`) is the standard guardrail.
+- ngram_jaccard_pairs: exact verification for candidate pairs; the
+  all-pairs form is for small n / oracle checks only.
+- simhash: per-token bit votes aggregated per doc — explode + groupBy
+  (one shuffle keyed by doc, map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cngi_prototype_spark.text.analysis import _sql_tokens, _tokens, shingles, sql_shingles
+
+
+# --- exact ---------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text
+    with copy count and canonical (min) id."""
+    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+    SELECT md5(lower(trim(text))) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature: for seed i, min over shingles of
+    md5(i || '|' || shingle). Pure projection — no shuffle."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))  # noqa: B023
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig)
+
+
+def sql_minhash_signatures(num_hashes: int = 8, shingle_n: int = 3) -> str:
+    sh = sql_shingles("text", shingle_n)
+    sig = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(concat('{i}|', s)))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"SELECT doc_id, {sig} FROM documents"
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: band hash = md5 of the band's signature slice;
+    candidate pairs share >= 1 band bucket. Returns distinct (id_a, id_b)
+    with id_a < id_b.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate/empty docs) that
+    would otherwise produce quadratic blowup — the standard guardrail at
+    scale.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+    # bucket-size guardrail
+    sized = melted.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bhash")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def sql_minhash_lsh_candidates(num_hashes: int = 8, bands: int = 4,
+                               shingle_n: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bhash FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({sql_minhash_signatures(num_hashes, shingle_n)}),
+    banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+    melted AS ({unions})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM melted a JOIN melted b ON a.band = b.band AND a.bhash = b.bhash
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-n-gram sets.
+
+    With ``candidates`` (e.g. from LSH) computes only those pairs — the
+    scale path. Without, all pairs (oracle/small-n only). jaccard =
+    |A∩B| / (|A| + |B| - |A∩B|), an integer ratio: bit-identical across
+    engines, no rounding needed.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.2) -> str:
+    sh = sql_shingles("text", shingle_n)
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                        - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CASE WHEN (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                       - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+               ELSE 0.0 END >= {threshold}
+    """
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _hex_digit_val(ch: Column) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash: per-token md5, take ``bits`` leading bits, majority vote
+    per bit position across tokens; fingerprint emitted as a bit string
+    (cross-engine-safe; no 64-bit integer casts needed).
+
+    Shape: explode tokens -> one groupBy(doc) with ``bits`` conditional
+    sums — a single shuffle with map-side combine.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            (
+                F.shiftright(
+                    _hex_digit_val(F.substring("h", 1 + b // 4, 1)), 3 - b % 4
+                ) % 2
+            ) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(*[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(bits)])
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def sql_simhash_fingerprints(bits: int = SIMHASH_BITS) -> str:
+    toks = _sql_tokens("text")
+    votes = ", ".join(
+        "SUM(((("
+        f"strpos('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1"
+        f") // {2 ** (3 - b % 4)}) % 2) * 2 - 1) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " || ".join(f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(t.tok) AS h
+      FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents) t
+    ),
+    agg AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM agg
+    """

