@@ -1,0 +1,337 @@
+"""Standard (prolate-spheroidal) uv gridder, Spark-first.
+
+Reference parity: ``_standard_grid_jit``
+(``/root/reference/ngcasa/imaging/_imaging_utils/_standard_grid.py:242-371``):
+each visibility is convolved onto the padded uv grid with a separable
+oversampled PSWF kernel of ``support²`` taps; per-(chan,pol) sum of
+weights accumulates ``weight · Σtaps(conv)``; out-of-bounds and
+zero/NaN-weighted samples are skipped.
+
+Two physical strategies, same semantics:
+
+1. ``variant="explode"`` — pure Catalyst. Each vis row is exploded into
+   its ``support²`` kernel taps; the grid is a
+   ``groupBy(chan, pol, u_idx, v_idx)`` sum. The 49× row multiplication
+   never reaches the shuffle at scale: Spark's partial (map-side) hash
+   aggregation collapses each task's taps to at most the number of
+   distinct touched grid cells, so shuffle volume is bounded by
+   ``touched_cells × n_partitions`` regardless of row count — the same
+   shape as the reference's per-chunk partial grids + tree sum
+   (SG:58-120), but chosen adaptively by AQE instead of hand-built.
+   Whole-stage codegen keeps the kernel-weight arithmetic JVM-side.
+
+2. ``variant="kernel"`` — Arrow-batched ``mapInPandas``: a vectorized
+   numpy scatter-add builds a *partial dense grid per input partition*,
+   emitted as sparse nonzero cells and combined by the same final
+   ``groupBy`` sum. Preferred when ``support`` is large (taps grow
+   quadratically) or the touched-cell count per task approaches the
+   full grid, making the dense partial strictly smaller.
+
+The per-visibility kernel normalization is separable
+(``Σ_{u,v} conv_u·conv_v = (Σ conv_u)(Σ conv_v)``), so the
+sum-of-weights aggregate needs no tap explosion at all — it is a plain
+single-pass ``groupBy(chan, pol)`` over the input.
+
+The ``sum_weight`` definition follows the reference exactly: the weight
+enters multiplied by the *kernel* norm of taps actually applied.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cngi_prototype_spark.functions.exact import dsum
+from cngi_prototype_spark.imaging.kernels import pswf_kernel_1d
+
+C_M_S = 299792458.0
+
+
+@dataclass(frozen=True)
+class GridParms:
+    """Reference grid_parms (make_image.py:105-115): padded image size,
+    cell size (radians, per axis), PSWF support and oversampling."""
+
+    n_u: int
+    n_v: int
+    cell_u: float
+    cell_v: float
+    support: int = 7
+    oversampling: int = 100
+
+    @property
+    def half(self) -> int:
+        return self.support // 2
+
+    def taps(self) -> list[tuple[int, int]]:
+        lo, hi = -self.half, self.support - self.half
+        return [(iu, iv) for iu in range(lo, hi) for iv in range(lo, hi)]
+
+    def kernel_1d(self) -> np.ndarray:
+        return pswf_kernel_1d(self.oversampling, self.support)
+
+
+def _scaled_pos(gp: GridParms, u: Column, v: Column, freq: Column) -> tuple[Column, Column]:
+    # SG:274-276 — uv in meters × (-freq·cell·n/c), shifted to grid center
+    u_pos = u * (-(freq * F.lit(gp.cell_u) * F.lit(float(gp.n_u))) / F.lit(C_M_S)) + F.lit(float(gp.n_u // 2))
+    v_pos = v * (-(freq * F.lit(gp.cell_v) * F.lit(float(gp.n_v))) / F.lit(C_M_S)) + F.lit(float(gp.n_v // 2))
+    return u_pos, v_pos
+
+
+def _prepare(df: DataFrame, gp: GridParms, u: str, v: str, freq: str,
+             weight: str, re: str | None, im: str | None) -> DataFrame:
+    """Common per-visibility geometry: center cell, fractional-offset
+    index, in-bounds + nonzero filters (SG:300-343)."""
+    u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
+    out = (
+        df.withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
+        .withColumn("_v_c", F.floor(v_pos + F.lit(0.5)).cast("int"))
+        .withColumn("_du", F.floor((F.col("_u_c") - u_pos) * F.lit(float(gp.oversampling)) + F.lit(0.5)).cast("int"))
+        .withColumn("_dv", F.floor((F.col("_v_c") - v_pos) * F.lit(float(gp.oversampling)) + F.lit(0.5)).cast("int"))
+    )
+    half = gp.half
+    out = out.filter(
+        (F.col("_u_c") + half < gp.n_u) & (F.col("_u_c") - half >= 0)
+        & (F.col("_v_c") + half < gp.n_v) & (F.col("_v_c") - half >= 0)
+    )
+    if re is None:  # psf / weight gridding: weighted data IS the weight
+        out = out.withColumn("_wd_re", F.col(weight)).withColumn("_wd_im", F.lit(0.0))
+    else:
+        out = out.withColumn("_wd_re", F.col(re) * F.col(weight)).withColumn(
+            "_wd_im", F.col(im) * F.col(weight))
+    return out.filter(
+        F.col("_wd_re").isNotNull() & F.col("_wd_im").isNotNull()
+        & ((F.col("_wd_re") != 0) | (F.col("_wd_im") != 0))
+    )
+
+
+def _cgk_at(cgk_lit: Column, ov: int, tap: int, off: Column) -> Column:
+    # kernel lookup cgk[abs(oversampling·i_tap + frac_idx)] (SG:345-355)
+    return F.element_at(cgk_lit, F.abs(F.lit(ov * tap) + off) + 1)
+
+
+def _norm_1d(gp: GridParms, cgk_lit: Column, off: Column) -> Column:
+    terms = [_cgk_at(cgk_lit, gp.oversampling, t, off)
+             for t in range(-gp.half, gp.support - gp.half)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def grid_visibilities(
+    df: DataFrame,
+    gp: GridParms,
+    *,
+    u: str = "u",
+    v: str = "v",
+    freq: str = "freq",
+    weight: str = "weight",
+    re: str | None = "data_re",
+    im: str | None = "data_im",
+    chan: str = "chan",
+    pol: str = "pol",
+    variant: str = "explode",
+    precise: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Grid visibilities → ``(grid_df, sum_weight_df)``.
+
+    grid_df: one row per touched cell ``(chan, pol, u_idx, v_idx,
+    grid_re, grid_im)``; sum_weight_df: ``(chan, pol, sum_weight)``.
+    ``re=None`` grids the weights themselves (PSF mode, SG:62-67).
+    """
+    prepared = _prepare(df, gp, u, v, freq, weight, re, im)
+    cgk = gp.kernel_1d()
+    cgk_lit = F.array(*[F.lit(float(x)) for x in cgk])
+
+    def agg(c: Column) -> Column:
+        if not precise:
+            return F.sum(c)
+        # Gate-comparison hygiene: quantize each addend to 1e-9 via
+        # floor(x*1e9 + 0.5) — a pure double->bigint op with identical
+        # bits on Spark and DuckDB — then sum exactly as BIGINT. The
+        # string-mediated decimal path (functions.exact.dsum) is NOT
+        # cross-engine-stable here: Java 17's Double.toString is not
+        # shortest-repr for all doubles and DuckDB mis-rounds
+        # sub-quantum e-notation strings, and the gridder's kernel-edge
+        # taps generate exactly those magnitudes. Quantization error
+        # (<=0.5e-9 per term) is far below the reference's own 1e-8
+        # comparison tolerance (tests/test_ms_conversion.py:11-33).
+        q = F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("long")
+        return (F.sum(q) / F.lit(1.0e9))
+
+    # --- sum of weights: separable norm, no explode (SG:358-360) ---
+    norm = _norm_1d(gp, cgk_lit, F.col("_du")) * _norm_1d(gp, cgk_lit, F.col("_dv"))
+    sum_weight = (
+        prepared.groupBy(chan, pol)
+        .agg(agg(F.col(weight) * norm).alias("sum_weight"))
+    )
+
+    if variant == "explode":
+        taps = F.array(*[
+            F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
+            for iu, iv in gp.taps()
+        ])
+        e = prepared.select(
+            chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im",
+            F.explode(taps).alias("_tap"),
+        )
+        conv = (
+            _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
+            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iv") * gp.oversampling + F.col("_dv"))
+        )
+        grid = (
+            e.groupBy(
+                chan, pol,
+                (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
+                (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"),
+            )
+            .agg(agg(conv * F.col("_wd_re")).alias("grid_re"),
+                 agg(conv * F.col("_wd_im")).alias("grid_im"))
+        )
+        return grid, sum_weight
+
+    if variant == "kernel":
+        grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol)
+        return grid, sum_weight
+
+    raise ValueError(f"unknown gridder variant: {variant}")
+
+
+def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
+                    *, chan: str, pol: str) -> DataFrame:
+    """Partial dense grid per partition via vectorized numpy scatter-add;
+    sparse nonzero cells out, final combine by groupBy sum — the
+    reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
+    partial/final aggregation as the tree."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("u_idx", T.IntegerType()),
+        T.StructField("v_idx", T.IntegerType()),
+        T.StructField("grid_re", T.DoubleType()),
+        T.StructField("grid_im", T.DoubleType()),
+    ])
+    n_u, n_v, ov, half, support = gp.n_u, gp.n_v, gp.oversampling, gp.half, gp.support
+    cgk_arr = cgk  # closure capture; broadcast with the task closure
+
+    cols = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im"]
+
+    def grid_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key = (pdf[chan].to_numpy(np.int64) * 1_000_000
+                   + pdf[pol].to_numpy(np.int64))
+            acc: dict[int, np.ndarray] = {}
+            u_c = pdf["_u_c"].to_numpy(np.int64)
+            v_c = pdf["_v_c"].to_numpy(np.int64)
+            du = pdf["_du"].to_numpy(np.int64)
+            dv = pdf["_dv"].to_numpy(np.int64)
+            wd = pdf["_wd_re"].to_numpy(np.float64) + 1j * pdf["_wd_im"].to_numpy(np.float64)
+            for k in np.unique(key):
+                sel = key == k
+                g = acc.setdefault(int(k), np.zeros((n_u, n_v), np.complex128))
+                uu, vv, duu, dvv, w = u_c[sel], v_c[sel], du[sel], dv[sel], wd[sel]
+                for iu in range(-half, support - half):
+                    cu = cgk_arr[np.abs(ov * iu + duu)]
+                    for iv in range(-half, support - half):
+                        cv = cgk_arr[np.abs(ov * iv + dvv)]
+                        np.add.at(g, (uu + iu, vv + iv), cu * cv * w)
+            rows = []
+            for k, g in acc.items():
+                ui, vi = np.nonzero(g)
+                rows.append(pd.DataFrame({
+                    chan: np.full(len(ui), k // 1_000_000, np.int32),
+                    pol: np.full(len(ui), k % 1_000_000, np.int32),
+                    "u_idx": ui.astype(np.int32),
+                    "v_idx": vi.astype(np.int32),
+                    "grid_re": g[ui, vi].real,
+                    "grid_im": g[ui, vi].imag,
+                }))
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    partials = prepared.select(*cols).mapInPandas(grid_batches, out_schema)
+    return partials.groupBy(chan, pol, "u_idx", "v_idx").agg(
+        F.sum("grid_re").alias("grid_re"), F.sum("grid_im").alias("grid_im"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL twin (DuckDB) for the explode gridder — inlines the kernel
+# lookup table as a list literal and mirrors every expression verbatim so
+# per-row double products are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+def _sql_geom(gp: GridParms, vis_sql: str, keep: str = "") -> str:
+    """Shared geometry CTEs mirroring :func:`_prepare` bit-for-bit."""
+    cgk = ", ".join(repr(float(x)) for x in gp.kernel_1d())
+    ov = gp.oversampling
+    half = gp.half
+
+    def pos(axis: str, cell: float, n: int) -> str:
+        return (f"{axis} * (-(freq * {cell!r} * {float(n)!r}) / {C_M_S!r})"
+                f" + {float(n // 2)!r}")
+
+    u_pos, v_pos = pos("u", gp.cell_u, gp.n_u), pos("v", gp.cell_v, gp.n_v)
+    return f"""
+    WITH cgk AS (SELECT [{cgk}] AS t),
+    vis AS ({vis_sql}),
+    geom AS (
+      SELECT chan, pol,{keep}
+             CAST(floor(({u_pos}) + 0.5) AS INT) AS u_c,
+             CAST(floor(({v_pos}) + 0.5) AS INT) AS v_c,
+             CAST(floor((CAST(floor(({u_pos}) + 0.5) AS INT) - ({u_pos})) * {float(ov)!r} + 0.5) AS INT) AS du,
+             CAST(floor((CAST(floor(({v_pos}) + 0.5) AS INT) - ({v_pos})) * {float(ov)!r} + 0.5) AS INT) AS dv,
+             data_re * weight AS wd_re, data_im * weight AS wd_im
+      FROM vis
+      WHERE u_c + {half} < {gp.n_u} AND u_c - {half} >= 0
+        AND v_c + {half} < {gp.n_v} AND v_c - {half} >= 0
+        AND wd_re IS NOT NULL AND wd_im IS NOT NULL
+        AND (wd_re <> 0 OR wd_im <> 0)
+    )"""
+
+
+def _sql_guarded_dsum(expr: str) -> str:
+    # Twin of the precise agg() above: 1e-9 integer quantization, exact
+    # BIGINT sum, then one double division.
+    return f"(SUM(CAST(floor(({expr}) * 1.0e9 + 0.5) AS BIGINT)) / 1.0e9)"
+
+
+def sql_grid_visibilities(gp: GridParms, vis_sql: str, *, agg=None) -> str:
+    """Complete DuckDB twin of the explode-variant grid output."""
+    agg = agg or _sql_guarded_dsum
+    ov = gp.oversampling
+    taps = ", ".join(f"({iu}, {iv})" for iu, iv in gp.taps())
+    conv = (f"(t[abs({ov} * tap.iu + g.du) + 1]"
+            f" * t[abs({ov} * tap.iv + g.dv) + 1])")
+    return f"""{_sql_geom(gp, vis_sql)}
+    SELECT g.chan AS chan, g.pol AS pol,
+           g.u_c + tap.iu AS u_idx, g.v_c + tap.iv AS v_idx,
+           {agg(f'{conv} * g.wd_re')} AS grid_re,
+           {agg(f'{conv} * g.wd_im')} AS grid_im
+    FROM geom g, (VALUES {taps}) AS tap(iu, iv), cgk
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+def sql_sum_weight(gp: GridParms, vis_sql: str, *, agg=None) -> str:
+    agg = agg or _sql_guarded_dsum
+    ov = gp.oversampling
+    norm_u = " + ".join(
+        f"t[abs({ov * i} + du) + 1]" for i in range(-gp.half, gp.support - gp.half))
+    norm_v = " + ".join(
+        f"t[abs({ov * i} + dv) + 1]" for i in range(-gp.half, gp.support - gp.half))
+    return f"""{_sql_geom(gp, vis_sql, keep=" weight,")}
+    SELECT chan, pol,
+           {agg(f'weight * (({norm_u}) * ({norm_v}))')} AS sum_weight
+    FROM geom, cgk
+    GROUP BY 1, 2
+    """

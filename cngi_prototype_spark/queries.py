@@ -773,3 +773,68 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Imaging tier: standard uv gridder (SURVEY.md §2.10 UDAF-shaped scatter-add
+# re-expressed as explode-taps + groupBy aggregation; reference
+# ngcasa/imaging/_imaging_utils/_standard_grid.py:242-371).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.grid import (  # noqa: E402
+    GridParms,
+    grid_visibilities,
+    sql_grid_visibilities,
+    sql_sum_weight,
+)
+
+_GP = GridParms(n_u=64, n_v=64, cell_u=2.0e-5, cell_v=2.0e-5, support=7, oversampling=100)
+
+# uv-vis derivation from events: deterministic, timestamp-free, identical
+# expression trees on both engines so double products are bit-equal.
+_UV_SQL = """
+    SELECT (event_id % 1200) / 100.0 - 6.0 AS u,
+           (user_id % 1100) / 100.0 - 5.5 AS v,
+           1.0e9 + (event_id % 3) * 1.0e6 AS freq,
+           CAST(event_id % 3 AS INT) AS chan,
+           CAST(user_id % 2 AS INT) AS pol,
+           value / 100.0 AS data_re,
+           0.0 - value / 200.0 AS data_im,
+           1.0 + CAST(event_id % 5 AS DOUBLE) AS weight
+    FROM events
+"""
+
+
+def _uv_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        ((F.col("event_id") % 1200) / F.lit(100.0) - F.lit(6.0)).alias("u"),
+        ((F.col("user_id") % 1100) / F.lit(100.0) - F.lit(5.5)).alias("v"),
+        (F.lit(1.0e9) + (F.col("event_id") % 3) * F.lit(1.0e6)).alias("freq"),
+        (F.col("event_id") % 3).cast("int").alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+
+
+@register("uv_grid", sql_grid_visibilities(_GP, _UV_SQL))
+def uv_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
+                                variant="explode", precise=_precise())
+    return grid
+
+
+@register("uv_grid_sum_weight", sql_sum_weight(_GP, _UV_SQL))
+def uv_grid_sum_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sumw = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
+                                variant="explode", precise=_precise())
+    return sumw
+
+
+@register("uv_grid_kernel", None)  # numpy partial-grid scale path: float sum
+def uv_grid_kernel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP, variant="kernel")
+    return grid

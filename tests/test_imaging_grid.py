@@ -1,0 +1,108 @@
+"""Standard gridder: explode and kernel variants vs a direct numpy spec.
+
+The numpy reference below independently implements the semantics of
+``_standard_grid_jit`` (SURVEY.md §2.10; reference SG:242-371): PSWF
+taps, int(x+0.5) rounding, center-cell bounds check, zero/NaN skip,
+``sum_weight += w·Σconv``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cngi_prototype_spark.imaging.grid import C_M_S, GridParms, grid_visibilities
+from cngi_prototype_spark.imaging.kernels import pswf_kernel_1d
+
+GP = GridParms(n_u=48, n_v=40, cell_u=2.0e-5, cell_v=2.0e-5, support=7, oversampling=100)
+
+
+def numpy_grid(pdf: pd.DataFrame, gp: GridParms):
+    cgk = pswf_kernel_1d(gp.oversampling, gp.support)
+    grids: dict[tuple[int, int], np.ndarray] = {}
+    sumw: dict[tuple[int, int], float] = {}
+    half = gp.half
+    for row in pdf.itertuples():
+        u_pos = row.u * (-(row.freq * gp.cell_u * gp.n_u) / C_M_S) + gp.n_u // 2
+        v_pos = row.v * (-(row.freq * gp.cell_v * gp.n_v) / C_M_S) + gp.n_v // 2
+        u_c, v_c = int(u_pos + 0.5), int(v_pos + 0.5)
+        if not (u_c + half < gp.n_u and u_c - half >= 0
+                and v_c + half < gp.n_v and v_c - half >= 0):
+            continue
+        wd = complex(row.data_re, row.data_im) * row.weight
+        if np.isnan(wd) or wd == 0:
+            continue
+        du = int(np.floor((u_c - u_pos) * gp.oversampling + 0.5))
+        dv = int(np.floor((v_c - v_pos) * gp.oversampling + 0.5))
+        key = (row.chan, row.pol)
+        g = grids.setdefault(key, np.zeros((gp.n_u, gp.n_v), np.complex128))
+        norm = 0.0
+        for iu in range(-half, gp.support - half):
+            cu = cgk[abs(gp.oversampling * iu + du)]
+            for iv in range(-half, gp.support - half):
+                cv = cgk[abs(gp.oversampling * iv + dv)]
+                g[u_c + iu, v_c + iv] += cu * cv * wd
+                norm += cu * cv
+        sumw[key] = sumw.get(key, 0.0) + row.weight * norm
+    return grids, sumw
+
+
+@pytest.fixture(scope="module")
+def vis_pdf():
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame({
+        "u": rng.uniform(-60, 60, n),          # meters; some out of bounds
+        "v": rng.uniform(-55, 55, n),
+        "freq": 1.0e9 + rng.integers(0, 3, n) * 1.0e6,
+        "chan": rng.integers(0, 3, n).astype(np.int32),
+        "pol": rng.integers(0, 2, n).astype(np.int32),
+        "data_re": rng.normal(size=n),
+        "data_im": rng.normal(size=n),
+        "weight": rng.uniform(0.5, 2.0, n),
+    })
+    pdf.loc[5, "weight"] = 0.0          # zero-weight skip
+    pdf.loc[6, "data_re"] = np.nan      # NaN skip
+    return pdf
+
+
+def _collect_grid(grid_df, sumw_df):
+    gpdf = grid_df.toPandas()
+    spdf = sumw_df.toPandas()
+    grids: dict[tuple[int, int], np.ndarray] = {}
+    for row in gpdf.itertuples():
+        g = grids.setdefault((row.chan, row.pol), np.zeros((GP.n_u, GP.n_v), np.complex128))
+        g[row.u_idx, row.v_idx] = complex(row.grid_re, row.grid_im)
+    sumw = {(r.chan, r.pol): r.sum_weight for r in spdf.itertuples()}
+    return grids, sumw
+
+
+@pytest.mark.parametrize("variant", ["explode", "kernel"])
+def test_gridder_matches_numpy_spec(spark, vis_pdf, variant):
+    df = spark.createDataFrame(vis_pdf).repartition(5)
+    grid_df, sumw_df = grid_visibilities(df, GP, variant=variant)
+    got_grids, got_sumw = _collect_grid(grid_df, sumw_df)
+    exp_grids, exp_sumw = numpy_grid(vis_pdf, GP)
+
+    assert set(got_grids) == set(exp_grids)
+    for key in exp_grids:
+        np.testing.assert_allclose(got_grids[key], exp_grids[key], atol=1e-9)
+    assert set(got_sumw) == set(exp_sumw)
+    for key in exp_sumw:
+        assert got_sumw[key] == pytest.approx(exp_sumw[key], abs=1e-9)
+
+
+def test_psf_mode_grids_weights(spark, vis_pdf):
+    df = spark.createDataFrame(vis_pdf)
+    grid_df, _ = grid_visibilities(df, GP, re=None, im=None)
+    got = grid_df.toPandas()
+    # psf grid is real-valued: imaginary part identically zero
+    assert (got["grid_im"] == 0).all()
+    # and equals gridding (weight + 0j) as data with weight 1
+    wpdf = vis_pdf.assign(data_re=vis_pdf["weight"], data_im=0.0, weight=1.0)
+    exp_grids, _ = numpy_grid(wpdf, GP)
+    got_grids, _ = _collect_grid(grid_df, grid_df.groupBy("chan", "pol").count()
+                                 .withColumnRenamed("count", "sum_weight"))
+    for key in exp_grids:
+        np.testing.assert_allclose(got_grids[key].real, exp_grids[key].real, atol=1e-9)
