@@ -793,8 +793,8 @@ _GP = GridParms(n_u=64, n_v=64, cell_u=2.0e-5, cell_v=2.0e-5, support=7, oversam
 # uv-vis derivation from events: deterministic, timestamp-free, identical
 # expression trees on both engines so double products are bit-equal.
 _UV_SQL = """
-    SELECT (event_id % 1200) / 100.0 - 6.0 AS u,
-           (user_id % 1100) / 100.0 - 5.5 AS v,
+    SELECT (event_id * 7919 % 130000) / 10.0 - 6500.0 AS u,
+           ((event_id * 104729 + user_id) % 110000) / 10.0 - 5500.0 AS v,
            1.0e9 + (event_id % 3) * 1.0e6 AS freq,
            CAST(event_id % 3 AS INT) AS chan,
            CAST(user_id % 2 AS INT) AS pol,
@@ -809,8 +809,8 @@ def _uv_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.select(
-        ((F.col("event_id") % 1200) / F.lit(100.0) - F.lit(6.0)).alias("u"),
-        ((F.col("user_id") % 1100) / F.lit(100.0) - F.lit(5.5)).alias("v"),
+        ((F.col("event_id") * 7919 % 130000) / F.lit(10.0) - F.lit(6500.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 110000) / F.lit(10.0) - F.lit(5500.0)).alias("v"),
         (F.lit(1.0e9) + (F.col("event_id") % 3) * F.lit(1.0e6)).alias("freq"),
         (F.col("event_id") % 3).cast("int").alias("chan"),
         (F.col("user_id") % 2).cast("int").alias("pol"),
@@ -838,3 +838,64 @@ def uv_grid_sum_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def uv_grid_kernel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP, variant="kernel")
     return grid
+
+
+# ---------------------------------------------------------------------------
+# Imaging weights (reference make_imaging_weight.py:100-260): 1-tap Hermitian
+# weight grid + briggs factors + degrid read-back join. Exact across engines
+# because the gate weights are integer-valued (all sums are exact in f64).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.weights import (  # noqa: E402
+    make_imaging_weight,
+    sql_grid_weights,
+    sql_imaging_weight,
+)
+
+_UV_SQL_KEYED = """
+    SELECT event_id,
+           (event_id * 7919 % 130000) / 10.0 - 6500.0 AS u,
+           ((event_id * 104729 + user_id) % 110000) / 10.0 - 5500.0 AS v,
+           1.0e9 + (event_id % 3) * 1.0e6 AS freq,
+           CAST(event_id % 3 AS INT) AS chan,
+           CAST(user_id % 2 AS INT) AS pol,
+           1.0 + CAST(event_id % 5 AS DOUBLE) AS weight
+    FROM events
+"""
+
+
+def _uv_vis_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 130000) / F.lit(10.0) - F.lit(6500.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 110000) / F.lit(10.0) - F.lit(5500.0)).alias("v"),
+        (F.lit(1.0e9) + (F.col("event_id") % 3) * F.lit(1.0e6)).alias("freq"),
+        (F.col("event_id") % 3).cast("int").alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+
+
+@register("uv_weight_grid", sql_grid_weights(_GP, _UV_SQL_KEYED))
+def uv_weight_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cngi_prototype_spark.imaging.weights import grid_weights
+    return grid_weights(_uv_vis_keyed(spark, sf_dir), _GP)
+
+
+@register("imaging_weight_briggs",
+          sql_imaging_weight(_GP, _UV_SQL_KEYED, weighting="briggs", robust=0.5,
+                             key_cols="cells.event_id AS event_id,"))
+def imaging_weight_briggs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = make_imaging_weight(_uv_vis_keyed(spark, sf_dir), _GP,
+                              weighting="briggs", robust=0.5)
+    return out.select("event_id", "chan", "pol", "imaging_weight")
+
+
+@register("imaging_weight_uniform",
+          sql_imaging_weight(_GP, _UV_SQL_KEYED, weighting="uniform",
+                             key_cols="cells.event_id AS event_id,"))
+def imaging_weight_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = make_imaging_weight(_uv_vis_keyed(spark, sf_dir), _GP, weighting="uniform")
+    return out.select("event_id", "chan", "pol", "imaging_weight")
