@@ -899,3 +899,61 @@ def imaging_weight_briggs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def imaging_weight_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = make_imaging_weight(_uv_vis_keyed(spark, sf_dir), _GP, weighting="uniform")
     return out.select("event_id", "chan", "pol", "imaging_weight")
+
+
+# ---------------------------------------------------------------------------
+# direction_rotate (reference ngcasa/imaging/direction_rotate.py:90-260):
+# driver-side per-field rotation matrices, broadcast lookup join, matmul +
+# phasor as column exprs. uvw outputs are bit-exact (pure arithmetic);
+# phased data is rounded (libm cos/sin may differ across engines by 1 ulp).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.rotate import (  # noqa: E402
+    direction_rotate,
+    sql_direction_rotate,
+)
+
+_ROT_FIELDS = {0: (0.5, -0.3), 1: (0.52, -0.28), 2: (0.48, -0.32)}
+_ROT_NEW = (0.51, -0.29)
+
+_ROT_SQL_VIS = """
+    SELECT event_id,
+           CAST(user_id % 3 AS INT) AS field_id,
+           (event_id * 7919 % 130000) / 10.0 - 6500.0 AS u,
+           ((event_id * 104729 + user_id) % 110000) / 10.0 - 5500.0 AS v,
+           ((event_id * 31 + user_id) % 9000) / 100.0 - 45.0 AS w,
+           1.0e9 + (event_id % 3) * 1.0e6 AS freq,
+           value / 100.0 AS data_re,
+           0.0 - value / 200.0 AS data_im
+    FROM events
+"""
+
+
+def _rot_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("user_id") % 3).cast("int").alias("field_id"),
+        ((F.col("event_id") * 7919 % 130000) / F.lit(10.0) - F.lit(6500.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 110000) / F.lit(10.0) - F.lit(5500.0)).alias("v"),
+        (((F.col("event_id") * 31 + F.col("user_id")) % 9000) / F.lit(100.0) - F.lit(45.0)).alias("w"),
+        (F.lit(1.0e9) + (F.col("event_id") % 3) * F.lit(1.0e6)).alias("freq"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+    )
+
+
+@register(
+    "direction_rotate",
+    f"""
+    SELECT event_id, ROUND(u, 6) AS u, ROUND(v, 6) AS v, ROUND(w, 6) AS w,
+           ROUND(data_re, 6) AS data_re, ROUND(data_im, 6) AS data_im
+    FROM ({sql_direction_rotate(_ROT_FIELDS, _ROT_NEW, _ROT_SQL_VIS,
+                                select_cols="rot.event_id AS event_id,")})
+    """,
+)
+def direction_rotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = direction_rotate(_rot_vis(spark, sf_dir), _ROT_FIELDS, _ROT_NEW)
+    out = out.select("event_id", "u", "v", "w", "data_re", "data_im")
+    return round_doubles(out, only=("u", "v", "w", "data_re", "data_im"))
