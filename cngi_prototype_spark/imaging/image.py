@@ -1,0 +1,266 @@
+"""Dirty-image / PSF formation and sky-image frames, Spark-first.
+
+Reference parity:
+
+- ``make_image`` (``/root/reference/ngcasa/imaging/make_image.py:80-160``):
+  grid → ``fftshift(ifft2(ifftshift(grid)))`` per (chan, pol) plane →
+  crop padding → ``·Npad_u·Npad_v`` → ``/sum_weight`` (0→1 guard)
+  → ``/PSWF correcting image``.
+- ``make_psf`` (``make_psf.py:95-160``): same pipeline over gridded
+  *weights* (real grid).
+- ``make_pb`` airy disk (``make_pb.py`` +
+  ``_imaging_utils/_make_pb_symmetric.py:25-80``).
+- ``make_empty_sky_image`` (``cngi/image/make_empty_sky_image.py:18-90``):
+  l/m direction-cosine coordinates and inverse-SIN-projection world
+  coordinates — here pure column expressions over a distributed
+  ``spark.range`` lattice (no astropy, no driver-side meshgrid).
+
+Physical shape: the FFT is inherently a whole-plane operation, so each
+(chan, pol) plane is one ``applyInPandas`` group — exactly the
+reference's constraint that l,m are never chunked
+(``deconvolve_point_clean.py:93-96``). Everything before (gridding) and
+after (statistics, moments) stays relational; plane count (chan × pol)
+is the parallelism unit, matching cube imaging at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+from cngi_prototype_spark.imaging.kernels import airy_disk, pswf
+
+C_M_S = 299792458.0
+
+
+def image_from_grid(
+    grid_df: DataFrame,
+    sumw_df: DataFrame,
+    gp: GridParms,
+    *,
+    image_size: tuple[int, int] | None = None,
+    chan: str = "chan",
+    pol: str = "pol",
+    out: str = "image",
+    correct_pswf: bool = True,
+) -> DataFrame:
+    """Sparse uv grid → corrected image planes.
+
+    Output rows: ``(chan, pol, l_idx, m_idx, <out>)`` with the plane
+    cropped from the padded ``(gp.n_u, gp.n_v)`` to ``image_size``.
+    """
+    n_u, n_v = gp.n_u, gp.n_v
+    crop = image_size or (n_u, n_v)
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("l_idx", T.IntegerType()),
+        T.StructField("m_idx", T.IntegerType()),
+        T.StructField(out, T.DoubleType()),
+    ])
+
+    joined = grid_df.join(F.broadcast(sumw_df), on=[chan, pol], how="left")
+
+    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = np.zeros((n_u, n_v), np.complex128)
+        g[pdf["u_idx"].to_numpy(int), pdf["v_idx"].to_numpy(int)] = (
+            pdf["grid_re"].to_numpy(float) + 1j * pdf["grid_im"].to_numpy(float))
+        img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
+        lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
+        img = img[lo_u:lo_u + crop[0], lo_v:lo_v + crop[1]].real * (n_u * n_v)
+        sw = pdf["sum_weight"].iloc[0]
+        if sw is None or pd.isna(sw) or sw == 0:
+            sw = 1.0
+        img = img / sw
+        if correct_pswf:
+            cu = pswf((np.arange(n_u) - n_u // 2) / (n_u // 2))[0][lo_u:lo_u + crop[0]]
+            cv = pswf((np.arange(n_v) - n_v // 2) / (n_v // 2))[0][lo_v:lo_v + crop[1]]
+            img = img / np.outer(cu, cv)
+        li, mi = np.meshgrid(np.arange(crop[0]), np.arange(crop[1]), indexing="ij")
+        return pd.DataFrame({
+            chan: np.full(img.size, key[0], np.int32),
+            pol: np.full(img.size, key[1], np.int32),
+            "l_idx": li.ravel().astype(np.int32),
+            "m_idx": mi.ravel().astype(np.int32),
+            out: img.ravel(),
+        })
+
+    return joined.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
+def make_image(vis_df: DataFrame, gp: GridParms, *,
+               image_size: tuple[int, int] | None = None,
+               weight: str = "imaging_weight", variant: str = "explode",
+               **cols) -> DataFrame:
+    """Dirty image from visibilities (make_image.py:104-130)."""
+    grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
+                                   variant=variant, **cols)
+    return image_from_grid(grid, sumw, gp, image_size=image_size, out="image")
+
+
+def make_psf(vis_df: DataFrame, gp: GridParms, *,
+             image_size: tuple[int, int] | None = None,
+             weight: str = "imaging_weight", variant: str = "explode",
+             **cols) -> DataFrame:
+    """PSF = imaged weight-sampling function (make_psf.py:113-131)."""
+    cols.pop("re", None), cols.pop("im", None)
+    grid, sumw = grid_visibilities(vis_df, gp, weight=weight, re=None, im=None,
+                                   variant=variant, **cols)
+    return image_from_grid(grid, sumw, gp, image_size=image_size, out="psf")
+
+
+def make_empty_sky_image(
+    spark: SparkSession,
+    phase_center: tuple[float, float],
+    image_size: tuple[int, int],
+    cell_size: tuple[float, float],
+) -> DataFrame:
+    """Distributed sky-frame lattice with inverse-SIN world coordinates.
+
+    One row per (l_idx, m_idx): direction cosines ``l = (i - n//2)·Δl``,
+    ``m = (j - n//2)·Δm`` and FK5 ra/dec via the orthographic (SIN)
+    de-projection the reference gets from astropy WCS
+    (make_empty_sky_image.py:56-66) — here as asin/atan2 column exprs.
+    """
+    n_l, n_m = image_size
+    ra0, dec0 = phase_center
+    base = spark.range(n_l * n_m).select(
+        (F.col("id") / n_m).cast("int").alias("l_idx"),
+        (F.col("id") % n_m).cast("int").alias("m_idx"),
+    )
+    l = (F.col("l_idx") - F.lit(n_l // 2)) * F.lit(float(cell_size[0]))
+    m = (F.col("m_idx") - F.lit(n_m // 2)) * F.lit(float(cell_size[1]))
+    rho2 = l * l + m * m
+    z = F.sqrt(F.lit(1.0) - rho2)  # NULL (NaN) outside the unit sphere
+    sd, cd = float(np.sin(dec0)), float(np.cos(dec0))
+    dec = F.asin(m * F.lit(cd) + z * F.lit(sd))
+    ra = F.lit(ra0) + F.atan2(l, F.lit(cd) * z - m * F.lit(sd))
+    return base.select(
+        "l_idx", "m_idx", l.alias("l"), m.alias("m"),
+        ra.alias("right_ascension"), dec.alias("declination"),
+    )
+
+
+def make_pb(
+    sky_df: DataFrame,
+    freq_chan: list[float],
+    *,
+    pb_name: str = "pb",
+    dish_diameter: float = 25.0,
+    blockage_diameter: float = 0.0,
+    ipower: int = 2,
+) -> DataFrame:
+    """Airy-disk primary beam over a sky frame × channel list
+    (_make_pb_symmetric.py:25-80): ``r = √(l²+m²)·k·D/2`` with
+    ``k = 2πf/c``; center pixel forced to 1. The Bessel-J1 evaluation is
+    a vectorized Arrow pandas UDF (no JVM builtin exists)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ratio = blockage_diameter / dish_diameter if blockage_diameter else 0.0
+
+    @pandas_udf("double")
+    def _airy(r: pd.Series) -> pd.Series:
+        return pd.Series(airy_disk(r.to_numpy(np.float64), ratio, ipower))
+
+    chans = F.explode(
+        F.array(*[F.struct(F.lit(i).alias("chan"), F.lit(float(f)).alias("freq"))
+                  for i, f in enumerate(freq_chan)])).alias("_ch")
+    k = F.lit(2.0 * np.pi) * F.col("_ch.freq") / F.lit(C_M_S)
+    r = F.sqrt(F.col("l") * F.col("l") + F.col("m") * F.col("m")) * k * F.lit(dish_diameter / 2.0)
+    return (sky_df.select("l_idx", "m_idx", "l", "m", chans)
+            .select("l_idx", "m_idx", "l", "m",
+                    F.col("_ch.chan").alias("chan"),
+                    F.col("_ch.freq").alias("freq"),
+                    _airy(r).alias(pb_name)))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+def _dlit(x) -> str:
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def sql_sky_image(phase_center: tuple[float, float],
+                  image_size: tuple[int, int],
+                  cell_size: tuple[float, float]) -> str:
+    """Twin of make_empty_sky_image over DuckDB range(); ra/dec rounded by
+    the caller (libm asin/atan2 engine differences)."""
+    n_l, n_m = image_size
+    ra0, dec0 = phase_center
+    # DuckDB parses plain decimal literals as DECIMAL; force DOUBLE so
+    # arithmetic matches Spark's float64 bit-for-bit
+    sd, cd = _dlit(np.sin(dec0)), _dlit(np.cos(dec0))
+    return f"""
+    WITH base AS (
+      SELECT CAST(range // {n_m} AS INT) AS l_idx,
+             CAST(range % {n_m} AS INT) AS m_idx
+      FROM range({n_l * n_m})
+    ),
+    lm AS (
+      SELECT l_idx, m_idx,
+             (l_idx - {n_l // 2}) * {_dlit(cell_size[0])} AS l,
+             (m_idx - {n_m // 2}) * {_dlit(cell_size[1])} AS m
+      FROM base
+    )
+    SELECT l_idx, m_idx, l, m,
+           {_dlit(ra0)} + atan2(l, {cd} * sqrt(1.0 - (l * l + m * m)) - m * {sd}) AS right_ascension,
+           asin(m * {cd} + sqrt(1.0 - (l * l + m * m)) * {sd}) AS declination
+    FROM lm
+    """
+
+
+def sql_airy_pb(image_size: tuple[int, int], cell_size: tuple[float, float],
+                freq_chan: list[float], dish_diameter: float = 25.0) -> str:
+    """Twin of make_pb (blockage 0, ipower 2): A&S 9.4.4/9.4.6 J1
+    polynomials written out as SQL; outputs rounded by the caller."""
+    n_l, n_m = image_size
+    chans = " UNION ALL ".join(
+        f"SELECT {i} AS chan, {float(f)!r} AS freq" for i, f in enumerate(freq_chan))
+    return f"""
+    WITH base AS (
+      SELECT CAST(range // {n_m} AS INT) AS l_idx,
+             CAST(range % {n_m} AS INT) AS m_idx
+      FROM range({n_l * n_m})
+    ),
+    lm AS (
+      SELECT l_idx, m_idx,
+             (l_idx - {n_l // 2}) * {_dlit(cell_size[0])} AS l,
+             (m_idx - {n_m // 2}) * {_dlit(cell_size[1])} AS m
+      FROM base
+    ),
+    r AS (
+      SELECT l_idx, m_idx, l, m, chan, freq,
+             sqrt(l * l + m * m) * (2.0 * {_dlit(np.pi)} * freq / {_dlit(C_M_S)})
+               * {_dlit(dish_diameter / 2.0)} AS rr
+      FROM lm, ({chans})
+    ),
+    j AS (
+      SELECT *,
+             CASE WHEN rr = 0.0 THEN 1.0
+                  WHEN rr < 3.0 THEN
+                    2.0 * (rr * (0.5 - 0.56249985 * ((rr/3.0)*(rr/3.0))
+                         + 0.21093573 * pow((rr/3.0)*(rr/3.0), 2)
+                         - 0.03954289 * pow((rr/3.0)*(rr/3.0), 3)
+                         + 0.00443319 * pow((rr/3.0)*(rr/3.0), 4)
+                         - 0.00031761 * pow((rr/3.0)*(rr/3.0), 5)
+                         + 0.00001109 * pow((rr/3.0)*(rr/3.0), 6))) / rr
+                  ELSE
+                    2.0 * ((0.79788456 + 0.00000156 * (3.0/rr)
+                          + 0.01659667 * pow(3.0/rr, 2) + 0.00017105 * pow(3.0/rr, 3)
+                          - 0.00249511 * pow(3.0/rr, 4) + 0.00113653 * pow(3.0/rr, 5)
+                          - 0.00020033 * pow(3.0/rr, 6))
+                      * cos(rr - 2.35619449 + 0.12499612 * (3.0/rr) + 0.0000565 * pow(3.0/rr, 2)
+                          - 0.00637879 * pow(3.0/rr, 3) + 0.00074348 * pow(3.0/rr, 4)
+                          + 0.00079824 * pow(3.0/rr, 5) - 0.00029166 * pow(3.0/rr, 6))
+                      / sqrt(rr)) / rr
+             END AS vp
+      FROM r
+    )
+    SELECT l_idx, m_idx, chan, freq, vp * vp AS pb FROM j
+    """

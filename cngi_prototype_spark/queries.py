@@ -957,3 +957,62 @@ def direction_rotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = direction_rotate(_rot_vis(spark, sf_dir), _ROT_FIELDS, _ROT_NEW)
     out = out.select("event_id", "u", "v", "w", "data_re", "data_im")
     return round_doubles(out, only=("u", "v", "w", "data_re", "data_im"))
+
+
+# ---------------------------------------------------------------------------
+# Image formation tier: sky frame (SQL-exact SIN deprojection), airy PB
+# (A&S J1 polynomial twin), dirty image / PSF via plane-FFT UDFs (rows-only:
+# no SQL analog for the FFT).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.image import (  # noqa: E402
+    make_empty_sky_image,
+    make_image,
+    make_pb,
+    make_psf,
+    sql_airy_pb,
+    sql_sky_image,
+)
+
+_SKY_CENTER = (0.8, -0.4)
+_SKY_SIZE = (64, 64)
+_SKY_CELL = (1.0e-4, 1.0e-4)
+
+
+@register(
+    "sky_image",
+    f"""
+    SELECT l_idx, m_idx, l, m,
+           ROUND(right_ascension, 6) AS right_ascension,
+           ROUND(declination, 6) AS declination
+    FROM ({sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)})
+    """,
+)
+def sky_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
+    return round_doubles(out, only=("right_ascension", "declination"))
+
+
+@register(
+    "airy_pb",
+    f"""
+    SELECT l_idx, m_idx, chan, freq, ROUND(pb, 6) AS pb
+    FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
+    """,
+)
+def airy_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
+    pb = make_pb(sky, [1.0e9, 1.1e9]).select("l_idx", "m_idx", "chan", "freq", "pb")
+    return round_doubles(pb, only=("pb",))
+
+
+@register("dirty_image", None)  # plane FFT: no SQL analog
+def dirty_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _uv_vis(spark, sf_dir)
+    return make_image(vis, _GP, image_size=(48, 48), weight="weight")
+
+
+@register("psf_image", None)  # plane FFT: no SQL analog
+def psf_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _uv_vis_keyed(spark, sf_dir)
+    return make_psf(vis, _GP, image_size=(48, 48), weight="weight")

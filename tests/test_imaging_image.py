@@ -1,0 +1,88 @@
+"""Image formation: FFT plane UDF vs direct numpy; sky frame; airy PB."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+from cngi_prototype_spark.imaging.image import (
+    image_from_grid,
+    make_empty_sky_image,
+    make_pb,
+    make_psf,
+)
+from cngi_prototype_spark.imaging.kernels import airy_disk, pswf
+
+GP = GridParms(n_u=32, n_v=32, cell_u=4.0e-5, cell_v=4.0e-5, support=7, oversampling=100)
+
+
+def test_image_from_grid_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    cells = pd.DataFrame({
+        "chan": np.zeros(40, np.int32), "pol": np.zeros(40, np.int32),
+        "u_idx": rng.integers(4, 28, 40).astype(np.int32),
+        "v_idx": rng.integers(4, 28, 40).astype(np.int32),
+        "grid_re": rng.normal(size=40), "grid_im": rng.normal(size=40),
+    }).groupby(["chan", "pol", "u_idx", "v_idx"], as_index=False).sum()
+    sumw = pd.DataFrame({"chan": [0], "pol": [0], "sum_weight": [7.5]})
+
+    out = image_from_grid(
+        spark.createDataFrame(cells), spark.createDataFrame(sumw), GP,
+        image_size=(24, 24)).toPandas()
+
+    g = np.zeros((32, 32), np.complex128)
+    g[cells.u_idx, cells.v_idx] = cells.grid_re + 1j * cells.grid_im
+    img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
+    img = img[4:28, 4:28].real * (32 * 32) / 7.5
+    cu = pswf((np.arange(32) - 16) / 16)[0][4:28]
+    img = img / np.outer(cu, cu)
+
+    got = np.zeros((24, 24))
+    got[out.l_idx, out.m_idx] = out.image
+    np.testing.assert_allclose(got, img, atol=1e-12)
+    assert len(out) == 24 * 24
+
+
+def test_psf_peaks_at_center(spark):
+    rng = np.random.default_rng(9)
+    n = 500
+    pdf = pd.DataFrame({
+        "u": rng.uniform(-3000, 3000, n), "v": rng.uniform(-3000, 3000, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+        "imaging_weight": np.ones(n),
+    })
+    psf = make_psf(spark.createDataFrame(pdf), GP).toPandas()
+    peak = psf.loc[psf.psf.idxmax()]
+    assert (peak.l_idx, peak.m_idx) == (GP.n_u // 2, GP.n_v // 2)
+    assert peak.psf == pytest.approx(1.0, rel=0.05)
+
+
+def test_sky_image_world_coords(spark):
+    ra0, dec0 = 0.8, -0.4
+    sky = make_empty_sky_image(spark, (ra0, dec0), (16, 16), (1e-4, 1e-4)).toPandas()
+    center = sky[(sky.l_idx == 8) & (sky.m_idx == 8)].iloc[0]
+    assert center.right_ascension == pytest.approx(ra0, abs=1e-12)
+    assert center.declination == pytest.approx(dec0, abs=1e-12)
+    assert center.l == 0.0 and center.m == 0.0
+    # independent SIN de-projection check at an off-center pixel
+    p = sky[(sky.l_idx == 2) & (sky.m_idx == 13)].iloc[0]
+    l, m = p.l, p.m
+    z = np.sqrt(1 - l * l - m * m)
+    dec = np.arcsin(m * np.cos(dec0) + z * np.sin(dec0))
+    ra = ra0 + np.arctan2(l, np.cos(dec0) * z - m * np.sin(dec0))
+    assert p.declination == pytest.approx(dec, abs=1e-12)
+    assert p.right_ascension == pytest.approx(ra, abs=1e-12)
+
+
+def test_airy_pb(spark):
+    sky = make_empty_sky_image(spark, (0.0, 0.0), (16, 16), (5e-6, 5e-6))
+    pb = make_pb(sky, [1.0e9, 1.1e9], dish_diameter=25.0).toPandas()
+    assert len(pb) == 16 * 16 * 2
+    center = pb[(pb.l_idx == 8) & (pb.m_idx == 8)]
+    assert (center.pb == 1.0).all()
+    p = pb[(pb.l_idx == 10) & (pb.m_idx == 8) & (pb.chan == 0)].iloc[0]
+    r = abs(p.l) * (2 * np.pi * 1.0e9 / 299792458.0) * 12.5
+    assert p.pb == pytest.approx(float(airy_disk(np.array([r]))[0]), rel=1e-12)
