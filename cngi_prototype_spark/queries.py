@@ -1016,3 +1016,35 @@ def dirty_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def psf_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis_keyed(spark, sf_dir)
     return make_psf(vis, _GP, image_size=(48, 48), weight="weight")
+
+
+# ---------------------------------------------------------------------------
+# Deconvolution + full imaging pipeline composition (reference
+# synthesis_imaging_cube.py / deconvolve_point_clean.py): rows-only —
+# FFT + iterative minor cycle have no SQL analog.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.deconvolve import deconvolve_point_clean  # noqa: E402
+
+
+@register("hogbom_clean", None)
+def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _uv_vis(spark, sf_dir)
+    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
+    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
+    out = deconvolve_point_clean(img, psf, gain=0.1, threshold=0.05, niter=50)
+    return out.filter((F.col("model") != 0) | (F.col("l_idx") % 8 == 0))
+
+
+@register("synthesis_imaging_cube", None)  # flagship composition
+def synthesis_imaging_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _uv_vis_keyed(spark, sf_dir).withColumn(
+        "data_re", F.col("weight") * 0 + 1.0).withColumn("data_im", F.lit(0.0))
+    vis = make_imaging_weight(vis, _GP, weighting="briggs", robust=0.5)
+    img = make_image(vis, _GP, image_size=(48, 48), weight="imaging_weight")
+    psf = make_psf(vis, _GP, image_size=(48, 48), weight="imaging_weight")
+    out = deconvolve_point_clean(img, psf, gain=0.2, threshold=0.1, niter=20)
+    return out.groupBy("chan", "pol").agg(
+        F.sum(F.abs(F.col("model"))).alias("model_flux"),
+        F.max(F.abs(F.col("residual"))).alias("peak_residual"),
+        F.count("*").alias("n_pix"))
