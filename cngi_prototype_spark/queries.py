@@ -1048,3 +1048,147 @@ def synthesis_imaging_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("model"))).alias("model_flux"),
         F.max(F.abs(F.col("residual"))).alias("peak_residual"),
         F.count("*").alias("n_pix"))
+
+
+# ---------------------------------------------------------------------------
+# Image-ops tier (cngi/image parity): mask/region booleans, gaussian beam,
+# stokes<->corr basis pivot, stride thinning. image-domain cont_sub shares
+# the cont_sub_linear machinery already gated above. smooth is plane-FFT
+# (rows-only).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.image_ops import (  # noqa: E402
+    corr_to_stokes,
+    gaussian_beam,
+    mask as image_mask,
+    region as image_region,
+    smooth as image_smooth,
+    sql_gaussian_beam,
+    stokes_to_corr,
+    thin,
+)
+
+_SKY_SQL = sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)
+
+
+@register(
+    "image_region",
+    f"""
+    SELECT l_idx, m_idx,
+           ((right_ascension > 0.7985 AND right_ascension < 0.8015
+             AND declination > -0.4018 AND declination < -0.3985)
+            OR (l_idx > 50 AND l_idx < 60 AND m_idx > 4 AND m_idx < 12)) AS region1
+    FROM ({_SKY_SQL})
+    """,
+)
+def image_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
+    out = image_region(sky, "region1", ra=(0.7985, 0.8015), dec=(-0.4018, -0.3985),
+                       pixels=[[50, 4], [60, 12]])
+    return out.select("l_idx", "m_idx", "region1")
+
+
+@register(
+    "image_mask",
+    f"""
+    SELECT l_idx, m_idx,
+           (NOT (right_ascension > 0.7985 AND right_ascension < 0.8015
+                 AND declination > -0.4018 AND declination < -0.3985)
+            AND NOT (l_idx > 50 AND l_idx < 60 AND m_idx > 4 AND m_idx < 12)) AS mask1
+    FROM ({_SKY_SQL})
+    """,
+)
+def image_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
+    out = image_mask(sky, "mask1", ra=(0.7985, 0.8015), dec=(-0.4018, -0.3985),
+                     pixels=[[50, 4], [60, 12]])
+    return out.select("l_idx", "m_idx", "mask1")
+
+
+@register(
+    "gaussian_beam",
+    f"""
+    SELECT l_idx, m_idx, ROUND(beam, 6) AS beam
+    FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
+    """,
+)
+def gaussian_beam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
+    out = gaussian_beam(sky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5)
+    return round_doubles(out.select("l_idx", "m_idx", "beam"), only=("beam",))
+
+
+_STOKES_SQL = """
+    SELECT CAST(range // 16 AS INT) AS l_idx, CAST(range % 16 AS INT) AS m_idx,
+           0 AS chan, p.pol AS pol,
+           CAST((range * p.pol + range % 7) AS DOUBLE) AS image
+    FROM range(256), (VALUES (1), (2), (3), (4)) AS p(pol)
+"""
+
+
+def _stokes_df(spark: SparkSession) -> DataFrame:
+    pols = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("pol")
+    return (spark.range(256).select(
+        (F.col("id") / 16).cast("int").alias("l_idx"),
+        (F.col("id") % 16).cast("int").alias("m_idx"),
+        F.lit(0).alias("chan"), F.col("id").alias("_id"), pols)
+        .select("l_idx", "m_idx", "chan", "pol",
+                (F.col("_id") * F.col("pol") + F.col("_id") % 7).cast("double").alias("image")))
+
+
+@register(
+    "stokes_to_corr",
+    f"""
+    WITH s AS ({_STOKES_SQL}),
+    p AS (
+      SELECT l_idx, m_idx, chan,
+             MAX(CASE WHEN pol = 1 THEN image END) AS i,
+             MAX(CASE WHEN pol = 2 THEN image END) AS q,
+             MAX(CASE WHEN pol = 3 THEN image END) AS u,
+             MAX(CASE WHEN pol = 4 THEN image END) AS v
+      FROM s GROUP BY 1, 2, 3
+    )
+    SELECT l_idx, m_idx, chan, 9 AS pol, i + q AS image FROM p
+    UNION ALL SELECT l_idx, m_idx, chan, 10, u FROM p
+    UNION ALL SELECT l_idx, m_idx, chan, 11, u FROM p
+    UNION ALL SELECT l_idx, m_idx, chan, 12, i - q FROM p
+    """,
+)
+def stokes_to_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stokes_to_corr(_stokes_df(spark), basis="linear")
+
+
+@register(
+    "corr_to_stokes_roundtrip",
+    f"""
+    SELECT l_idx, m_idx, chan, pol, image FROM ({_STOKES_SQL})
+    WHERE pol IN (1, 2, 3)
+    UNION ALL
+    SELECT l_idx, m_idx, chan, 4 AS pol, 0.0 AS image FROM ({_STOKES_SQL}) WHERE pol = 4
+    """,
+)
+def corr_to_stokes_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # V is lost in the real-image linear basis (reference .imag of real
+    # data is 0), so the round trip returns I,Q,U and V=0
+    return corr_to_stokes(stokes_to_corr(_stokes_df(spark), basis="linear"),
+                          basis="linear")
+
+
+@register(
+    "thin_preview",
+    f"""
+    SELECT l_idx, m_idx, l, m FROM ({_SKY_SQL})
+    WHERE l_idx % 8 = 0 AND m_idx % 4 = 0
+    """,
+)
+def thin_preview_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
+    return thin(sky, {"l_idx": 8, "m_idx": 4}).select("l_idx", "m_idx", "l", "m")
+
+
+@register("image_smooth", None)  # plane-FFT convolution: no SQL analog
+def image_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _uv_vis(spark, sf_dir)
+    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
+    return image_smooth(img, _SKY_CELL, image_size=(48, 48),
+                        size=(60.0, 45.0, 20.0))
