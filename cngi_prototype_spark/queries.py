@@ -1192,3 +1192,61 @@ def image_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
     return image_smooth(img, _SKY_CELL, image_size=(48, 48),
                         size=(60.0, 45.0, 20.0))
+
+
+# ---------------------------------------------------------------------------
+# Ingest + calibration tier: convert_ms-shaped baseline assignment and
+# auto/cross split (exact dense_rank twin), MJD time conversion; self_cal
+# gain solve (iterative fixed point: rows-only).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.calibration.self_cal import self_cal  # noqa: E402
+from cngi_prototype_spark.sources.ingest import (  # noqa: E402
+    assign_baseline,
+    convert_time_mjd,
+    split_auto_cross,
+)
+
+
+@register(
+    "ingest_pivot",
+    """
+    SELECT event_id,
+           CAST(user_id % 6 AS INT) AS ant1,
+           CAST(event_id % 6 AS INT) AS ant2,
+           CAST(DENSE_RANK() OVER (ORDER BY CAST(user_id % 6 AS INT), CAST(event_id % 6 AS INT)) - 1 AS INT) AS baseline,
+           (user_id % 6 = event_id % 6) AS is_auto,
+           CAST(((4453401600.0 + CAST(event_id AS DOUBLE)) - 3506716800.0) * 1000000.0 AS BIGINT) AS epoch_us
+    FROM events
+    """,
+)
+def ingest_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 6).cast("int").alias("ant1"),
+        (F.col("event_id") % 6).cast("int").alias("ant2"),
+        (F.lit(4453401600.0) + F.col("event_id").cast("double")).alias("mjd_s"),
+    )
+    out = assign_baseline(ev).withColumn("baseline", F.col("baseline").cast("int"))
+    out = out.withColumn("is_auto", F.col("ant1") == F.col("ant2"))
+    out = out.withColumn("epoch_us", F.unix_micros(convert_time_mjd(F.col("mjd_s"))))
+    return out.select("event_id", "ant1", "ant2", "baseline", "is_auto", "epoch_us")
+
+
+@register("self_cal_gains", None)  # iterative fixed-point solve: rows-only
+def self_cal_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("long").alias("interval"),
+        (F.col("user_id") % 6).cast("int").alias("ant1"),
+        (F.col("event_id") % 6).cast("int").alias("ant2"),
+        (F.col("event_id") % 4).cast("int").alias("chan"),
+        F.lit(0).alias("pol"),
+        (F.lit(2.0) + F.col("value") / F.lit(1000.0)).alias("data_re"),
+        (F.col("value") / F.lit(2000.0)).alias("data_im"),
+        F.lit(2.0).alias("model_re"), F.lit(0.0).alias("model_im"),
+        F.lit(1.0).alias("weight"), F.lit(False).alias("flag"),
+    )
+    gains, _ = self_cal(ev, n_ant=6)
+    return gains

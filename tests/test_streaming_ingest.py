@@ -1,0 +1,91 @@
+"""Streaming time_average equals the batch operator; ingest helpers."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cngi_prototype_spark.sources.ingest import (
+    assign_baseline,
+    convert_time_mjd,
+    describe_ms,
+    split_auto_cross,
+)
+from cngi_prototype_spark.streaming.stream_ops import stream_time_average
+
+
+@pytest.fixture()
+def row_pdf():
+    rng = np.random.default_rng(8)
+    n = 400
+    return pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 100, n), unit="s"),
+        "ant1": rng.integers(0, 4, n), "ant2": rng.integers(0, 4, n),
+        "chan": rng.integers(0, 3, n), "pol": rng.integers(0, 2, n),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "w": rng.uniform(0.5, 2.0, n),
+        "ddi": rng.integers(0, 2, n),
+    })
+
+
+def test_assign_baseline_dense_and_stable(spark, row_pdf):
+    df = assign_baseline(spark.createDataFrame(row_pdf))
+    out = df.select("ant1", "ant2", "baseline").distinct().toPandas() \
+        .sort_values(["ant1", "ant2"]).reset_index(drop=True)
+    assert sorted(out.baseline) == list(range(len(out)))
+    assert out.baseline.is_monotonic_increasing  # sorted like TaQL order
+
+
+def test_split_auto_cross(spark, row_pdf):
+    cross, auto = split_auto_cross(spark.createDataFrame(row_pdf))
+    assert auto.filter(F.col("ant1") != F.col("ant2")).count() == 0
+    assert cross.filter(F.col("ant1") == F.col("ant2")).count() == 0
+    assert auto.count() + cross.count() == len(row_pdf)
+
+
+def test_convert_time_mjd(spark):
+    # 2000-01-01T12:00:00 UTC = MJD 51544.5 = 4453401600 MJD-seconds
+    df = spark.range(1).select(convert_time_mjd(F.lit(51544.5 * 86400.0)).alias("t"))
+    got = df.collect()[0][0]
+    assert got.isoformat().startswith("2000-01-01T12:00:00")
+
+
+def test_describe_ms(spark, row_pdf):
+    df = assign_baseline(spark.createDataFrame(row_pdf)).withColumnRenamed("ts", "time")
+    out = describe_ms(df).toPandas()
+    assert set(out.ddi) == {0, 1}
+    assert (out.rows > 0).all()
+    assert (out["chans"] <= 3).all() and (out["pols"] <= 2).all()
+
+
+def test_stream_time_average_equals_batch(spark, row_pdf):
+    tmp = tempfile.mkdtemp()
+    try:
+        pdf = row_pdf.assign(bl=row_pdf.ant1 * 4 + row_pdf.ant2)
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        agg = stream_time_average(stream, window="10 seconds")
+        q = (agg.writeStream.format("memory").queryName("stavg")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM stavg").toPandas()
+
+        batch = (spark.read.parquet(f"{tmp}/in")
+                 .groupBy(F.window("ts", "10 seconds").alias("win"), "bl", "chan", "pol")
+                 .agg((F.sum(F.col("data_re") * F.col("w")) / F.sum("w")).alias("data_re"),
+                      F.count(F.lit(1)).alias("n"))
+                 .select(F.col("win.start").alias("win_start"), "bl", "chan", "pol",
+                         "data_re", "n")).toPandas()
+        m = got.merge(batch, on=["win_start", "bl", "chan", "pol"],
+                      suffixes=("_s", "_b"))
+        assert len(m) == len(batch) == len(got)
+        np.testing.assert_allclose(m.data_re_s, m.data_re_b, rtol=1e-12)
+        assert (m.n_samples == m.n).all()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
