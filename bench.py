@@ -37,11 +37,50 @@ BENCH_QUERIES = [
     "moments",
     "flag_summary",
     "topk_orders",
+    # imaging tier
+    "uv_grid",
+    "uv_grid_kernel",
+    "imaging_weight_briggs",
+    "direction_rotate",
+    "dirty_image",
+    "synthesis_imaging_cube",
+    # training-data pipeline tier
+    "text_features",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_neardup",
 ]
 
 
 def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def major_cycle(spark, sf_dir: str):
+    """BASELINE.md-shaped imaging major cycle: grid -> FFT -> normalize
+    at a 512x512 padded grid over 8 chans x 2 pols (the reference's
+    headline workload, scaled to the local events table)."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.imaging.grid import GridParms
+    from cngi_prototype_spark.imaging.image import make_image
+
+    gp = GridParms(n_u=512, n_v=512, cell_u=2.5e-6, cell_v=2.5e-6,
+                   support=7, oversampling=100)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vis = ev.select(
+        ((F.col("event_id") * 7919 % 1000000) / F.lit(2.0) - F.lit(250000.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 1000000) / F.lit(2.0) - F.lit(250000.0)).alias("v"),
+        (F.lit(1.0e9) + (F.col("event_id") % 8) * F.lit(1.0e6)).alias("freq"),
+        (F.col("event_id") % 8).cast("int").alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (-F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+    return make_image(vis, gp, image_size=(400, 400), weight="weight")
 
 
 def main() -> None:
@@ -62,6 +101,10 @@ def main() -> None:
         t0 = time.time()
         _run(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _run(major_cycle(spark, sf_dir))
+    timings["imaging_major_cycle"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

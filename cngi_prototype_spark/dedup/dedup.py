@@ -58,15 +58,22 @@ def minhash_signatures(
     num_hashes: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature: for seed i, min over shingles of
-    md5(i || '|' || shingle). Pure projection — no shuffle."""
-    sh = shingles(F.col(text_col), shingle_n)
+    md5(i || '|' || shingle). Pure projection — no shuffle.
+
+    The shingle array is materialized once through a projection boundary
+    before the per-seed transforms: without it Catalyst re-derives the
+    tokenize+concat shingle construction inside every one of the
+    num_hashes array transforms (8× the string work)."""
+    shingled = df.select(F.col(id_col),
+                         shingles(F.col(text_col), shingle_n).alias("__sh"))
     sig = [
         F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))  # noqa: B023
+            F.transform(F.col("__sh"),
+                        lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))  # noqa: B023
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sig)
+    return shingled.select(F.col(id_col), *sig)
 
 
 def sql_minhash_signatures(num_hashes: int = 8, shingle_n: int = 3) -> str:
@@ -163,20 +170,41 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = candidates.join(a, "id_a").join(b, "id_b")
-    else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return (pairs.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+    # all-pairs path via shingle inverted index: pairs sharing >= 1
+    # shingle are generated by a shingle-key equi-join (cost = sum of
+    # per-shingle doc-frequency squared, NOT |docs|^2), the common count
+    # is one hash aggregation, and sizes join back broadcast. With
+    # threshold > 0 pairs sharing nothing are correctly absent. The
+    # jaccard value is the same integer ratio as array_intersect (the
+    # shingle arrays are distinct sets), so the oracle hash-matches.
+    if threshold <= 0:
+        raise ValueError("all-pairs ngram_jaccard requires threshold > 0")
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_s"))
+    ea = ex.select(F.col("_id").alias("id_a"), "_s")
+    eb = ex.select(F.col("_id").alias("id_b"), "_s")
+    common = (ea.join(eb, "_s").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter")))
+    sizes = F.broadcast(sh.select(F.col(id_col), F.size("sh").alias("_sz")))
+    joined = (common
+              .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+              .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b"))
+    inter = F.col("_inter").cast("double")
+    union = (F.col("_sza") + F.col("_szb")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return (joined.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def sql_ngram_jaccard_pairs(shingle_n: int = 3, threshold: float = 0.2) -> str:

@@ -123,11 +123,18 @@ def make_imaging_weight(
 
     cu, cv, _, _ = _cell_cols(gp, F.col(u), F.col(v), F.col(freq))
     vis = df.withColumn("_cu", cu).withColumn("_cv", cv)
+    # alias the grid's key columns so the equi-join condition can't
+    # collapse onto the shared lineage (chan==chan would be trivially
+    # true and silently degrade to a cross join filter)
+    g_aliased = g.select(F.col(chan).alias("_gchan"), F.col(pol).alias("_gpol"),
+                         "u_idx", "v_idx", "grid_w")
     joined = (
-        vis.join(g, on=[vis[chan] == g[chan], vis[pol] == g[pol],
-                        vis["_cu"] == g["u_idx"], vis["_cv"] == g["v_idx"]],
+        vis.join(g_aliased, on=[F.col(chan) == F.col("_gchan"),
+                                F.col(pol) == F.col("_gpol"),
+                                F.col("_cu") == F.col("u_idx"),
+                                F.col("_cv") == F.col("v_idx")],
                  how="left")
-        .drop(g[chan]).drop(g[pol]).drop("u_idx", "v_idx")
+        .drop("_gchan", "_gpol", "u_idx", "v_idx")
         .join(f, on=[chan, pol], how="left")
     )
     # degrid read-back (SG:530-546): empty/NaN sample or cell -> weight

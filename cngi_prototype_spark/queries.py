@@ -701,6 +701,16 @@ from cngi_prototype_spark.text.analysis import (  # noqa: E402
 )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across the cluster: the testdata ships as
+    one small parquet file (one input split), which would serialize the
+    tokenize/md5-heavy text ops onto a single core. Real corpora arrive
+    as many files; this repartition recreates that parallelism and its
+    cost is trivial next to per-row text work."""
+    par = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(par, "doc_id")
+
+
 def _sql_text_features() -> str:
     s = sql_token_stats("text")
     fp = sql_doc_fingerprint("text")
@@ -721,41 +731,41 @@ def _sql_text_features() -> str:
 
 @register("text_features", _sql_text_features())
 def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_features(_t(spark, sf_dir, "documents"))
+    return text_features(_docs(spark, sf_dir))
 
 
 @register("dedup_exact", SQL_EXACT_DEDUP)
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 @register("minhash_signatures", sql_minhash_signatures(8, 3))
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, shingle_n=3)
 
 
 @register("minhash_lsh_candidates", sql_minhash_lsh_candidates(8, 4, 3))
 def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+    return minhash_lsh_candidates(_docs(spark, sf_dir),
                                   num_hashes=8, bands=4, shingle_n=3)
 
 
 @register("ngram_jaccard", sql_ngram_jaccard_pairs(3, 0.05))
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    return ngram_jaccard_pairs(_docs(spark, sf_dir),
                                shingle_n=3, threshold=0.05)
 
 
 @register("dedup_minhash_verified", None)  # LSH candidates -> exact verify (scale path)
 def dedup_minhash_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=3)
     return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, candidates=cands)
 
 
 @register("simhash", sql_simhash_fingerprints())
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    return simhash_fingerprints(_docs(spark, sf_dir))
 
 
 @register("ann_cosine_topk", sql_brute_force_topk(5, "vec_id < 10"))

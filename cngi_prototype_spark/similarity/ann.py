@@ -112,35 +112,95 @@ def sql_brute_force_topk(k: int = 5, query_pred: str = "vec_id < 10") -> str:
     """
 
 
+def _unit(col: Column) -> Column:
+    # normalize ONCE per vector with the sequential fold (bit-matches the
+    # DuckDB twin); downstream cosine is then a plain dot product
+    n = _norm(col)
+    return F.transform(col, lambda x: x / n)
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 512,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold (all-pairs
-    form for oracle/small-n; at scale feed LSH candidates instead)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    """Embedding near-duplicate pairs: cosine >= threshold, exact.
+
+    Scale shape (the all-pairs-similarity standard): vectors are
+    unit-normalized once, packed into blocks of ``block_size``, block
+    pairs cross-joined (upper triangle), and each block pair runs ONE
+    BLAS matmul inside applyInPandas — O(n²·d) flops at memory-bandwidth
+    speed instead of per-pair interpreted array folds, and shuffle
+    volume O((n/B)²·B·d) = O(n²·d/B) bytes controlled by B. Output
+    cos_sim is rounded to 1e-6 (BLAS pairwise summation vs sequential
+    fold differ at ~1e-15; both engines round identically).
+    """
+    import pandas as pd
+
+    unit = (corpus.select(F.col(id_col).alias("vid"),
+                          _unit(_dvec(F.col(vec_col))).alias("uv"))
+            .withColumn("blk", F.floor(F.col("vid") / block_size)))
+    # pack each block as ONE flat array (Arrow moves flat doubles an
+    # order of magnitude faster than nested list<list<double>>); ids and
+    # vectors stay aligned via the same sort inside collect
+    packed = (unit.select("blk", F.struct("vid", "uv").alias("s"))
+              .groupBy("blk")
+              .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+              .select("blk",
+                      F.transform("ss", lambda s: s["vid"]).alias("ids"),
+                      F.flatten(F.transform("ss", lambda s: s["uv"])).alias("flat")))
+    pa = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                       F.col("flat").alias("vecs_a"))
+    pb = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                       F.col("flat").alias("vecs_b"))
+    pairs = pa.join(pb, pa["blk_a"] <= pb["blk_b"], "inner")
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def block_pair(pdf: pd.DataFrame):
+        import numpy as np
+
+        frames = []
+        for r in pdf.itertuples():
+            ids_a = np.asarray(r.ids_a, dtype=np.int64)
+            ids_b = np.asarray(r.ids_b, dtype=np.int64)
+            ma = np.asarray(r.vecs_a, dtype=np.float64).reshape(len(ids_a), -1)
+            mb = np.asarray(r.vecs_b, dtype=np.float64).reshape(len(ids_b), -1)
+            sims = np.round(ma @ mb.T, 6)  # round BEFORE thresholding,
+            # exactly like the SQL twin's ROUND(...) >= thr
+            ii, jj = np.nonzero((sims >= thr) & (ids_a[:, None] < ids_b[None, :]))
+            if len(ii):
+                frames.append(pd.DataFrame({
+                    "id_a": ids_a[ii], "id_b": ids_b[jj],
+                    "cos_sim": sims[ii, jj]}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")})
+
+    return pairs.mapInPandas(lambda it: (block_pair(pdf) for pdf in it), out_schema)
 
 
 def sql_cosine_pairs(threshold: float = 0.9) -> str:
-    cos = sql_cosine("a.va", "b.vb")
+    unit = ("list_transform({v}, x -> x / sqrt(list_reduce("
+            "list_transform({v}, y -> y * y), (acc, y) -> acc + y)))")
+    ua = unit.format(v=SQL_DVEC.format(v='embedding'))
+    dot = "list_reduce(list_transform(range(1, len(a.va) + 1), i -> a.va[i] * b.vb[i]), (acc, x) -> acc + x)"
     return f"""
-    WITH a AS (SELECT vec_id AS id_a, {SQL_DVEC.format(v='embedding')} AS va
-               FROM embeddings),
-    b AS (SELECT vec_id AS id_b, {SQL_DVEC.format(v='embedding')} AS vb
+    WITH a AS (SELECT vec_id AS id_a, {ua} AS va FROM embeddings),
+    b AS (SELECT vec_id AS id_b, {ua.replace('embedding', 'embedding')} AS vb
           FROM embeddings)
-    SELECT id_a, id_b, {cos} AS cos_sim
+    SELECT id_a, id_b, ROUND({dot}, 6) AS cos_sim
     FROM a JOIN b ON a.id_a < b.id_b
-    WHERE {cos} >= {threshold}
+    WHERE ROUND({dot}, 6) >= {threshold}
     """
 
 
