@@ -1,0 +1,208 @@
+"""Visibility degridding + model-vis prediction (beyond-reference).
+
+The reference only implements the 1-tap imaging-weight degrid
+(``_standard_grid.py:443-518``; see weights.py) and leaves visibility
+degridding / ``predict_modelvis_image`` as stubs
+(``predict_modelvis_image.py:20-40``; SG:433 "still needs to be
+implemented"). This module completes the major-cycle loop Spark-first:
+
+- :func:`degrid_visibilities` — the adjoint of the explode-taps gridder:
+  each visibility reads back ``Σ_taps conv·G[cell] / Σ_taps conv`` via a
+  tap explosion + equi-join against the sparse grid + one per-row
+  aggregation. Shuffle = taps × rows joined against grid cells on the
+  cell key (broadcast when the grid is small); no UDF.
+- :func:`predict_modelvis_image` — model image planes → forward FFT
+  (exact inverse of ``image_from_grid``'s normalization) → degrid at the
+  given uv samples. CLEAN model images are sparse, so the plane UDF
+  emits only nonzero grid cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cngi_prototype_spark.imaging.grid import GridParms, _cgk_at, _norm_1d, _scaled_pos
+from cngi_prototype_spark.imaging.kernels import pswf
+
+_BROADCAST_CELLS = 4_000_000
+
+
+def degrid_visibilities(
+    vis_df: DataFrame,
+    grid_df: DataFrame,
+    gp: GridParms,
+    *,
+    row_id: str = "row_id",
+    u: str = "u",
+    v: str = "v",
+    freq: str = "freq",
+    chan: str = "chan",
+    pol: str = "pol",
+    out: tuple[str, str] = ("model_re", "model_im"),
+    precise: bool = False,
+) -> DataFrame:
+    """Append interpolated model visibilities read from a sparse uv grid.
+
+    Out-of-bounds samples (or empty kernel footprints) yield NULL model
+    columns, mirroring the gridder's bounds skip. ``precise`` switches
+    the per-row tap sums to the 1e-9-quantized BIGINT form (see
+    grid.py) so the DuckDB twin hash-matches.
+    """
+    u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
+    geom = (vis_df
+            .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_v_c", F.floor(v_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_du", F.floor((F.col("_u_c") - u_pos) * F.lit(float(gp.oversampling)) + F.lit(0.5)).cast("int"))
+            .withColumn("_dv", F.floor((F.col("_v_c") - v_pos) * F.lit(float(gp.oversampling)) + F.lit(0.5)).cast("int")))
+    half = gp.half
+    in_bounds = ((F.col("_u_c") + half < gp.n_u) & (F.col("_u_c") - half >= 0)
+                 & (F.col("_v_c") + half < gp.n_v) & (F.col("_v_c") - half >= 0))
+    geom = geom.withColumn("_ok", in_bounds)
+
+    cgk_lit = F.array(*[F.lit(float(x)) for x in gp.kernel_1d()])
+    taps = F.array(*[F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
+                     for iu, iv in gp.taps()])
+    e = (geom.filter("_ok")
+         .select(row_id, chan, pol, "_u_c", "_v_c", "_du", "_dv",
+                 F.explode(taps).alias("_tap")))
+    conv = (_cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
+            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iv") * gp.oversampling + F.col("_dv")))
+    e = e.select(row_id, chan, pol,
+                 (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
+                 (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"),
+                 conv.alias("_conv"))
+
+    g = grid_df
+    if gp.n_u * gp.n_v <= _BROADCAST_CELLS:
+        g = F.broadcast(g)
+    joined = e.join(g, on=[chan, pol, "u_idx", "v_idx"], how="left")
+
+    def agg(c: Column) -> Column:
+        if not precise:
+            return F.sum(c)
+        return F.sum(F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("long")) / F.lit(1.0e9)
+
+    sums = joined.groupBy(row_id).agg(
+        agg(F.col("_conv") * F.coalesce(F.col("grid_re"), F.lit(0.0))).alias("_sre"),
+        agg(F.col("_conv") * F.coalesce(F.col("grid_im"), F.lit(0.0))).alias("_sim"),
+        agg(F.col("_conv")).alias("_norm"))
+    model_re = F.when(F.col("_norm") > 0, F.col("_sre") / F.col("_norm"))
+    model_im = F.when(F.col("_norm") > 0, F.col("_sim") / F.col("_norm"))
+    keyed = sums.select(row_id, model_re.alias(out[0]), model_im.alias(out[1]))
+    return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
+        F.broadcast(keyed) if gp.n_u * gp.n_v <= _BROADCAST_CELLS else keyed,
+        on=row_id, how="left")
+
+
+def model_image_to_grid(
+    image_df: DataFrame,
+    gp: GridParms,
+    *,
+    chan: str = "chan",
+    pol: str = "pol",
+    value: str = "model",
+    correct_pswf: bool = True,
+) -> DataFrame:
+    """Forward transform of a model image into sparse uv-grid cells,
+    physical DFT convention: a point source of flux f at the phase
+    center produces model visibilities of amplitude f (no 1/Npad — the
+    inverse of ``image_from_grid`` at ``sum_weight = n_u·n_v``)."""
+    n_u, n_v = gp.n_u, gp.n_v
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("u_idx", T.IntegerType()),
+        T.StructField("v_idx", T.IntegerType()),
+        T.StructField("grid_re", T.DoubleType()),
+        T.StructField("grid_im", T.DoubleType()),
+    ])
+
+    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((n_u, n_v))
+        li = pdf["l_idx"].to_numpy(int)
+        mi = pdf["m_idx"].to_numpy(int)
+        img[li, mi] = pdf[value].to_numpy(float)
+        if correct_pswf:
+            cu = pswf((np.arange(n_u) - n_u // 2) / (n_u // 2))[0]
+            cv = pswf((np.arange(n_v) - n_v // 2) / (n_v // 2))[0]
+            img = img * np.outer(cu, cv)
+        g = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(img)))
+        ui, vi = np.nonzero(np.abs(g) > 0)
+        return pd.DataFrame({
+            chan: np.full(len(ui), key[0], np.int32),
+            pol: np.full(len(ui), key[1], np.int32),
+            "u_idx": ui.astype(np.int32), "v_idx": vi.astype(np.int32),
+            "grid_re": g[ui, vi].real, "grid_im": g[ui, vi].imag,
+        })
+
+    return (image_df.select(chan, pol, "l_idx", "m_idx", value)
+            .groupBy(chan, pol).applyInPandas(plane, schema))
+
+
+def predict_modelvis_image(
+    image_df: DataFrame,
+    vis_df: DataFrame,
+    gp: GridParms,
+    **degrid_kwargs,
+) -> DataFrame:
+    """Model image → model visibilities at the input uv samples
+    (predict_modelvis_image.py surface, here actually implemented)."""
+    grid = model_image_to_grid(image_df, gp,
+                               chan=degrid_kwargs.get("chan", "chan"),
+                               pol=degrid_kwargs.get("pol", "pol"))
+    return degrid_visibilities(vis_df, grid, gp, **degrid_kwargs)
+
+
+def sql_degrid(gp: GridParms, vis_sql: str, grid_sql: str,
+               *, key: str = "row_id") -> str:
+    """DuckDB twin of the precise degrid: same geometry, tap explosion,
+    grid join and quantized sums (grid_sql must itself be the precise
+    grid twin so cell values are bit-equal inputs)."""
+    from cngi_prototype_spark.imaging.grid import C_M_S
+
+    cgk = ", ".join(repr(float(x)) for x in gp.kernel_1d())
+    taps = ", ".join(f"({iu}, {iv})" for iu, iv in gp.taps())
+    ov, half = gp.oversampling, gp.half
+
+    def pos(axis: str, cell: float, n: int) -> str:
+        return (f"{axis} * (-(freq * {cell!r} * {float(n)!r}) / {C_M_S!r})"
+                f" + {float(n // 2)!r}")
+
+    u_pos, v_pos = pos("u", gp.cell_u, gp.n_u), pos("v", gp.cell_v, gp.n_v)
+    qsum = "(SUM(CAST(floor(({e}) * 1.0e9 + 0.5) AS BIGINT)) / 1.0e9)"
+    conv = (f"(t[abs({ov} * tap.iu + g.du) + 1]"
+            f" * t[abs({ov} * tap.iv + g.dv) + 1])")
+    return f"""
+    WITH cgk AS (SELECT [{cgk}] AS t),
+    vis AS ({vis_sql}),
+    grid AS ({grid_sql}),
+    geom AS (
+      SELECT {key}, chan, pol,
+             CAST(floor(({u_pos}) + 0.5) AS INT) AS u_c,
+             CAST(floor(({v_pos}) + 0.5) AS INT) AS v_c,
+             CAST(floor((CAST(floor(({u_pos}) + 0.5) AS INT) - ({u_pos})) * {float(ov)!r} + 0.5) AS INT) AS du,
+             CAST(floor((CAST(floor(({v_pos}) + 0.5) AS INT) - ({v_pos})) * {float(ov)!r} + 0.5) AS INT) AS dv
+      FROM vis
+      WHERE u_c + {half} < {gp.n_u} AND u_c - {half} >= 0
+        AND v_c + {half} < {gp.n_v} AND v_c - {half} >= 0
+    ),
+    sums AS (
+      SELECT g.{key},
+             {qsum.format(e=f'{conv} * COALESCE(gr.grid_re, 0.0)')} AS sre,
+             {qsum.format(e=f'{conv} * COALESCE(gr.grid_im, 0.0)')} AS sim,
+             {qsum.format(e=conv)} AS nrm
+      FROM geom g
+      CROSS JOIN (VALUES {taps}) AS tap(iu, iv)
+      CROSS JOIN cgk
+      LEFT JOIN grid gr ON gr.chan = g.chan AND gr.pol = g.pol
+                       AND gr.u_idx = g.u_c + tap.iu AND gr.v_idx = g.v_c + tap.iv
+      GROUP BY g.{key}
+    )
+    SELECT {key}, CASE WHEN nrm > 0 THEN sre / nrm END AS model_re,
+                  CASE WHEN nrm > 0 THEN sim / nrm END AS model_im
+    FROM sums
+    """

@@ -1260,3 +1260,40 @@ def self_cal_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gains, _ = self_cal(ev, n_ant=6)
     return gains
+
+
+# ---------------------------------------------------------------------------
+# Degrid / model prediction (beyond reference: its predict_modelvis_image is
+# a stub — SG:433). Exact oracle via the quantized-sum twin.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.degrid import (  # noqa: E402
+    degrid_visibilities,
+    predict_modelvis_image,
+    sql_degrid,
+)
+
+
+@register(
+    "uv_degrid",
+    f"""
+    SELECT s.row_id AS event_id, s.model_re, s.model_im
+    FROM ({sql_degrid(_GP, _UV_SQL_KEYED.replace("event_id,", "event_id AS row_id,"),
+                      sql_grid_visibilities(_GP, _UV_SQL), key="row_id")}) s
+    """,
+)
+def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
+                                variant="explode", precise=_precise())
+    vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    out = degrid_visibilities(vis, grid, _GP, precise=_precise())
+    return out.select(F.col("row_id").alias("event_id"), "model_re", "model_im")
+
+
+@register("predict_modelvis", None)  # forward FFT: rows-only
+def predict_modelvis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = spark.createDataFrame(
+        [(c, p, 32, 32, 2.0) for c in range(3) for p in range(2)],
+        ["chan", "pol", "l_idx", "m_idx", "model"])
+    vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    return predict_modelvis_image(model, vis, _GP)
