@@ -264,3 +264,34 @@ def sql_airy_pb(image_size: tuple[int, int], cell_size: tuple[float, float],
     )
     SELECT l_idx, m_idx, chan, freq, vp * vp AS pb FROM j
     """
+
+
+def calc_image_cell_size(vis_df: DataFrame, *, dish_diameter_min: float,
+                         pixels_per_beam: int = 7,
+                         u: str = "u", v: str = "v", freq: str = "freq") -> DataFrame:
+    """Cell/image-size recommendation from uv coverage
+    (``ngcasa/imaging/calc_image_cell_size.py:20-80``): cell =
+    c/(uv_max·f_max)/ppb arcsec per axis (equalized when within 20%),
+    image size from the perfectly-illuminated-aperture FWHM rounded to
+    (2^n·10)/1.2. ONE aggregation; the scalar tail is plain column math
+    on the single aggregate row."""
+    rad_to_arc = 3600.0 * 180.0 / float(np.pi)
+    agg = vis_df.agg(
+        F.max(F.abs(F.col(u))).alias("_umax"),
+        F.max(F.abs(F.col(v))).alias("_vmax"),
+        F.min(freq).alias("_fmin"),
+        F.max(freq).alias("_fmax"))
+    cell_u = F.lit(rad_to_arc) * (F.lit(C_M_S) / (F.col("_umax") * F.col("_fmax"))) / F.lit(float(pixels_per_beam))
+    cell_v = F.lit(rad_to_arc) * (F.lit(C_M_S) / (F.col("_vmax") * F.col("_fmax"))) / F.lit(float(pixels_per_beam))
+    close = (cell_u / cell_v < 1.2) & (cell_v / cell_u < 1.2)
+    cu = F.when(close, F.least(cell_u, cell_v)).otherwise(cell_u)
+    cv = F.when(close, F.least(cell_u, cell_v)).otherwise(cell_v)
+    fwhm = F.lit(rad_to_arc) * (F.lit(1.02) * F.lit(C_M_S) / (F.lit(float(dish_diameter_min)) * F.col("_fmin")))
+
+    def imsize(cell):
+        raw = F.greatest(fwhm / cell, F.lit(1.0))
+        npow = F.ceil(F.log2(raw / F.lit(10.0)))
+        return F.ceil(F.pow(F.lit(2.0), npow) * F.lit(10.0) / F.lit(1.2)).cast("long")
+
+    return agg.select(cu.alias("cell_l"), cv.alias("cell_m"),
+                      imsize(cu).alias("imsize_l"), imsize(cv).alias("imsize_m"))

@@ -127,3 +127,16 @@ def documents_as_media(df: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("media"),
     )
+
+
+def media_metadata(df: DataFrame, blob_col: str = "media",
+                   id_col: str = "media_id") -> DataFrame:
+    """Codec-independent blob metadata — pure Catalyst (size, md5,
+    magic-byte prefix); the cheap pre-filter stage every 100 TB media
+    pipeline runs before spending decode cycles."""
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(blob_col)).alias("n_bytes"),
+        F.md5(F.col(blob_col)).alias("blob_md5"),
+        F.hex(F.substring(F.col(blob_col), 1, 4)).alias("magic"),
+    )

@@ -1297,3 +1297,77 @@ def predict_modelvis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["chan", "pol", "l_idx", "m_idx", "model"])
     vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id", "row_id")
     return predict_modelvis_image(model, vis, _GP)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal tier: binary media columns. Metadata is Catalyst-native with a
+# value oracle; decode/feature/frame paths run the deterministic stub kernels
+# (real codecs are not in this container) and gate rows-only.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.multimodal.media import (  # noqa: E402
+    documents_as_media,
+    media_features,
+    media_metadata,
+    sample_frames,
+)
+
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS blob_md5,
+           upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+    FROM documents
+    """,
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(documents_as_media(_docs(spark, sf_dir)))
+
+
+@register("media_pixel_features", None)  # stub decoder: rows-only
+def media_pixel_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_features(documents_as_media(_docs(spark, sf_dir)), fake=True)
+
+
+@register("media_frame_sample", None)  # stub decoder: rows-only
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_docs(spark, sf_dir))
+    return sample_frames(media.filter(F.col("media_id") % 10 == 0),
+                         every_n=2, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# calc_image_cell_size (ngcasa/imaging/calc_image_cell_size.py:20-80): one
+# aggregation + scalar tail; value oracle with rounding (division chains).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.image import calc_image_cell_size  # noqa: E402
+
+
+@register(
+    "image_cell_size",
+    f"""
+    WITH vis AS ({_UV_SQL}),
+    a AS (SELECT max(abs(u)) AS umax, max(abs(v)) AS vmax,
+                 min(freq) AS fmin, max(freq) AS fmax FROM vis),
+    c AS (SELECT
+      CAST({3600.0 * 180.0 / float(__import__('numpy').pi)!r} AS DOUBLE) * (CAST(299792458.0 AS DOUBLE) / (umax * fmax)) / CAST(7.0 AS DOUBLE) AS cu,
+      CAST({3600.0 * 180.0 / float(__import__('numpy').pi)!r} AS DOUBLE) * (CAST(299792458.0 AS DOUBLE) / (vmax * fmax)) / CAST(7.0 AS DOUBLE) AS cv,
+      CAST({3600.0 * 180.0 / float(__import__('numpy').pi)!r} AS DOUBLE) * (CAST(1.02 AS DOUBLE) * CAST(299792458.0 AS DOUBLE) / (CAST(25.0 AS DOUBLE) * fmin)) AS fwhm
+      FROM a),
+    e AS (SELECT
+      CASE WHEN cu / cv < 1.2 AND cv / cu < 1.2 THEN least(cu, cv) ELSE cu END AS cell_l,
+      CASE WHEN cu / cv < 1.2 AND cv / cu < 1.2 THEN least(cu, cv) ELSE cv END AS cell_m,
+      fwhm FROM c)
+    SELECT ROUND(cell_l, 6) AS cell_l, ROUND(cell_m, 6) AS cell_m,
+           CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_l, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_l,
+           CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_m, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_m
+    FROM e
+    """,
+)
+def image_cell_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = calc_image_cell_size(_uv_vis(spark, sf_dir), dish_diameter_min=25.0)
+    return round_doubles(out, only=("cell_l", "cell_m"))
