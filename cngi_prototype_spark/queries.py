@@ -1371,3 +1371,50 @@ from cngi_prototype_spark.imaging.image import calc_image_cell_size  # noqa: E40
 def image_cell_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = calc_image_cell_size(_uv_vis(spark, sf_dir), dish_diameter_min=25.0)
     return round_doubles(out, only=("cell_l", "cell_m"))
+
+
+# ---------------------------------------------------------------------------
+# Mosaic / heterogeneous-array tier: GCF kernels + phase-gradient gridding
+# (rows-only: driver-built FFT kernels), image-domain mosaic PB (value
+# oracle via the A&S J1 polynomial twin).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.mosaic import (  # noqa: E402
+    make_gridding_convolution_function,
+    make_image_with_gcf,
+    make_mosaic_pb,
+    sql_mosaic_pb,
+)
+
+_MOS_OFFSETS = {0: (0.0, 0.0), 1: (8.0e-4, 0.0), 2: (0.0, -6.0e-4)}
+
+
+@register(
+    "mosaic_pb",
+    f"""
+    SELECT l_idx, m_idx, ROUND(pb_mosaic, 6) AS pb_mosaic
+    FROM ({sql_mosaic_pb((48, 48), (1.0e-4, 1.0e-4), _MOS_OFFSETS, 1.0e9)})
+    """,
+)
+def mosaic_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (1.0e-4, 1.0e-4))
+    pb = make_mosaic_pb(sky, _MOS_OFFSETS, 1.0e9)
+    return round_doubles(pb, only=("pb_mosaic",))
+
+
+@register("mosaic_image", None)  # FFT-built GCF kernels: rows-only
+def mosaic_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gp = GridParms(n_u=64, n_v=64, cell_u=1.0e-4, cell_v=1.0e-4)
+    vis = (_rot_vis(spark, sf_dir)
+           .withColumn("chan", (F.col("event_id") % 3).cast("int"))
+           .withColumn("pol", (F.col("event_id") % 2).cast("int"))
+           .withColumn("weight", F.lit(1.0))
+           .withColumn("u", F.col("u") / 25.0)
+           .withColumn("v", F.col("v") / 25.0))
+    gcf = make_gridding_convolution_function(gp, [1.0e9, 1.001e9, 1.002e9], [25.0],
+                                             oversampling=16, max_support=15)
+    img = make_image_with_gcf(vis, gcf, gp,
+                              field_offsets={0: (0.0, 0.0), 1: (8.0e-4, 0.0),
+                                             2: (0.0, -6.0e-4)},
+                              image_size=(48, 48))
+    return img.filter(F.col("l_idx") % 2 == 0)
