@@ -206,3 +206,42 @@ def sql_degrid(gp: GridParms, vis_sql: str, grid_sql: str,
                   CASE WHEN nrm > 0 THEN sim / nrm END AS model_im
     FROM sums
     """
+
+
+def predict_modelvis_component(
+    vis_df: DataFrame,
+    components: list[tuple[float, float, float]],
+    *,
+    u: str = "u", v: str = "v", freq: str = "freq",
+    out: tuple[str, str] = ("model_re", "model_im"),
+) -> DataFrame:
+    """Analytic model visibilities from a (flux, l, m) component list —
+    the reference's declared-but-stubbed ``predict_modelvis_component``:
+    ``V(u,v) = Σ_c flux_c · exp(-2πi·(u_λ·l_c + v_λ·m_c))`` unrolled as
+    cos/sin column expressions (component lists are small)."""
+    u_l = F.col(u) * F.col(freq) / F.lit(299792458.0)
+    v_l = F.col(v) * F.col(freq) / F.lit(299792458.0)
+    re_expr = F.lit(0.0)
+    im_expr = F.lit(0.0)
+    for flux, l_c, m_c in components:
+        arg = F.lit(-2.0 * float(np.pi)) * (u_l * F.lit(float(l_c)) + v_l * F.lit(float(m_c)))
+        re_expr = re_expr + F.lit(float(flux)) * F.cos(arg)
+        im_expr = im_expr + F.lit(float(flux)) * F.sin(arg)
+    return vis_df.withColumn(out[0], re_expr).withColumn(out[1], im_expr)
+
+
+def sql_predict_component(components: list[tuple[float, float, float]],
+                          vis_sql: str, *, select_cols: str = "") -> str:
+    terms_re, terms_im = [], []
+    for flux, l_c, m_c in components:
+        arg = (f"(-2.0 * CAST({float(np.pi)!r} AS DOUBLE))"
+               f" * ((u * freq / 299792458.0) * CAST({float(l_c)!r} AS DOUBLE)"
+               f" + (v * freq / 299792458.0) * CAST({float(m_c)!r} AS DOUBLE))")
+        terms_re.append(f"CAST({float(flux)!r} AS DOUBLE) * cos({arg})")
+        terms_im.append(f"CAST({float(flux)!r} AS DOUBLE) * sin({arg})")
+    re_expr = " + ".join(["0.0"] + terms_re)
+    im_expr = " + ".join(["0.0"] + terms_im)
+    return f"""
+    SELECT {select_cols} {re_expr} AS model_re, {im_expr} AS model_im
+    FROM ({vis_sql})
+    """

@@ -119,3 +119,68 @@ def manager_remove(df: DataFrame, name: str) -> DataFrame:
 def manager_apply(df: DataFrame, name: str, vs: VisSchema = DEFAULT_VIS) -> DataFrame:
     """Restore a saved flag version into the active FLAG column."""
     return df.withColumn(vs.flag, F.col(FLAG_PREFIX + name))
+
+
+def quack(df: DataFrame, width: float, *, mode: str = "beg",
+          scan: str = "scan_number", time: str = "time",
+          flag: str = "flag") -> DataFrame:
+    """Flag scan edges (slew settling) — implements the reference's
+    declared-but-stubbed ``ngcasa/flagging/quack.py:20-60`` surface:
+    rows within ``width`` seconds of each scan's start (``beg``), end
+    (``end``) or both get flagged. One window min/max per scan
+    partition, pure exprs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(scan)
+    t = F.col(time).cast("double")
+    lo = t - F.min(t).over(w)
+    hi = F.max(t).over(w) - t
+    if mode == "beg":
+        hit = lo < width
+    elif mode == "end":
+        hit = hi < width
+    elif mode == "both":
+        hit = (lo < width) | (hi < width)
+    else:
+        raise ValueError(f"unknown quack mode: {mode}")
+    return df.withColumn(flag, F.col(flag) | hit)
+
+
+def extend_flags(df: DataFrame, *, grow_chan: int = 0, grow_time: int = 0,
+                 keys: tuple[str, ...] = ("baseline", "pol"),
+                 chan: str = "chan", time: str = "time",
+                 flag: str = "flag") -> DataFrame:
+    """Grow flags along chan and/or time — the reference's stubbed
+    ``ngcasa/flagging/extend.py`` semantics: a sample is flagged if any
+    sample within ±grow of it (same baseline/pol spectrum or time
+    series) is flagged. Range windows with bool_or; no shuffle beyond
+    the window partitioning."""
+    from pyspark.sql.window import Window
+
+    out = df
+    if grow_chan:
+        w = (Window.partitionBy(*keys, time).orderBy(chan)
+             .rowsBetween(-grow_chan, grow_chan))
+        out = out.withColumn(flag, F.max(F.col(flag).cast("int")).over(w) == 1)
+    if grow_time:
+        w = (Window.partitionBy(*keys, chan).orderBy(time)
+             .rowsBetween(-grow_time, grow_time))
+        out = out.withColumn(flag, F.max(F.col(flag).cast("int")).over(w) == 1)
+    return out
+
+
+def shadow(df: DataFrame, *, dish_diameter: float, u: str = "u", v: str = "v",
+           w: str = "w", flag: str = "flag") -> DataFrame:
+    """Geometric antenna shadowing (stubbed ``shadow.py``): a baseline
+    whose projected separation is under one dish diameter with positive
+    w (the second antenna behind the first) is shadowed."""
+    proj = F.sqrt(F.col(u) * F.col(u) + F.col(v) * F.col(v))
+    return df.withColumn(flag, F.col(flag)
+                         | ((proj < dish_diameter) & (F.col(w) > 0)))
+
+
+def elevation_flag(df: DataFrame, *, min_elevation_rad: float,
+                   elevation: str = "elevation", flag: str = "flag") -> DataFrame:
+    """Low-elevation flagging (stubbed ``elevation.py``) given a
+    per-sample elevation column."""
+    return df.withColumn(flag, F.col(flag) | (F.col(elevation) < min_elevation_rad))

@@ -1418,3 +1418,105 @@ def mosaic_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              2: (0.0, -6.0e-4)},
                               image_size=(48, 48))
     return img.filter(F.col("l_idx") % 2 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Flagging methods the reference declares but stubs (quack/extend/shadow:
+# ngcasa/flagging/{quack,extend,shadow}.py raise NotImplementedError) —
+# implemented for real here, value-exact oracles. Component-list model
+# prediction likewise (predict_modelvis_component.py stub).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.degrid import (  # noqa: E402
+    predict_modelvis_component,
+    sql_predict_component,
+)
+from cngi_prototype_spark.operators.flags import extend_flags, quack, shadow  # noqa: E402
+
+
+@register(
+    "quack_flag",
+    f"""
+    WITH v AS ({{base}}),
+    w AS (SELECT *, MIN(tsec) OVER (PARTITION BY scan) AS t0,
+                    MAX(tsec) OVER (PARTITION BY scan) AS t1 FROM v)
+    SELECT event_id, (flag OR (tsec - t0 < 600.0) OR (t1 - tsec < 600.0)) AS flag
+    FROM w
+    """.format(base="""
+        SELECT event_id, CAST(user_id % 3 AS INT) AS scan,
+               CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS tsec,
+               value > 550 AS flag
+        FROM events"""),
+)
+def quack_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 3).cast("int").alias("scan"),
+        (F.expr("ts div 1000000000")).cast("double").alias("tsec"),
+        (F.col("value") > 550).alias("flag"))
+    out = quack(ev, 600.0, mode="both", scan="scan", time="tsec")
+    return out.select("event_id", "flag")
+
+
+@register(
+    "extend_flags",
+    """
+    WITH v AS (
+      SELECT event_id, CAST(user_id % 20 AS INT) AS baseline,
+             CAST(user_id % 2 AS INT) AS pol, 0 AS time,
+             CAST(event_id % 64 AS INT) AS chan,
+             value > 550 AS flag
+      FROM events)
+    SELECT event_id,
+           (MAX(CAST(flag AS INT)) OVER (PARTITION BY baseline, pol, time
+                ORDER BY chan, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) = 1) AS flag
+    FROM v
+    """,
+)
+def extend_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 20).cast("int").alias("baseline"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        F.lit(0).alias("time"),
+        (F.col("event_id") % 64).cast("int").alias("chan"),
+        (F.col("value") > 550).alias("flag"))
+    from pyspark.sql.window import Window
+    # deterministic tie order: chan duplicates broken by event_id (the
+    # oracle window does the same) — use explicit window here
+    w = (Window.partitionBy("baseline", "pol", "time")
+         .orderBy("chan", "event_id").rowsBetween(-2, 2))
+    out = ev.withColumn("flag", F.max(F.col("flag").cast("int")).over(w) == 1)
+    return out.select("event_id", "flag")
+
+
+@register(
+    "shadow_flag",
+    f"""
+    SELECT event_id,
+           (FALSE OR (sqrt(u * u + v * v) < 25.0 AND w > 0)) AS flag
+    FROM ({_ROT_SQL_VIS})
+    """,
+)
+def shadow_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _rot_vis(spark, sf_dir).withColumn("flag", F.lit(False))
+    out = shadow(vis, dish_diameter=25.0)
+    return out.select("event_id", "flag")
+
+
+@register(
+    "predict_component",
+    f"""
+    SELECT event_id, ROUND(model_re, 6) AS model_re, ROUND(model_im, 6) AS model_im
+    FROM ({sql_predict_component([(2.0, 0.0008, 0.0), (0.7, -0.0004, 0.0006)],
+                                 _ROT_SQL_VIS, select_cols="event_id,")})
+    """,
+)
+def predict_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = predict_modelvis_component(
+        _rot_vis(spark, sf_dir),
+        [(2.0, 0.0008, 0.0), (0.7, -0.0004, 0.0006)])
+    return round_doubles(out.select("event_id", "model_re", "model_im"),
+                         only=("model_re", "model_im"))
