@@ -43,13 +43,19 @@ BENCH_QUERIES = [
     "imaging_weight_briggs",
     "direction_rotate",
     "dirty_image",
+    "uv_degrid",
+    "predict_component",
+    "mosaic_image",
     "synthesis_imaging_cube",
     # training-data pipeline tier
     "text_features",
     "minhash_lsh_candidates",
+    "ngram_jaccard",
+    "dedup_minhash_verified",
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",
+    "media_metadata",
 ]
 
 
