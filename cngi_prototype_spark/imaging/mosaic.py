@@ -232,24 +232,38 @@ def mosaic_grid_visibilities(
                      else np.vectorize(bl_type.get)(bl))
             fgrp = cf_chan[ch]
             acc: dict[tuple[int, int], np.ndarray] = {}
-            accw: dict[tuple[int, int], np.ndarray] = {}
             sumw: dict[tuple[int, int], float] = {}
-            for i in range(len(pdf)):
-                hw = supports[types[i], fgrp[i], 0] // 2
-                if not (hw <= uc[i] < n_u - hw and hw <= vc[i] < n_v - hw):
+            wd = wre + 1j * wim
+            hw_all = supports[types, fgrp, 0] // 2
+            plane_key = ch.astype(np.int64) * 1_000_000 + po
+            # vectorize per (plane, kernel, support) group: build the
+            # (n, k, k) window stack by fancy indexing and scatter-add
+            # with np.add.at — no per-row Python
+            group = (plane_key * 1_000_000 + types * 1_000 + fgrp)
+            for gkey in np.unique(group):
+                sel = np.nonzero(group == gkey)[0]
+                t0, f0 = types[sel[0]], fgrp[sel[0]]
+                hw = int(hw_all[sel[0]])
+                ok = ((uc[sel] >= hw) & (uc[sel] < n_u - hw)
+                      & (vc[sel] >= hw) & (vc[sel] < n_v - hw)
+                      & (wd[sel] != 0))
+                sel = sel[ok]
+                if not len(sel):
                     continue
-                if wre[i] == 0 and wim[i] == 0:
-                    continue
-                kern = kernels[types[i], fgrp[i]]
+                kern = kernels[t0, f0]
                 taps = np.arange(-hw, hw + 1)
-                # airy kernels are not separable: use the true 2-D window
-                kwin = kern[np.ix_(S // 2 + taps * ov + du[i],
-                                   S // 2 + taps * ov + dv[i])]
-                key = (int(ch[i]), int(po[i]))
+                idx_u = S // 2 + taps[None, :] * ov + du[sel][:, None]
+                idx_v = S // 2 + taps[None, :] * ov + dv[sel][:, None]
+                kwin = kern[idx_u[:, :, None], idx_v[:, None, :]]  # (n,k,k)
+                vals = kwin * wd[sel][:, None, None]
+                cell_u = (uc[sel][:, None] + taps[None, :])[:, :, None]
+                cell_v = (vc[sel][:, None] + taps[None, :])[:, None, :]
+                flat = (cell_u * n_v + cell_v).reshape(len(sel), -1)
+                key = (int(ch[sel[0]]), int(po[sel[0]]))
                 g = acc.setdefault(key, np.zeros((n_u, n_v), np.complex128))
-                g[uc[i] - hw: uc[i] + hw + 1, vc[i] - hw: vc[i] + hw + 1] += (
-                    kwin * (wre[i] + 1j * wim[i]))
-                sumw[key] = sumw.get(key, 0.0) + w[i] * kwin.sum()
+                np.add.at(g.reshape(-1), flat.ravel(), vals.reshape(len(sel), -1).ravel())
+                sumw[key] = sumw.get(key, 0.0) + float(
+                    (w[sel] * kwin.sum(axis=(1, 2))).sum())
             rows = []
             for key, g in acc.items():
                 ui, vi = np.nonzero(g)
