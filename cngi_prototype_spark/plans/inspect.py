@@ -1,0 +1,54 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale guarantees (SURVEY.md §4, README scale rules) are
+properties of the *plans*, not just the results: filters reach the
+parquet scan, projections prune the read schema, aggregations combine
+map-side before every exchange, small sides broadcast. These helpers
+make those properties assertable in tests and inspectable in notebooks,
+so a regression that silently degrades a plan (a lost pushdown, a
+broadcast that became a shuffle) fails CI instead of shipping a 10×
+slowdown to the 100 TB cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", explain_formatted(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every scan — the column-pruning witness."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", explain_formatted(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excluding broadcast exchanges)."""
+    plan = explain_formatted(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_formatted(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when a HashAggregate appears upstream of an Exchange that is
+    followed by the final HashAggregate — Spark's map-side combine."""
+    plan = explain_formatted(df)
+    ops = re.findall(r"\(\d+\) (HashAggregate|Exchange)", plan)
+    for i in range(len(ops) - 2):
+        if ops[i:i + 3] == ["HashAggregate", "Exchange", "HashAggregate"]:
+            return True
+    return False

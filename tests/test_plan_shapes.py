@@ -1,0 +1,45 @@
+"""Plan-shape regressions: the scale properties the engine promises
+(pushdown, pruning, map-side combine, broadcasts) asserted on the
+headline queries' physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+import cngi_prototype_spark.queries as Q
+from cngi_prototype_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    df = Q.queries()["q1_pricing_summary"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    schema = read_schemas(df)[0]
+    assert "l_comment" not in schema and "l_orderkey" not in schema
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) == 1  # exactly one shuffle: the group-by
+
+
+def test_gridder_single_shuffle_with_map_side_combine(spark):
+    df = Q.queries()["uv_grid"](spark, SF)
+    # 49x tap explosion must collapse before the one grid shuffle
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) == 1
+
+
+def test_imaging_weight_briggs_broadcasts(spark):
+    df = Q.queries()["imaging_weight_briggs"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_time_average_prunes_columns(spark):
+    df = Q.queries()["time_average"](spark, SF)
+    schemas = read_schemas(df)
+    assert schemas and all("props" not in s for s in schemas)
