@@ -190,7 +190,12 @@ def ngram_jaccard_pairs(
     # shingle arrays are distinct sets), so the oracle hash-matches.
     if threshold <= 0:
         raise ValueError("all-pairs ngram_jaccard requires threshold > 0")
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_s"))
+    # join on xxhash64 of the shingle: 8-byte shuffle keys instead of
+    # strings (counts are unchanged short of a 2^-64 collision; the
+    # oracle intersects the actual string sets, so a collision would
+    # surface as a gate mismatch rather than pass silently)
+    ex = (sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_raw"))
+          .select("_id", F.xxhash64("_raw").alias("_s")))
     ea = ex.select(F.col("_id").alias("id_a"), "_s")
     eb = ex.select(F.col("_id").alias("id_b"), "_s")
     common = (ea.join(eb, "_s").filter(F.col("id_a") < F.col("id_b"))

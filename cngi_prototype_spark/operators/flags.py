@@ -184,3 +184,54 @@ def elevation_flag(df: DataFrame, *, min_elevation_rad: float,
     """Low-elevation flagging (stubbed ``elevation.py``) given a
     per-sample elevation column."""
     return df.withColumn(flag, F.col(flag) | (F.col(elevation) < min_elevation_rad))
+
+
+def _window_moments(df: DataFrame, value: str, w) -> tuple[Column, Column, Column]:
+    x = F.col(value)
+    n = F.count(x).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    return n, sx, sxx
+
+
+def auto_rflag(df: DataFrame, *, nsigma: float = 5.0, time_window: int = 9,
+               keys: tuple[str, ...] = ("baseline", "chan", "pol"),
+               time: str = "time", value: str = "data_re",
+               flag: str = "flag", order_tiebreak: tuple[str, ...] = ()) -> DataFrame:
+    """Sliding-window outlier flagging along time — implements the
+    reference's declared-but-stubbed ``ngcasa/flagging/auto_rflag.py``:
+    a sample is flagged when it deviates from its local time-window mean
+    by more than ``nsigma`` local standard deviations. Variance is the
+    explicit (n·Σx² − (Σx)²)/(n·(n−1)) form over the ordered frame, so
+    the SQL twin is bit-identical."""
+    from pyspark.sql.window import Window
+
+    k = time_window // 2
+    w = (Window.partitionBy(*keys).orderBy(time, *order_tiebreak)
+         .rowsBetween(-k, k))
+    n, sx, sxx = _window_moments(df, value, w)
+    var = (n * sxx - sx * sx) / (n * (n - 1.0))
+    mean = sx / n
+    dev = F.col(value) - mean
+    hit = (n > 2) & (dev * dev > F.lit(float(nsigma) ** 2) * var)
+    return df.withColumn(flag, F.col(flag) | hit)
+
+
+def auto_tfcrop(df: DataFrame, *, nsigma: float = 4.0, chan_window: int = 11,
+                keys: tuple[str, ...] = ("baseline", "time", "pol"),
+                chan: str = "chan", value: str = "data_re",
+                flag: str = "flag", order_tiebreak: tuple[str, ...] = ()) -> DataFrame:
+    """Spectral-background outlier flagging — the stubbed
+    ``auto_tfcrop.py`` semantics: per spectrum, flag samples deviating
+    from the local chan-window background by ``nsigma`` local sigmas."""
+    from pyspark.sql.window import Window
+
+    k = chan_window // 2
+    w = (Window.partitionBy(*keys).orderBy(chan, *order_tiebreak)
+         .rowsBetween(-k, k))
+    n, sx, sxx = _window_moments(df, value, w)
+    var = (n * sxx - sx * sx) / (n * (n - 1.0))
+    mean = sx / n
+    dev = F.col(value) - mean
+    hit = (n > 2) & (dev * dev > F.lit(float(nsigma) ** 2) * var)
+    return df.withColumn(flag, F.col(flag) | hit)

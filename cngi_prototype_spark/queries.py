@@ -1520,3 +1520,68 @@ def predict_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(2.0, 0.0008, 0.0), (0.7, -0.0004, 0.0006)])
     return round_doubles(out.select("event_id", "model_re", "model_im"),
                          only=("model_re", "model_im"))
+
+
+# ---------------------------------------------------------------------------
+# auto_rflag / auto_tfcrop (stubbed in the reference): local-window outlier
+# flagging with explicit-moment variance so the window sums are bit-equal
+# across engines (identical frame order via tiebreak).
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.operators.flags import auto_rflag, auto_tfcrop  # noqa: E402
+
+_RFLAG_BASE = """
+        SELECT event_id, CAST(user_id % 20 AS INT) AS baseline,
+               CAST(user_id % 2 AS INT) AS pol,
+               CAST(event_id % 64 AS INT) AS chan,
+               CAST(event_id // 64 AS BIGINT) AS time,
+               value / 100.0 AS data_re, FALSE AS flag
+        FROM events"""
+
+
+def _rflag_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 20).cast("int").alias("baseline"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("event_id") % 64).cast("int").alias("chan"),
+        (F.col("event_id") / 64).cast("bigint").alias("time"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        F.lit(False).alias("flag"))
+
+
+def _sql_window_flag(base: str, part: str, order: str, k: int, nsig: float) -> str:
+    w = (f"PARTITION BY {part} ORDER BY {order} "
+         f"ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING")
+    return f"""
+    WITH v AS ({base}),
+    m AS (SELECT *,
+      CAST(COUNT(data_re) OVER ({w}) AS DOUBLE) AS n,
+      SUM(data_re) OVER ({w}) AS sx,
+      SUM(data_re * data_re) OVER ({w}) AS sxx
+      FROM v)
+    SELECT event_id,
+           (flag OR ((n > 2) AND
+            ((data_re - sx / n) * (data_re - sx / n)
+             > {float(nsig) ** 2!r} * ((n * sxx - sx * sx) / (n * (n - 1.0)))))) AS flag
+    FROM m
+    """
+
+
+@register("auto_rflag",
+          _sql_window_flag(_RFLAG_BASE, "baseline, chan, pol",
+                           "time, event_id", 4, 3.0))
+def auto_rflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = auto_rflag(_rflag_vis(spark, sf_dir), nsigma=3.0, time_window=9,
+                     order_tiebreak=("event_id",))
+    return out.select("event_id", "flag")
+
+
+@register("auto_tfcrop",
+          _sql_window_flag(_RFLAG_BASE, "baseline, time, pol",
+                           "chan, event_id", 5, 3.0))
+def auto_tfcrop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = auto_tfcrop(_rflag_vis(spark, sf_dir), nsigma=3.0, chan_window=11,
+                      order_tiebreak=("event_id",))
+    return out.select("event_id", "flag")
