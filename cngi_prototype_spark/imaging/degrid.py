@@ -84,7 +84,7 @@ def degrid_visibilities(
     def agg(c: Column) -> Column:
         if not precise:
             return F.sum(c)
-        return F.sum(F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("long")) / F.lit(1.0e9)
+        return F.sum(F.floor(c * F.lit(1.0e9)).cast("long")) / F.lit(1.0e9)
 
     sums = joined.groupBy(row_id).agg(
         agg(F.col("_conv") * F.coalesce(F.col("grid_re"), F.lit(0.0))).alias("_sre"),
@@ -164,7 +164,9 @@ def sql_degrid(gp: GridParms, vis_sql: str, grid_sql: str,
     grid twin so cell values are bit-equal inputs)."""
     from cngi_prototype_spark.imaging.grid import C_M_S
 
-    cgk = ", ".join(repr(float(x)) for x in gp.kernel_1d())
+    from cngi_prototype_spark.imaging.grid import _sql_flit
+
+    cgk = ", ".join(_sql_flit(x) for x in gp.kernel_1d())
     taps = ", ".join(f"({iu}, {iv})" for iu, iv in gp.taps())
     ov, half = gp.oversampling, gp.half
 
@@ -173,7 +175,7 @@ def sql_degrid(gp: GridParms, vis_sql: str, grid_sql: str,
                 f" + {float(n // 2)!r}")
 
     u_pos, v_pos = pos("u", gp.cell_u, gp.n_u), pos("v", gp.cell_v, gp.n_v)
-    qsum = "(SUM(CAST(floor(({e}) * 1.0e9 + 0.5) AS BIGINT)) / 1.0e9)"
+    qsum = "(SUM(CAST(floor(({e}) * 1.0e9) AS BIGINT)) / 1.0e9)"
     conv = (f"(t[abs({ov} * tap.iu + g.du) + 1]"
             f" * t[abs({ov} * tap.iv + g.dv) + 1])")
     return f"""

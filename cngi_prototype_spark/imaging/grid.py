@@ -153,7 +153,7 @@ def grid_visibilities(
         if not precise:
             return F.sum(c)
         # Gate-comparison hygiene: quantize each addend to 1e-9 via
-        # floor(x*1e9 + 0.5) — a pure double->bigint op with identical
+        # floor(x*1e9) — a pure double->bigint op with identical
         # bits on Spark and DuckDB — then sum exactly as BIGINT. The
         # string-mediated decimal path (functions.exact.dsum) is NOT
         # cross-engine-stable here: Java 17's Double.toString is not
@@ -162,7 +162,7 @@ def grid_visibilities(
         # taps generate exactly those magnitudes. Quantization error
         # (<=0.5e-9 per term) is far below the reference's own 1e-8
         # comparison tolerance (tests/test_ms_conversion.py:11-33).
-        q = F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("long")
+        q = F.floor(c * F.lit(1.0e9)).cast("long")
         return (F.sum(q) / F.lit(1.0e9))
 
     # --- sum of weights: separable norm, no explode (SG:358-360) ---
@@ -270,9 +270,16 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
 # per-row double products are bit-identical across engines.
 # ---------------------------------------------------------------------------
 
+def _sql_flit(x) -> str:
+    # e-notation parses as DOUBLE in DuckDB; bare decimals parse as
+    # DECIMAL whose ->DOUBLE cast is not correctly rounded (1-ulp loss
+    # on 17-digit kernel values)
+    return f"{float(x):.17e}"
+
+
 def _sql_geom(gp: GridParms, vis_sql: str, keep: str = "") -> str:
     """Shared geometry CTEs mirroring :func:`_prepare` bit-for-bit."""
-    cgk = ", ".join(repr(float(x)) for x in gp.kernel_1d())
+    cgk = ", ".join(_sql_flit(x) for x in gp.kernel_1d())
     ov = gp.oversampling
     half = gp.half
 
@@ -302,7 +309,7 @@ def _sql_geom(gp: GridParms, vis_sql: str, keep: str = "") -> str:
 def _sql_guarded_dsum(expr: str) -> str:
     # Twin of the precise agg() above: 1e-9 integer quantization, exact
     # BIGINT sum, then one double division.
-    return f"(SUM(CAST(floor(({expr}) * 1.0e9 + 0.5) AS BIGINT)) / 1.0e9)"
+    return f"(SUM(CAST(floor(({expr}) * 1.0e9) AS BIGINT)) / 1.0e9)"
 
 
 def sql_grid_visibilities(gp: GridParms, vis_sql: str, *, agg=None) -> str:
