@@ -235,3 +235,30 @@ def auto_tfcrop(df: DataFrame, *, nsigma: float = 4.0, chan_window: int = 11,
     dev = F.col(value) - mean
     hit = (n > 2) & (dev * dev > F.lit(float(nsigma) ** 2) * var)
     return df.withColumn(flag, F.col(flag) | hit)
+
+
+def auto_uvbin(df: DataFrame, *, nsigma: float = 5.0, cell_size: float = 100.0,
+               u: str = "u", v: str = "v", value: str = "data_re",
+               chan: str = "chan", pol: str = "pol",
+               flag: str = "flag") -> DataFrame:
+    """Gridded-uv-plane outlier flagging — the reference's stubbed
+    ``ngcasa/flagging/auto_uvbin.py`` ("detects outliers on the gridded
+    spatial frequency plane"): bin samples into uv cells, compute each
+    cell's mean/variance in one aggregation (explicit moments), flag
+    samples deviating by more than ``nsigma`` cell sigmas. Grid stats
+    join back broadcast (cell count is bounded by the uv plane)."""
+    cu = F.floor(F.col(u) / F.lit(float(cell_size))).cast("long")
+    cv = F.floor(F.col(v) / F.lit(float(cell_size))).cast("long")
+    binned = df.withColumn("_bu", cu).withColumn("_bv", cv)
+    x = F.col(value)
+    stats = (binned.groupBy(chan, pol, "_bu", "_bv")
+             .agg(F.count(x).cast("double").alias("_n"),
+                  F.sum(x).alias("_sx"),
+                  F.sum(x * x).alias("_sxx")))
+    j = binned.join(F.broadcast(stats), [chan, pol, "_bu", "_bv"], "left")
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    var = (n * sxx - sx * sx) / (n * (n - 1.0))
+    dev = x - sx / n
+    hit = (n > 2) & (dev * dev > F.lit(float(nsigma) ** 2) * var)
+    return (j.withColumn(flag, F.col(flag) | hit)
+            .drop("_bu", "_bv", "_n", "_sx", "_sxx"))

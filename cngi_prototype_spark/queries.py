@@ -1528,7 +1528,7 @@ def predict_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across engines (identical frame order via tiebreak).
 # ---------------------------------------------------------------------------
 
-from cngi_prototype_spark.operators.flags import auto_rflag, auto_tfcrop  # noqa: E402
+from cngi_prototype_spark.operators.flags import auto_rflag, auto_tfcrop, auto_uvbin  # noqa: E402
 
 _RFLAG_BASE = """
         SELECT event_id, CAST(user_id % 20 AS INT) AS baseline,
@@ -1584,4 +1584,34 @@ def auto_rflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auto_tfcrop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = auto_tfcrop(_rflag_vis(spark, sf_dir), nsigma=3.0, chan_window=11,
                       order_tiebreak=("event_id",))
+    return out.select("event_id", "flag")
+
+
+@register(
+    "auto_uvbin",
+    f"""
+    WITH v AS (
+      SELECT event_id, CAST(event_id % 3 AS INT) AS chan,
+             CAST(event_id % 2 AS INT) AS pol, u, v, data_re, FALSE AS flag
+      FROM ({_ROT_SQL_VIS})
+    ),
+    b AS (SELECT *, CAST(floor(u / 500.0) AS BIGINT) AS bu,
+                    CAST(floor(v / 500.0) AS BIGINT) AS bv FROM v),
+    s AS (SELECT chan, pol, bu, bv,
+                 CAST(COUNT(data_re) AS DOUBLE) AS n,
+                 SUM(data_re) AS sx, SUM(data_re * data_re) AS sxx
+          FROM b GROUP BY 1, 2, 3, 4)
+    SELECT event_id,
+           (flag OR ((n > 2) AND
+            ((data_re - sx / n) * (data_re - sx / n)
+             > 9.0 * ((n * sxx - sx * sx) / (n * (n - 1.0)))))) AS flag
+    FROM b JOIN s USING (chan, pol, bu, bv)
+    """,
+)
+def auto_uvbin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = (_rot_vis(spark, sf_dir)
+           .withColumn("chan", (F.col("event_id") % 3).cast("int"))
+           .withColumn("pol", (F.col("event_id") % 2).cast("int"))
+           .withColumn("flag", F.lit(False)))
+    out = auto_uvbin(vis, nsigma=3.0, cell_size=500.0)
     return out.select("event_id", "flag")
