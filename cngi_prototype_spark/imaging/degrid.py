@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cngi_prototype_spark.imaging.grid import GridParms, _cgk_at, _norm_1d, _scaled_pos
+from cngi_prototype_spark.imaging.grid import GridParms, _cgk_at, _scaled_pos
 from cngi_prototype_spark.imaging.kernels import pswf
 
 _BROADCAST_CELLS = 4_000_000

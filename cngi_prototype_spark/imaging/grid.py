@@ -38,7 +38,6 @@ enters multiplied by the *kernel* norm of taps actually applied.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -46,7 +45,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cngi_prototype_spark.functions.exact import dsum
 from cngi_prototype_spark.imaging.kernels import pswf_kernel_1d
 
 C_M_S = 299792458.0

@@ -1214,7 +1214,6 @@ from cngi_prototype_spark.calibration.self_cal import self_cal  # noqa: E402
 from cngi_prototype_spark.sources.ingest import (  # noqa: E402
     assign_baseline,
     convert_time_mjd,
-    split_auto_cross,
 )
 
 
@@ -1431,7 +1430,7 @@ from cngi_prototype_spark.imaging.degrid import (  # noqa: E402
     predict_modelvis_component,
     sql_predict_component,
 )
-from cngi_prototype_spark.operators.flags import extend_flags, quack, shadow  # noqa: E402
+from cngi_prototype_spark.operators.flags import quack, shadow  # noqa: E402
 
 
 @register(
