@@ -1614,3 +1614,64 @@ def auto_uvbin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("flag", F.lit(False)))
     out = auto_uvbin(vis, nsigma=3.0, cell_size=500.0)
     return out.select("event_id", "flag")
+
+
+# ---------------------------------------------------------------------------
+# Flag-version manager (cngi/vis manager_add/list/remove semantics: FLAG_*
+# columns) and uv_cont_fit error metrics (uv_cont_fit.py:84-95 rms/min/max
+# fit errors) — both pure Catalyst with value oracles.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.operators.flags import manager_add, manager_apply  # noqa: E402
+
+
+@register(
+    "flag_manager_roundtrip",
+    """
+    SELECT event_id,
+           (value > 400 OR event_type = 'error') AS flag,
+           (value > 400 OR event_type = 'error') AS FLAG_BACKUP,
+           ((value > 400 OR event_type = 'error') OR value > 300) AS FLAG_AGGRESSIVE
+    FROM events
+    """,
+)
+def flag_manager_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # save current flags, flag more aggressively, save that version too,
+    # then restore the original — the manager_add/apply lifecycle
+    base = _events_vis(spark, sf_dir).select("event_id", "flag", "data_re")
+    out = manager_add(base, "BACKUP", source_col="flag")
+    out = out.withColumn("flag", F.col("flag") | (F.col("data_re") > 300))
+    out = manager_add(out, "AGGRESSIVE", source_col="flag")
+    out = manager_apply(out, "BACKUP")
+    return out.select("event_id", "flag", "FLAG_BACKUP", "FLAG_AGGRESSIVE")
+
+
+@register(
+    "uv_cont_fit_metrics",
+    f"""
+    WITH fitted AS ({oracle_sql()['cont_sub_linear']})
+    SELECT bl,
+           ROUND({sql_rms('data_re')}, 6) AS fit_rms_error,
+           MIN(data_re) AS fit_min_error,
+           MAX(data_re) AS fit_max_error
+    FROM fitted
+    GROUP BY bl
+    HAVING COUNT(*) > 3
+    """,
+)
+def uv_cont_fit_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-quality metrics of the continuum fit (uv_cont_fit.py:84-95):
+    rms / min / max of the post-subtraction residual per spectrum."""
+    fitted = cont_sub_linear(
+        _lineitem_vis(spark, sf_dir), group_cols=["bl"], x_col="chan",
+        value_cols=["data_re"], precise=_precise())
+    # metrics restricted to spectra with >3 samples: shorter ones fit
+    # exactly and their ~1e-13 residuals sit below the oracle's decimal
+    # quantum where DuckDB's cast mis-rounds (see functions/exact.py)
+    out = (fitted.groupBy("bl")
+           .agg(exact.rms(F.col("data_re"), precise=_precise()).alias("fit_rms_error"),
+                F.min("data_re").alias("fit_min_error"),
+                F.max("data_re").alias("fit_max_error"),
+                F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 3).drop("_n"))
+    return round_doubles(out, only=("fit_rms_error",))
