@@ -1675,3 +1675,60 @@ def uv_cont_fit_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("_n"))
            .filter(F.col("_n") > 3).drop("_n"))
     return round_doubles(out, only=("fit_rms_error",))
+
+
+# ---------------------------------------------------------------------------
+# Packed-spectra layout (SURVEY.md §1.5 array-packed form): pack per
+# (bl, pol) spectrum into chan-ordered arrays and unpack back — the
+# round trip is the identity, value-exact against plain SQL.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.operators.packing import pack_spectra, unpack_spectra  # noqa: E402
+
+
+@register(
+    "pack_spectra",
+    """
+    WITH v AS (
+      SELECT CAST(user_id % 20 AS INT) AS bl, CAST(user_id % 2 AS INT) AS pol,
+             CAST(event_id % 64 AS INT) AS chan,
+             value / 100.0 AS data_re
+      FROM events WHERE event_id < 1280 AND (event_id // 64) % 11 = 0
+    )
+    SELECT bl, pol,
+           list(chan ORDER BY chan, data_re) AS chans,
+           list(data_re ORDER BY chan, data_re) AS data_re
+    FROM v GROUP BY bl, pol
+    """,
+)
+def pack_spectra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    v = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_id") < 1280)
+                 & ((F.col("event_id") / 64).cast("long") % 11 == 0))
+         .select(
+        (F.col("user_id") % 20).cast("int").alias("bl"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("event_id") % 64).cast("int").alias("chan"),
+        (F.col("value") / F.lit(100.0)).alias("data_re")))
+    return pack_spectra(v, keys=("bl", "pol"), values=("data_re",))
+
+
+@register(
+    "pack_unpack_roundtrip",
+    """
+    SELECT CAST(user_id % 20 AS INT) AS bl, CAST(user_id % 2 AS INT) AS pol,
+           CAST(event_id % 64 AS INT) AS chan,
+           value / 100.0 AS data_re, 0.0 - value / 200.0 AS data_im
+    FROM events WHERE event_id < 1280
+    """,
+)
+def pack_unpack_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    v = (_t(spark, sf_dir, "events").filter(F.col("event_id") < 1280).select(
+        (F.col("user_id") % 20).cast("int").alias("bl"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("event_id") % 64).cast("int").alias("chan"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im")))
+    return unpack_spectra(pack_spectra(v, keys=("bl", "pol")), keys=("bl", "pol"))
