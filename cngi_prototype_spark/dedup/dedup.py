@@ -193,8 +193,13 @@ def ngram_jaccard_pairs(
     # join on xxhash64 of the shingle: 8-byte shuffle keys instead of
     # strings (counts are unchanged short of a 2^-64 collision; the
     # oracle intersects the actual string sets, so a collision would
-    # surface as a gate mismatch rather than pass silently)
-    ex = (sh.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_raw"))
+    # surface as a gate mismatch rather than pass silently).
+    # explode_outer, not explode: plain explode makes the optimizer
+    # infer a size(sh)>0 filter that predicate-pushdown then sinks
+    # below the repartition onto the (single-file) scan, evaluating the
+    # whole tokenize+shingle expression serially on one task.
+    ex = (sh.select(F.col(id_col).alias("_id"), F.explode_outer("sh").alias("_raw"))
+          .filter(F.col("_raw").isNotNull())
           .select("_id", F.xxhash64("_raw").alias("_s")))
     ea = ex.select(F.col("_id").alias("id_a"), "_s")
     eb = ex.select(F.col("_id").alias("id_b"), "_s")
@@ -253,9 +258,12 @@ def simhash_fingerprints(
     Shape: explode tokens -> one groupBy(doc) with ``bits`` conditional
     sums — a single shuffle with map-side combine.
     """
+    # explode_outer + isNotNull: see ngram_jaccard_pairs — plain explode
+    # infers a pushable size()>0 filter that serializes the split onto
+    # the single-file scan task.
     toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
+        F.col(id_col), F.explode_outer(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isNotNull()).withColumn("h", F.md5("tok"))
     votes = [
         F.sum(
             (
