@@ -188,15 +188,68 @@ def sql_doc_fingerprint(text: str, n: int = 3) -> dict[str, str]:
 
 
 def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All text-analysis features as one projection."""
+    """All text-analysis features, staged so the expensive pieces are
+    computed once per row.
+
+    A single flat projection re-derives the tokenize/filter chain inside
+    every reference (higher-order functions are interpreted — no
+    common-subexpression elimination or codegen), so the language-ID
+    CASE chain alone costs ~25 splits per row. Staged projections hold
+    as boundaries because each intermediate column is non-cheap and
+    referenced more than once (CollapseProject keeps them). The final
+    values are the exact same expression trees, so oracle hashes are
+    unchanged.
+    """
     t = F.col(text_col)
-    stats = token_stats(t)
-    fp = doc_fingerprint(t)
-    return df.select(
+    # stage 1: tokenize once
+    s1 = df.select(id_col, t.alias("_text"), _tokens(t).alias("_toks"))
+    # stage 2: per-language hits, token stats raw terms, shingles
+    toks = F.col("_toks")
+    s2 = s1.select(
+        id_col, "_text", "_toks",
+        F.size(toks).alias("_n_tokens"),
+        F.length("_text").alias("_n_chars"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0),
+                    lambda a, x: a + x).alias("_sum_tok_len"),
+        (F.length("_text")
+         - F.length(F.regexp_replace("_text", PUNCT_CLASS, ""))).alias("_n_punct"),
+        _hits(toks, ALL_STOPWORDS).alias("_stop_hits"),
+        *[_hits(toks, ws).alias(f"_h_{lang}")
+          for lang, ws in sorted(STOPWORDS.items())],
+        F.when(
+            F.size(toks) >= 3,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(toks) - 2),
+                            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_sh"),
+    )
+    # stage 3: final arithmetic over the materialized columns
+    n_tokens, n_chars = F.col("_n_tokens"), F.col("_n_chars")
+    punct_ratio = F.col("_n_punct").cast("double") / n_chars.cast("double")
+    stop_ratio = F.col("_stop_hits").cast("double") / n_tokens.cast("double")
+    len_ok = ((n_chars >= 50) & (n_chars <= 10000)).cast("double")
+    quality = (0.4 * len_ok
+               + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+               + 0.3 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))))
+    langs = sorted(STOPWORDS)
+    lang_expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = F.col(f"_h_{lang}") > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"_h_{lang}") >= F.col(f"_h_{other}"))
+        lang_expr = F.when(cond, F.lit(lang)).otherwise(lang_expr)
+    return s2.select(
         id_col,
-        *[c.alias(name) for name, c in stats.items()],
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_pred"),
-        fp["md5_norm"].alias("md5_norm"),
-        fp["minhash1"].alias("minhash1"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (F.col("_sum_tok_len").cast("double") / n_tokens.cast("double")
+         ).alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+        lang_expr.alias("lang_pred"),
+        F.md5(F.lower(F.trim("_text"))).alias("md5_norm"),
+        F.array_min(F.transform("_sh", lambda s: F.md5(s))).alias("minhash1"),
     )
