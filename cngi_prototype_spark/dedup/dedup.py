@@ -153,6 +153,35 @@ def sql_minhash_lsh_candidates(num_hashes: int = 8, bands: int = 4,
     """
 
 
+def sql_dedup_minhash_verified(num_hashes: int = 8, bands: int = 4,
+                               shingle_n: int = 3,
+                               threshold: float = 0.05) -> str:
+    """Oracle for the LSH-candidates -> exact-Jaccard verify pipeline.
+
+    Composes the candidates CTE with the integer-ratio Jaccard (same
+    ratio both engines compute from the same distinct shingle sets, so
+    it hash-matches bit-for-bit). The Spark path's ``max_bucket``
+    guardrail is inert at oracle scale (no sf0.01 bucket approaches it),
+    matching the already-gated ``minhash_lsh_candidates`` oracle.
+    """
+    sh = sql_shingles("text", shingle_n)
+    jac = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+           " / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)"
+           " - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))")
+    guard = ("(CAST(len(a.sh) + len(b.sh) AS DOUBLE)"
+             " - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) > 0")
+    return f"""
+    WITH cand AS ({sql_minhash_lsh_candidates(num_hashes, bands, shingle_n)}),
+    sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT c.id_a, c.id_b,
+           CASE WHEN {guard} THEN {jac} ELSE 0.0 END AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CASE WHEN {guard} THEN {jac} ELSE 0.0 END >= {threshold}
+    """
+
+
 # --- n-gram Jaccard --------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -680,6 +680,7 @@ from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    sql_dedup_minhash_verified,
     sql_minhash_lsh_candidates,
     sql_minhash_signatures,
     sql_ngram_jaccard_pairs,
@@ -756,7 +757,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_n=3, threshold=0.05)
 
 
-@register("dedup_minhash_verified", None)  # LSH candidates -> exact verify (scale path)
+@register("dedup_minhash_verified", sql_dedup_minhash_verified(8, 4, 3, 0.05))
 def dedup_minhash_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=3)
