@@ -93,9 +93,14 @@ def degrid_visibilities(
     model_re = F.when(F.col("_norm") > 0, F.col("_sre") / F.col("_norm"))
     model_im = F.when(F.col("_norm") > 0, F.col("_sim") / F.col("_norm"))
     keyed = sums.select(row_id, model_re.alias(out[0]), model_im.alias(out[1]))
+    # `keyed` has one row PER VISIBILITY (grouped by row_id) — it scales
+    # with the fact table, so it must NEVER be broadcast (a hint here
+    # OOMs the driver at real row counts). Both sides hash-partition on
+    # row_id; Spark plans a shuffle join and AQE may still localize it
+    # at runtime when the *actual* size is small, which is the only safe
+    # place for that decision.
     return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
-        F.broadcast(keyed) if gp.n_u * gp.n_v <= _BROADCAST_CELLS else keyed,
-        on=row_id, how="left")
+        keyed, on=row_id, how="left")
 
 
 def model_image_to_grid(

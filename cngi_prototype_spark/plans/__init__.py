@@ -1,4 +1,5 @@
 from cngi_prototype_spark.plans.inspect import (  # noqa: F401
+    broadcast_hint_count,
     count_exchanges,
     explain_formatted,
     has_broadcast_join,

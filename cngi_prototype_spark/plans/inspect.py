@@ -43,6 +43,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_formatted(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit ``broadcast()`` hints in the analyzed logical
+    plan. Unlike :func:`has_broadcast_join` this is AQE-independent: it
+    witnesses what the *code* promised, not what runtime stats chose —
+    the scale contract is "only bounded-size sides are ever hinted"."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when a HashAggregate appears upstream of an Exchange that is
     followed by the final HashAggregate — Spark's map-side combine."""

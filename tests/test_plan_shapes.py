@@ -8,6 +8,7 @@ import pytest
 
 import cngi_prototype_spark.queries as Q
 from cngi_prototype_spark.plans import (
+    broadcast_hint_count,
     count_exchanges,
     has_broadcast_join,
     has_partial_aggregation,
@@ -37,6 +38,13 @@ def test_gridder_single_shuffle_with_map_side_combine(spark):
 def test_imaging_weight_briggs_broadcasts(spark):
     df = Q.queries()["imaging_weight_briggs"](spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_degrid_never_broadcasts_row_keyed_side(spark):
+    # The per-visibility aggregate scales with the fact table; only the
+    # cell-bounded grid side may carry a broadcast hint (exactly one).
+    df = Q.queries()["uv_degrid"](spark, SF)
+    assert broadcast_hint_count(df) == 1
 
 
 def test_time_average_prunes_columns(spark):
