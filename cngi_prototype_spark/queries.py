@@ -442,12 +442,13 @@ def moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )
     SELECT 'l_linestatus' AS group_key, CAST(l_linestatus AS VARCHAR) AS group_value,
-           SUM(f) AS flagged, COUNT(*) AS total FROM flagged GROUP BY l_linestatus
+           CAST(SUM(f) AS BIGINT) AS flagged, COUNT(*) AS total
+    FROM flagged GROUP BY l_linestatus
     UNION ALL
-    SELECT 'supp_bucket', CAST(supp_bucket AS VARCHAR), SUM(f), COUNT(*)
+    SELECT 'supp_bucket', CAST(supp_bucket AS VARCHAR), CAST(SUM(f) AS BIGINT), COUNT(*)
     FROM flagged GROUP BY supp_bucket
     UNION ALL
-    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), SUM(f), COUNT(*)
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), CAST(SUM(f) AS BIGINT), COUNT(*)
     FROM flagged GROUP BY o_orderpriority
     """,
 )

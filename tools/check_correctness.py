@@ -47,6 +47,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver hashes *typed* values: DuckDB HUGEINT/DECIMAL vs
+        # Spark BIGINT hash differently even when numerically equal
+        # (the round-1 flag_summary failure). pandas kind is the proxy
+        # we can see locally — flag any kind disagreement.
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok and not ({sk, ok} <= {"O", "U", "S"}):
+            problems.append(f"col {c}: physical type mismatch "
+                            f"spark={sdf[c].dtype} oracle={odf[c].dtype} "
+                            f"(driver hashes typed values — cast the oracle)")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
             b = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
