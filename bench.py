@@ -28,9 +28,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "describe_partitions",
     "apply_flags",
-    "auto_clip",
+    "flagging_suite",
     "time_average",
-    "time_average_binned",
     "chan_average",
     "rebin",
     "statistics",
@@ -38,9 +37,9 @@ BENCH_QUERIES = [
     "flag_summary",
     "topk_orders",
     # imaging tier
-    "uv_grid",
+    "uv_grid_explode",
     "uv_grid_kernel",
-    "imaging_weight_briggs",
+    "imaging_weights",
     "direction_rotate",
     "dirty_image",
     "uv_degrid",
@@ -55,6 +54,7 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "media_metadata",
 ]
 
@@ -102,10 +102,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        if name not in qs:
+        fn = qs.get(name) or getattr(Q, f"{name}_q", None)
+        if fn is None:
             continue
         t0 = time.time()
-        _run(qs[name](spark, sf_dir))
+        _run(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -195,27 +195,36 @@ def grid_visibilities(
         return grid, sum_weight
 
     if variant == "kernel":
-        grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol)
+        grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol,
+                               precise=precise)
         return grid, sum_weight
 
     raise ValueError(f"unknown gridder variant: {variant}")
 
 
 def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
-                    *, chan: str, pol: str) -> DataFrame:
+                    *, chan: str, pol: str, precise: bool = False) -> DataFrame:
     """Partial dense grid per partition via vectorized numpy scatter-add;
     sparse nonzero cells out, final combine by groupBy sum — the
     reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
-    partial/final aggregation as the tree."""
+    partial/final aggregation as the tree.
+
+    ``precise`` quantizes each per-tap term with floor(x·1e9) and
+    accumulates BIGINT partial grids — integer addition is associative,
+    so the partition split cannot shift the result and the output is
+    bit-equal to the explode variant's precise path (same oracle twin).
+    A touch-count grid makes zero-sum touched cells emit rows exactly
+    like a groupBy over exploded taps would."""
     import pyspark.sql.types as T
 
+    val_t = T.LongType() if precise else T.DoubleType()
     out_schema = T.StructType([
         T.StructField(chan, T.IntegerType()),
         T.StructField(pol, T.IntegerType()),
         T.StructField("u_idx", T.IntegerType()),
         T.StructField("v_idx", T.IntegerType()),
-        T.StructField("grid_re", T.DoubleType()),
-        T.StructField("grid_im", T.DoubleType()),
+        T.StructField("grid_re", val_t),
+        T.StructField("grid_im", val_t),
     ])
     n_u, n_v, ov, half, support = gp.n_u, gp.n_v, gp.oversampling, gp.half, gp.support
     cgk_arr = cgk  # closure capture; broadcast with the task closure
@@ -228,38 +237,55 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                 continue
             key = (pdf[chan].to_numpy(np.int64) * 1_000_000
                    + pdf[pol].to_numpy(np.int64))
-            acc: dict[int, np.ndarray] = {}
+            acc: dict[int, tuple] = {}
             u_c = pdf["_u_c"].to_numpy(np.int64)
             v_c = pdf["_v_c"].to_numpy(np.int64)
             du = pdf["_du"].to_numpy(np.int64)
             dv = pdf["_dv"].to_numpy(np.int64)
-            wd = pdf["_wd_re"].to_numpy(np.float64) + 1j * pdf["_wd_im"].to_numpy(np.float64)
+            w_re = pdf["_wd_re"].to_numpy(np.float64)
+            w_im = pdf["_wd_im"].to_numpy(np.float64)
+            dt = np.int64 if precise else np.float64
             for k in np.unique(key):
                 sel = key == k
-                g = acc.setdefault(int(k), np.zeros((n_u, n_v), np.complex128))
-                uu, vv, duu, dvv, w = u_c[sel], v_c[sel], du[sel], dv[sel], wd[sel]
+                gre, gim, tou = acc.setdefault(int(k), (
+                    np.zeros((n_u, n_v), dt), np.zeros((n_u, n_v), dt),
+                    np.zeros((n_u, n_v), np.int64)))
+                uu, vv, duu, dvv = u_c[sel], v_c[sel], du[sel], dv[sel]
+                wre, wim = w_re[sel], w_im[sel]
                 for iu in range(-half, support - half):
                     cu = cgk_arr[np.abs(ov * iu + duu)]
                     for iv in range(-half, support - half):
                         cv = cgk_arr[np.abs(ov * iv + dvv)]
-                        np.add.at(g, (uu + iu, vv + iv), cu * cv * w)
+                        conv = cu * cv
+                        if precise:
+                            # same association as the explode/oracle
+                            # expression: floor((conv*wd)*1e9)
+                            tre = np.floor(conv * wre * 1.0e9).astype(np.int64)
+                            tim = np.floor(conv * wim * 1.0e9).astype(np.int64)
+                        else:
+                            tre, tim = conv * wre, conv * wim
+                        np.add.at(gre, (uu + iu, vv + iv), tre)
+                        np.add.at(gim, (uu + iu, vv + iv), tim)
+                        np.add.at(tou, (uu + iu, vv + iv), 1)
             rows = []
-            for k, g in acc.items():
-                ui, vi = np.nonzero(g)
+            for k, (gre, gim, tou) in acc.items():
+                ui, vi = np.nonzero(tou)
                 rows.append(pd.DataFrame({
                     chan: np.full(len(ui), k // 1_000_000, np.int32),
                     pol: np.full(len(ui), k % 1_000_000, np.int32),
                     "u_idx": ui.astype(np.int32),
                     "v_idx": vi.astype(np.int32),
-                    "grid_re": g[ui, vi].real,
-                    "grid_im": g[ui, vi].imag,
+                    "grid_re": gre[ui, vi],
+                    "grid_im": gim[ui, vi],
                 }))
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
     partials = prepared.select(*cols).mapInPandas(grid_batches, out_schema)
+    fin = (lambda c: F.sum(c) / F.lit(1.0e9)) if precise else F.sum
     return partials.groupBy(chan, pol, "u_idx", "v_idx").agg(
-        F.sum("grid_re").alias("grid_re"), F.sum("grid_im").alias("grid_im"))
+        fin(F.col("grid_re")).alias("grid_re"),
+        fin(F.col("grid_im")).alias("grid_im"))
 
 
 # ---------------------------------------------------------------------------

@@ -340,11 +340,10 @@ def cont_sub(df: DataFrame, *, fitorder: int = 2, chans: list[int] | None = None
                    chan=chan, pol=group_cols[2] if len(group_cols) > 2 else "pol",
                    data_cols=((value,),))  # single real column; the fitter
     # only consumes the flattened list (operators/fitting.py:108)
-    excl = None
-    if chans is not None:
-        all_chans = [r[0] for r in df.select(chan).distinct().collect()]
-        excl = sorted(set(all_chans) - set(chans))
-    fitted = uv_cont_fit(df, vs, fitorder=fitorder, excludechans=excl,
+    # fit-channel selection passes through as includechans — no driver
+    # collect of the distinct channel set, no extra job
+    fitted = uv_cont_fit(df, vs, fitorder=fitorder,
+                         includechans=None if chans is None else [int(c) for c in chans],
                          subtract=True)
     return fitted
 

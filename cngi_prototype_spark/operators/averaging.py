@@ -91,12 +91,19 @@ def time_average(
         # no global ordering, scales embarrassingly
         binned = df.withColumn("__tbin", F.window(F.col(vs.time), width).start)
     else:
-        # rank distinct times within each span group via a window over the
-        # *distinct-times* table (n_time rows), then broadcast back
+        # rank distinct times within each span group, then broadcast back
         dt = df.select(*span_keys, vs.time).distinct()
-        rank_w = Window.partitionBy(*[F.col(k) for k in span_keys]).orderBy(vs.time) \
-            if span_keys else Window.partitionBy().orderBy(vs.time)
-        dt = dt.withColumn("__tidx", F.row_number().over(rank_w) - 1)
+        if span_keys:
+            # rank restarts per span group; groups run in parallel and a
+            # group's distinct-time count bounds its task
+            rank_w = Window.partitionBy(*[F.col(k) for k in span_keys]).orderBy(vs.time)
+            dt = dt.withColumn("__tidx", F.row_number().over(rank_w) - 1)
+        else:
+            # NO single-partition sort: bucket times by VALUE with
+            # deterministic arithmetic boundaries (min/max — one scalar
+            # agg), rank locally per bucket, and add exact bucket-count
+            # offsets (B values to the driver, independent of row count)
+            dt = _distributed_time_rank(dt, vs.time)
         dt = dt.withColumn(
             "__tbin", F.min(F.col(vs.time)).over(
                 Window.partitionBy(*span_keys, F.floor(F.col("__tidx") / bin))
@@ -107,6 +114,43 @@ def time_average(
     group_cols = span_keys + ["__tbin", vs.baseline, vs.chan, vs.pol]
     out = binned.groupBy(*group_cols).agg(*_agg_exprs(vs, precise))
     return out.withColumnRenamed("__tbin", vs.time)
+
+
+def _distributed_time_rank(dt: DataFrame, time_col: str,
+                           n_buckets: int | None = None) -> DataFrame:
+    """Exact global dense rank of a distinct-values table without a
+    single-partition sort.
+
+    Values bucket by arithmetic position between min and max (two
+    scalars from one aggregate — deterministic, no sampling, so the
+    assignment is stable across re-executions, unlike
+    ``repartitionByRange``'s sampled boundaries). Each bucket ranks
+    locally in parallel; bucket counts (``n_buckets`` longs, not data)
+    cumsum on the driver into offsets. Skewed value distributions skew
+    buckets — raise ``n_buckets`` if a bucket approaches task-memory."""
+    spark = dt.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t = F.col(time_col).cast("double")
+    lo, hi = dt.agg(F.min(t), F.max(t)).collect()[0]
+    if lo is None or hi is None or hi <= lo:
+        vb = F.lit(0)
+    else:
+        vb = F.least(F.lit(n_buckets - 1),
+                     F.floor((t - F.lit(float(lo)))
+                             / F.lit((float(hi) - float(lo)) / n_buckets)).cast("int"))
+    dt = dt.withColumn("__vb", vb)
+    counts = {int(r["__vb"]): int(r["n"]) for r in
+              dt.groupBy("__vb").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets: list[int] = []
+    acc = 0
+    for b in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    off = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("__vb") + 1)
+    local = Window.partitionBy("__vb").orderBy(time_col)
+    return (dt.withColumn("__tidx", F.row_number().over(local) - 1 + off)
+            .drop("__vb"))
 
 
 def chan_average(

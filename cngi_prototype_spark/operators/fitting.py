@@ -38,7 +38,9 @@ def uv_cont_fit(
     vs: VisSchema = DEFAULT_VIS,
     fitorder: int = 1,
     excludechans: list[int] | None = None,
+    includechans: list[int] | None = None,
     subtract: bool = False,
+    precise: bool = False,
 ) -> DataFrame:
     """Fit a polynomial along chan per (time, baseline, pol) spectrum.
 
@@ -58,7 +60,21 @@ def uv_cont_fit(
     (``np.bincount`` per-group sums + batched ``np.linalg.pinv``) — zero
     per-group Python. x is rescaled to [-1, 1] per group before forming
     the normal equations so conditioning holds for fitorder <= ~6.
+
+    ``precise`` (gate hygiene, ``fitorder == 2`` only): each moment term
+    is quantized with ``floor(t·1e9)`` and summed exactly as integers,
+    and the system is solved by the explicit adjugate/determinant
+    expression — the identical expression tree the DuckDB twin runs, so
+    the continuum is bit-equal across engines (same trick as
+    imaging/grid.py's quantized gridder sums). Spectra whose moment
+    matrix is singular (fewer distinct chans than fitorder+1) come back
+    NaN in this mode instead of the pinv least-squares solution.
     """
+    if precise and fitorder != 2:
+        raise ValueError("precise uv_cont_fit supports fitorder=2 only")
+    if excludechans and includechans:
+        raise ValueError("specify at most one of excludechans/includechans")
+    incl = sorted(includechans) if includechans is not None else None
     excl = sorted(excludechans or [])
     keys = [vs.time, vs.baseline, vs.pol]
     data_cols = list(vs.flat_data_cols())
@@ -86,22 +102,43 @@ def uv_cont_fit(
         xmax = g[chan].transform("max").to_numpy(dtype=float)
         span = np.where(xmax > xmin, xmax - xmin, 1.0)
         x = (2.0 * (x_raw - xmin) / span) - np.where(xmax > xmin, 1.0, 0.0)
-        use = ~np.isin(pdf[chan].to_numpy(), excl) if excl else np.ones(len(x), bool)
+        if incl is not None:
+            use = np.isin(pdf[chan].to_numpy(), incl)
+        elif excl:
+            use = ~np.isin(pdf[chan].to_numpy(), excl)
+        else:
+            use = np.ones(len(x), bool)
         xp = np.stack([x**p for p in range(d + 1)])  # (d+1, n)
 
-        # normal-equation matrices for every group at once
-        A = np.zeros((n_groups, d + 1, d + 1))
-        for p in range(d + 1):
-            for q in range(p, d + 1):
-                s = np.bincount(codes[use], weights=(xp[p] * xp[q])[use],
-                                minlength=n_groups)
-                A[:, p, q] = s
-                A[:, q, p] = s
-        counts = np.bincount(codes[use], minlength=n_groups)
-        solvable = counts > d
-        Ainv = np.zeros_like(A)
-        if solvable.any():
-            Ainv[solvable] = np.linalg.pinv(A[solvable])
+        if precise:
+            # quantized moments + explicit adjugate solve: the exact
+            # expression tree of the SQL twin (see docstring)
+            def qsum(t: np.ndarray) -> np.ndarray:
+                acc = np.zeros(n_groups, np.int64)
+                np.add.at(acc, codes[use],
+                          np.floor(t * 1.0e9)[use].astype(np.int64))
+                return acc / 1.0e9
+
+            x2, x3, x4 = x * x, x * x * x, x * x * x * x
+            m0 = np.bincount(codes[use], minlength=n_groups).astype(np.float64)
+            m1, m2, m3, m4 = qsum(x), qsum(x2), qsum(x3), qsum(x4)
+            det = (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m2 * m3)
+                   + m2 * (m1 * m3 - m2 * m2))
+            ok = det != 0
+        else:
+            # normal-equation matrices for every group at once
+            A = np.zeros((n_groups, d + 1, d + 1))
+            for p in range(d + 1):
+                for q in range(p, d + 1):
+                    s = np.bincount(codes[use], weights=(xp[p] * xp[q])[use],
+                                    minlength=n_groups)
+                    A[:, p, q] = s
+                    A[:, q, p] = s
+            counts = np.bincount(codes[use], minlength=n_groups)
+            solvable = counts > d
+            Ainv = np.zeros_like(A)
+            if solvable.any():
+                Ainv[solvable] = np.linalg.pinv(A[solvable])
 
         res = pdf[keys + [chan]].copy()
         for c in data_cols:
@@ -111,13 +148,26 @@ def uv_cont_fit(
             if nan_mask.any():
                 med = g[c].transform("median").to_numpy(dtype=float)
                 yf[nan_mask] = np.where(np.isnan(med[nan_mask]), 0.0, med[nan_mask])
-            b = np.zeros((n_groups, d + 1))
-            for p in range(d + 1):
-                b[:, p] = np.bincount(codes[use], weights=(xp[p] * yf)[use],
-                                      minlength=n_groups)
-            coef = np.einsum("gij,gj->gi", Ainv, b)  # (n_groups, d+1)
-            cont = np.einsum("ni,in->n", coef[codes], xp)
-            cont[~solvable[codes]] = np.nan
+            if precise:
+                b0, b1, b2 = qsum(yf), qsum(x * yf), qsum(x2 * yf)
+                a0 = ((m2 * m4 - m3 * m3) * b0 + (m2 * m3 - m1 * m4) * b1
+                      + (m1 * m3 - m2 * m2) * b2)
+                a1 = ((m3 * m2 - m1 * m4) * b0 + (m0 * m4 - m2 * m2) * b1
+                      + (m1 * m2 - m0 * m3) * b2)
+                a2 = ((m1 * m3 - m2 * m2) * b0 + (m2 * m1 - m0 * m3) * b1
+                      + (m0 * m2 - m1 * m1) * b2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c0, c1, c2 = a0 / det, a1 / det, a2 / det
+                cont = c0[codes] + c1[codes] * x + c2[codes] * x * x
+                cont[~ok[codes]] = np.nan
+            else:
+                b = np.zeros((n_groups, d + 1))
+                for p in range(d + 1):
+                    b[:, p] = np.bincount(codes[use], weights=(xp[p] * yf)[use],
+                                          minlength=n_groups)
+                coef = np.einsum("gij,gj->gi", Ainv, b)  # (n_groups, d+1)
+                cont = np.einsum("ni,in->n", coef[codes], xp)
+                cont[~solvable[codes]] = np.nan
             res[c] = y - cont if subtract else y
             res[f"{c}_cont"] = cont
         yield res
@@ -252,6 +302,135 @@ def fit_gaussian(
 
     return df.select(*plane_cols, x_col, y_col, value_col).groupBy(*plane_cols) \
         .applyInPandas(fit_plane, schema=schema)
+
+
+def fit_gaussian_rl(
+    df: DataFrame,
+    plane_cols: list[str],
+    *,
+    l_col: str = "l_idx",
+    m_col: str = "m_idx",
+    value_col: str = "psf",
+    cell_arcsec: tuple[float, float] = (1.0, 1.0),
+    npix_window: tuple[int, int] = (21, 21),
+    sampling: tuple[int, int] = (401, 401),
+    cutoff: float = 0.5,
+    cutoff_sensitivity: float = 0.003,
+) -> DataFrame:
+    """Beam fit via the half-power-contour ellipse algebra
+    (cngi/image/fit_gaussian_rl.py:23-163 'rm_fit'): window the plane
+    center, upsample, collect the ``|v − cutoff| < sensitivity`` contour
+    points, fit a conic by the direct least-squares ellipse method
+    (Fitzgibbon-style generalized eigenproblem), and convert the
+    ellipse axes/rotation to beam FWHMs (arcsec) + position angle
+    (degrees east of north).
+
+    Divergence: the reference upsamples with scipy ``splinef2d``; scipy
+    is not a dependency here, so the upsampling is bilinear — at 401²
+    sampling over a 21² window the contour localization difference is
+    far below the contour-band width set by ``cutoff_sensitivity``.
+
+    Output per plane: (plane_cols..., major, minor, pa) — NaN when the
+    contour has too few points to constrain a conic.
+    """
+    schema = ", ".join(
+        [f"{k} {t}" for k, t in _types_of(df, plane_cols)]
+        + ["major double", "minor double", "pa double"]
+    )
+    nw0, nw1 = int(npix_window[0]), int(npix_window[1])
+    sa0, sa1 = int(sampling[0]), int(sampling[1])
+    d0, d1 = abs(float(cell_arcsec[0])), abs(float(cell_arcsec[1]))
+
+    def fit_plane(pdf: pd.DataFrame) -> pd.DataFrame:
+        li = pdf[l_col].to_numpy(int)
+        mi = pdf[m_col].to_numpy(int)
+        n_l, n_m = li.max() + 1, mi.max() + 1
+        img = np.full((n_l, n_m), np.nan)
+        img[li, mi] = pdf[value_col].to_numpy(float)
+        c0, c1 = n_l // 2, n_m // 2
+        win = img[c0 - nw0 // 2: c0 + nw0 // 2 + 1,
+                  c1 - nw1 // 2: c1 + nw1 // 2 + 1]
+        params = _rm_fit_window(win, (nw0, nw1), (sa0, sa1), (d0, d1),
+                                cutoff, cutoff_sensitivity)
+        row = {k: [pdf[k].iloc[0]] for k in plane_cols}
+        for name, val in zip(["major", "minor", "pa"], params):
+            row[name] = [val]
+        return pd.DataFrame(row)
+
+    return df.select(*plane_cols, l_col, m_col, value_col) \
+        .groupBy(*plane_cols).applyInPandas(fit_plane, schema=schema)
+
+
+def _rm_fit_window(win, npix_window, sampling, delta, cutoff, sens):
+    """Contour-ellipse beam fit of one centered window (numpy only)."""
+    nw0, nw1 = npix_window
+    sa0, sa1 = sampling
+    d0, d1 = delta
+    if win.shape != (nw0, nw1) or np.isnan(win).any():
+        return (np.nan, np.nan, np.nan)
+    # bilinear upsample onto the fine grid
+    fi = np.linspace(0.0, nw0 - 1.0, sa0)
+    fj = np.linspace(0.0, nw1 - 1.0, sa1)
+    i0 = np.clip(np.floor(fi).astype(int), 0, nw0 - 2)
+    j0 = np.clip(np.floor(fj).astype(int), 0, nw1 - 2)
+    ti = (fi - i0)[:, None]
+    tj = (fj - j0)[None, :]
+    up = (win[np.ix_(i0, j0)] * (1 - ti) * (1 - tj)
+          + win[np.ix_(i0 + 1, j0)] * ti * (1 - tj)
+          + win[np.ix_(i0, j0 + 1)] * (1 - ti) * tj
+          + win[np.ix_(i0 + 1, j0 + 1)] * ti * tj)
+    pts = np.argwhere(np.abs(up - cutoff) < sens).astype(float)
+    if len(pts) < 6:
+        return (np.nan, np.nan, np.nan)
+    mean = pts.mean(axis=0)
+    x, y = pts[:, 0] - mean[0], pts[:, 1] - mean[1]
+    # direct least-squares conic fit (generalized eigenproblem with the
+    # ellipse constraint 4AC - B^2 = 1; fit_gaussian_rl.py:57-70)
+    D = np.stack([x * x, x * y, y * y, x, y, np.ones_like(x)], axis=1)
+    S = D.T @ D
+    C = np.zeros((6, 6))
+    C[0, 2] = C[2, 0] = 2.0
+    C[1, 1] = -1.0
+    try:
+        evals, evecs = np.linalg.eig(np.linalg.inv(S) @ C)
+    except np.linalg.LinAlgError:
+        return (np.nan, np.nan, np.nan)
+    a = np.real(evecs[:, np.argmax(np.real(evals))])
+    if a[0] < 0:
+        a = -a
+    A, B, Cc, Dd, E, Fc = a
+    b, c, d, f, g, a0 = B / 2, Cc, Dd / 2, E / 2, Fc, A
+    num = b * b - a0 * c
+    if num == 0:
+        return (np.nan, np.nan, np.nan)
+    # semi-axes (standard conic algebra; fit_gaussian_rl.py:93-101)
+    up_t = 2 * (a0 * f * f + c * d * d + g * b * b - 2 * b * d * f - a0 * c * g)
+    den1 = num * (np.sqrt((a0 - c) ** 2 + 4 * b * b) - (a0 + c))
+    den2 = num * (-np.sqrt((a0 - c) ** 2 + 4 * b * b) - (a0 + c))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ax1 = np.sqrt(up_t / den1)
+        ax2 = np.sqrt(up_t / den2)
+    if not (np.isfinite(ax1) and np.isfinite(ax2)):
+        return (np.nan, np.nan, np.nan)
+    if b == 0:
+        phi = 0.0 if a0 > c else np.pi / 2
+    elif a0 < c:
+        phi = np.arctan(2 * b / (a0 - c)) / 2
+    else:
+        phi = np.pi / 2 + np.arctan(2 * b / (a0 - c)) / 2
+    pa = np.degrees(phi) - 90.0
+    if pa < -90.0:
+        pa += 180.0
+    fwhm1 = ax1 / (sa0 - 1) * (nw0 - 1) * d0 * 2
+    fwhm2 = ax2 / (sa1 - 1) * (nw1 - 1) * d1 * 2
+    major, minor = max(fwhm1, fwhm2), min(fwhm1, fwhm2)
+    if fwhm2 > fwhm1:
+        # phi measures the first conic axis; when the second is the
+        # major one the position angle is perpendicular
+        pa += 90.0
+        if pa >= 90.0:
+            pa -= 180.0
+    return (float(major), float(minor), float(pa))
 
 
 def _type_of(df: DataFrame, col: str) -> str:

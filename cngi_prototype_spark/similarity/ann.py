@@ -139,9 +139,12 @@ def cosine_pairs(
     """
     import pandas as pd
 
+    n = corpus.count()  # one metadata-light job; sizes the block count so
+    # sparse/non-contiguous ids still hash onto DENSE, even blocks
+    n_blocks = max(1, -(-n // block_size))
     unit = (corpus.select(F.col(id_col).alias("vid"),
                           _unit(_dvec(F.col(vec_col))).alias("uv"))
-            .withColumn("blk", F.floor(F.col("vid") / block_size)))
+            .withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks))))
     # pack each block as ONE flat array (Arrow moves flat doubles an
     # order of magnitude faster than nested list<list<double>>); ids and
     # vectors stay aligned via the same sort inside collect
@@ -204,6 +207,135 @@ def sql_cosine_pairs(threshold: float = 0.9) -> str:
     """
 
 
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs at corpus scale: hyperplane-LSH banding
+    generates candidates, exact (BLAS) cosine verifies within buckets.
+
+    This is the PRIMARY near-dup path for large corpora — the all-pairs
+    :func:`cosine_pairs` is O(n²·d/B) and serves as the exact oracle /
+    small-corpus tool. Shape: each vector lands in ``num_bands``
+    buckets (band, sig); only same-bucket pairs are scored, so work is
+    Σ_buckets |bucket|²·d and shuffle is ``num_bands × corpus`` — no
+    block cross-join anywhere in the plan. A pair is emitted once
+    (DISTINCT over bands). Recall follows the standard banding curve
+    1 − (1 − p^r)^b with p = 1 − θ/π; more bands → higher recall.
+    Skewed buckets (near-duplicate clusters) re-rank in one task each —
+    at extreme skew, split hot buckets by a salt on min(id) upstream.
+    """
+    import pandas as pd
+
+    planes = [[_plane(seed, b * planes_per_band + p, dim)
+               for p in range(planes_per_band)] for b in range(num_bands)]
+
+    unit = corpus.select(F.col(id_col).alias("vid"),
+                         _unit(_dvec(F.col(vec_col))).alias("uv"))
+
+    def band_sig(b: int) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("uv"),
+                               F.array(*[F.lit(w) for w in planes[b][p]]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x) >= 0, "1").otherwise("0")
+            for p in range(planes_per_band)
+        ]
+        return F.concat(*bits)
+
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+        for b in range(num_bands)
+    ])).alias("bs")
+    tagged = unit.select("vid", "uv", bands).select(
+        "vid", "uv", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    packed = (tagged.select("band", "sig", F.struct("vid", "uv").alias("s"))
+              .groupBy("band", "sig")
+              .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") > 1)
+              .select(F.transform("ss", lambda s: s["vid"]).alias("ids"),
+                      F.flatten(F.transform("ss", lambda s: s["uv"])).alias("flat")))
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame):
+        import numpy as np
+
+        frames = []
+        for r in pdf.itertuples():
+            ids = np.asarray(r.ids, dtype=np.int64)
+            m = np.asarray(r.flat, dtype=np.float64).reshape(len(ids), -1)
+            sims = np.round(m @ m.T, 6)  # round BEFORE thresholding,
+            # exactly like the SQL twin's ROUND(...) >= thr
+            ii, jj = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+            if len(ii):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[ii], "id_b": ids[jj], "cos_sim": sims[ii, jj]}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")})
+
+    pairs = packed.mapInPandas(lambda it: (bucket_pairs(pdf) for pdf in it),
+                               out_schema)
+    return pairs.distinct()
+
+
+def sql_cosine_pairs_lsh(threshold: float = 0.9, dim: int = 64,
+                         num_bands: int = 4, planes_per_band: int = 6,
+                         seed: int = 42) -> str:
+    """DuckDB twin of :func:`cosine_pairs_lsh`: same deterministic
+    planes, band-bucket self-join, unit-vector dot, round-6 before the
+    threshold, DISTINCT across bands."""
+    unit = ("list_transform({v}, x -> x / sqrt(list_reduce("
+            "list_transform({v}, y -> y * y), (acc, y) -> acc + y)))")
+    uv = unit.format(v=SQL_DVEC.format(v="embedding"))
+
+    def lit(xs: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.17e}" for x in xs) + "]"
+
+    def sig(b: int) -> str:
+        bits = []
+        for p in range(planes_per_band):
+            plane = _plane(seed, b * planes_per_band + p, dim)
+            dot = (f"list_reduce(list_transform(range(1, {dim} + 1),"
+                   f" i -> uv[i] * ({lit(plane)})[i]), (acc, x) -> acc + x)")
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vid, uv, {b} AS band, {sig(b)} AS sig FROM u"
+        for b in range(num_bands))
+    dot_ab = ("list_reduce(list_transform(range(1, len(a.uv) + 1),"
+              " i -> a.uv[i] * b.uv[i]), (acc, x) -> acc + x)")
+    return f"""
+    WITH u AS (SELECT vec_id AS vid, {uv} AS uv FROM embeddings),
+    tagged AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+           ROUND({dot_ab}, 6) AS cos_sim
+    FROM tagged a JOIN tagged b
+      ON a.band = b.band AND a.sig = b.sig AND a.vid < b.vid
+    WHERE ROUND({dot_ab}, 6) >= {threshold}
+    """
+
+
 def _plane(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5-derived, so signatures are reproducible across runs/engines."""
@@ -212,6 +344,50 @@ def _plane(seed: int, plane: int, dim: int) -> list[float]:
         h = hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()
         out.append(int(h[:12], 16) / float(16**12) * 2.0 - 1.0)
     return out
+
+
+def sql_lsh_topk(k: int = 5, dim: int = 64, num_planes: int = 8,
+                 seed: int = 42, query_pred: str = "vec_id < 10") -> str:
+    """DuckDB twin of :func:`lsh_topk`: the hyperplanes are deterministic
+    (md5-derived), so they inline as DOUBLE list literals; the signature
+    bit is the sign of the same sequential dot-product fold, and the
+    re-rank reuses the bit-stable cosine expression."""
+    planes = [_plane(seed, p, dim) for p in range(num_planes)]
+
+    def lit(xs: list[float]) -> str:
+        # e-notation parses directly as DOUBLE (a bare decimal would go
+        # through DECIMAL and lose the last ulp)
+        return "[" + ", ".join(f"{x:.17e}" for x in xs) + "]"
+
+    def sig(v: str) -> str:
+        bits = []
+        for p in range(num_planes):
+            dot = (f"list_reduce(list_transform(range(1, {dim} + 1),"
+                   f" i -> {v}[i] * ({lit(planes[p])})[i]), (acc, x) -> acc + x)")
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    cos = sql_cosine("q.qv", "c.cv")
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id,
+                      {SQL_DVEC.format(v='embedding')} AS cv,
+                      {sig(SQL_DVEC.format(v='embedding'))} AS sig
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id,
+                 {SQL_DVEC.format(v='embedding')} AS qv,
+                 {sig(SQL_DVEC.format(v='embedding'))} AS sig
+          FROM embeddings WHERE {query_pred}),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id, {cos} AS cos_sim
+      FROM c JOIN q USING (sig) WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def lsh_topk(

@@ -90,3 +90,24 @@ def test_rebin(vis_df):
         value_cols=["data_re"],
     )
     assert out.select("chan").distinct().count() == 4
+
+
+def test_time_average_bin_span_none_no_global_sort(vis_df, spark):
+    import pandas as pd
+    from cngi_prototype_spark.plans import explain_formatted
+
+    out = OA.time_average(vis_df, bin=4, span="none")
+    # correctness: bins of 4 adjacent distinct times, labeled by bin-min
+    pdf = vis_df.toPandas()
+    times = sorted(pdf["time"].unique())
+    lut = {t: times[(i // 4) * 4] for i, t in enumerate(times)}
+    pdf["tbin"] = pdf["time"].map(lut)
+    expect = (pdf.groupby(["tbin", "baseline", "chan", "pol"])
+              .size().reset_index(name="n"))
+    got = out.toPandas()
+    assert len(got) == len(expect)
+    merged = got.merge(expect, left_on=["time", "baseline", "chan", "pol"],
+                       right_on=["tbin", "baseline", "chan", "pol"])
+    assert (merged["n_samples"] == merged["n"]).all()
+    # scale: the distinct-time rank must not serialize into one task
+    assert "Exchange SinglePartition" not in explain_formatted(out)

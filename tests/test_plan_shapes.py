@@ -29,14 +29,14 @@ def test_q1_pushdown_pruning_partial_agg(spark):
 
 
 def test_gridder_single_shuffle_with_map_side_combine(spark):
-    df = Q.queries()["uv_grid"](spark, SF)
+    df = Q.uv_grid_explode_q(spark, SF)
     # 49x tap explosion must collapse before the one grid shuffle
     assert has_partial_aggregation(df)
     assert count_exchanges(df) == 1
 
 
 def test_imaging_weight_briggs_broadcasts(spark):
-    df = Q.queries()["imaging_weight_briggs"](spark, SF)
+    df = Q.queries()["imaging_weights"](spark, SF)
     assert has_broadcast_join(df)
 
 
@@ -45,6 +45,16 @@ def test_degrid_never_broadcasts_row_keyed_side(spark):
     # cell-bounded grid side may carry a broadcast hint (exactly one).
     df = Q.queries()["uv_degrid"](spark, SF)
     assert broadcast_hint_count(df) == 1
+
+
+def test_neardup_lsh_has_no_cross_join(spark):
+    # the scale path must candidate via bucket groupBy, never a block
+    # cross-join (the all-pairs path is the oracle, not the plan)
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.embedding_neardup_lsh_q(spark, SF)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_time_average_prunes_columns(spark):
