@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
-    "media_metadata",
+    "media_suite",
 ]
 
 
@@ -89,6 +89,57 @@ def major_cycle(spark, sf_dir: str):
     return make_image(vis, gp, image_size=(400, 400), weight="weight")
 
 
+# CHILES throughput constants (BASELINE.md md 9): 727,272 MS rows x
+# 30,720 chans x 2 pols gridded with the standard gridder at support 17
+# onto a (1000, 1000) image, 45 min on 128 cores for the prototype.
+_CHILES_VIS = 727_272 * 30_720 * 2
+_CHILES_TAPS = 17 * 17
+_CHILES_SEC = 45 * 60
+_CHILES_CORES = 128
+_CHILES_TAPS_PER_S_CORE = _CHILES_VIS * _CHILES_TAPS / _CHILES_SEC / _CHILES_CORES
+
+
+def chiles_frac(spark, sf_dir: str, cpus: int):
+    """CHILES-shaped major cycle at a declared fraction of the 2.5 TB
+    workload: standard gridder, support 17 (289 taps/vis), padded grid
+    1024x1024, image 1000x1000, 8 chans x 2 pols; the events table
+    supplies the visibility rows. Returns (dataframe, n_vis) — the
+    caller times a full noop-write execution and converts to
+    vis.taps/s/core for comparison against the 45-min/128-core figure."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.imaging.grid import GridParms
+    from cngi_prototype_spark.imaging.image import make_image
+
+    gp = GridParms(n_u=1024, n_v=1024, cell_u=1.25e-6, cell_v=1.25e-6,
+                   support=17, oversampling=100)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # replicate each event into REP distinct visibilities (distinct uv
+    # sample per replica) so gridding work dominates the fixed per-plane
+    # costs (FFT, image materialization) the way it does at full CHILES
+    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "512"))
+    n_vis = ev.count() * rep
+    r = F.col("_rep")
+    eid = F.col("event_id") * rep + r
+    vis = ev.select(
+        "event_id", "user_id", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("_rep"),
+    ).select(
+        ((eid * 7919 % 2000000) / F.lit(2.0) - F.lit(500000.0)).alias("u"),
+        (((eid * 104729 + F.col("user_id")) % 2000000) / F.lit(2.0) - F.lit(500000.0)).alias("v"),
+        (F.lit(1.4e9) + (eid % 8) * F.lit(1.0e6)).alias("freq"),
+        (eid % 8).cast("int").alias("chan"),
+        ((F.col("user_id") + r) % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (-F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (eid % 5).cast("double")).alias("weight"),
+    )
+    img = make_image(vis, gp, image_size=(1000, 1000), weight="weight",
+                     variant="kernel", n_planes=16, output="planes")
+    return img, n_vis
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -113,12 +164,30 @@ def main() -> None:
     _run(major_cycle(spark, sf_dir))
     timings["imaging_major_cycle"] = round(time.time() - t0, 3)
 
+    img, n_vis = chiles_frac(spark, sf_dir, cpus)
+    t0 = time.time()
+    _run(img)
+    chiles_sec = round(time.time() - t0, 3)
+    timings["imaging_chiles_frac"] = chiles_sec
+    taps_per_s_core = n_vis * _CHILES_TAPS / chiles_sec / cpus
+    chiles = {
+        "declared_fraction": round(n_vis / _CHILES_VIS, 9),
+        "n_vis": n_vis,
+        "taps_per_vis": _CHILES_TAPS,
+        "taps_per_s_core": round(taps_per_s_core),
+        "baseline_taps_per_s_core": round(_CHILES_TAPS_PER_S_CORE),
+        # <1.0 means faster than the prototype's per-core throughput
+        "vs_baseline": round(_CHILES_TAPS_PER_S_CORE / taps_per_s_core, 3)
+        if taps_per_s_core > 0 else None,
+    }
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "chiles": chiles,
         "sf": sf,
         "cpus": cpus,
     }))

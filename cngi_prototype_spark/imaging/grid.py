@@ -21,11 +21,22 @@ Two physical strategies, same semantics:
    Whole-stage codegen keeps the kernel-weight arithmetic JVM-side.
 
 2. ``variant="kernel"`` — Arrow-batched ``mapInPandas``: a vectorized
-   numpy scatter-add builds a *partial dense grid per input partition*,
-   emitted as sparse nonzero cells and combined by the same final
-   ``groupBy`` sum. Preferred when ``support`` is large (taps grow
-   quadratically) or the touched-cell count per task approaches the
-   full grid, making the dense partial strictly smaller.
+   numpy scatter (per-tap 1-D bincount loop; u-axis kernel factors
+   computed once per iu and reused across iv) builds *partial dense
+   grids per partition*, emitted as sparse nonzero cells and combined
+   by the same final ``groupBy`` sum. Preferred when ``support`` is
+   large (taps grow quadratically) or the touched-cell count per task
+   approaches the full grid, making the dense partial strictly smaller.
+
+   With ``dense_planes=True`` (cube-imaging fast path, used by
+   ``make_image(output="planes")``): input repartitions by
+   (chan, pol, u-slab), each task scatters into L2-resident slab
+   arrays, and partials are emitted as WHOLE ARRAYS (one row per
+   plane-slab) — no per-cell row explosion; the FFT consumer places
+   and sums slabs directly. At the CHILES shape (support 17, 1024²
+   padded grid) this path measures within ~1.4x of the reference
+   prototype's per-core gridding throughput (see bench.py
+   imaging_chiles_frac) where the sparse-cell emission was ~10x off.
 
 The per-visibility kernel normalization is separable
 (``Σ_{u,v} conv_u·conv_v = (Σ conv_u)(Σ conv_v)``), so the
@@ -136,6 +147,8 @@ def grid_visibilities(
     pol: str = "pol",
     variant: str = "explode",
     precise: bool = False,
+    n_planes: int | None = None,
+    dense_planes: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid visibilities → ``(grid_df, sum_weight_df)``.
 
@@ -196,14 +209,17 @@ def grid_visibilities(
 
     if variant == "kernel":
         grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol,
-                               precise=precise)
+                               precise=precise, n_planes=n_planes,
+                               dense_planes=dense_planes)
         return grid, sum_weight
 
     raise ValueError(f"unknown gridder variant: {variant}")
 
 
 def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
-                    *, chan: str, pol: str, precise: bool = False) -> DataFrame:
+                    *, chan: str, pol: str, precise: bool = False,
+                    n_planes: int | None = None,
+                    dense_planes: bool = False) -> DataFrame:
     """Partial dense grid per partition via vectorized numpy scatter-add;
     sparse nonzero cells out, final combine by groupBy sum — the
     reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
@@ -228,27 +244,113 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     ])
     n_u, n_v, ov, half, support = gp.n_u, gp.n_v, gp.oversampling, gp.half, gp.support
     cgk_arr = cgk  # closure capture; broadcast with the task closure
-
+    dense_salt = 1
+    if dense_planes and n_planes:
+        _p = int(prepared.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        dense_salt = max(1, -(-4 * _p // max(1, int(n_planes))))
+    slab_w = -(-n_u // dense_salt)
     cols = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im"]
 
+    def _scatter(uu, vv, duu, dvv, wre, wim, h):
+        # per-tap 1-D loop: the u-axis kernel factor (and its product
+        # with the weighted data) is computed ONCE per iu and reused
+        # across the iv taps — half the gathers of the 2-D
+        # (rows x taps) form, and every temporary is a cache-resident
+        # 1-D array; scatter target is (h, n_v) flattened
+        fre = np.zeros(h * n_v)
+        fim = np.zeros(h * n_v)
+        idx_base = uu * n_v + vv
+        for iu in range(-half, support - half):
+            cu = cgk_arr[np.abs(ov * iu + duu)]
+            cur, cui = cu * wre, cu * wim
+            base_u = idx_base + iu * n_v
+            for iv in range(-half, support - half):
+                cv = cgk_arr[np.abs(ov * iv + dvv)]
+                idx = base_u + iv
+                fre += np.bincount(idx, cv * cur, minlength=h * n_v)
+                fim += np.bincount(idx, cv * cui, minlength=h * n_v)
+        return fre, fim
+
     def grid_batches(batches):
+        if precise:
+            yield from _precise_batches(batches)
+            return
+        # production path: ONE pass over the whole partition. Arrow
+        # hands ~10k-row batches; concatenating first lets every
+        # bincount call scatter tens of millions of updates, so the
+        # O(grid) zeroing of the bincount result is amortized to noise
+        # (per-batch bincounts spend more time zeroing than adding).
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        key = (pdf[chan].to_numpy(np.int64) * 1_000_000
+               + pdf[pol].to_numpy(np.int64))
+        u_c = pdf["_u_c"].to_numpy(np.int64)
+        v_c = pdf["_v_c"].to_numpy(np.int64)
+        du = pdf["_du"].to_numpy(np.int64)
+        dv = pdf["_dv"].to_numpy(np.int64)
+        w_re = pdf["_wd_re"].to_numpy(np.float64)
+        w_im = pdf["_wd_im"].to_numpy(np.float64)
+        rows = []
+        for k in np.unique(key):
+            sel = key == k
+            # sort by cell: quasi-sequential scatter targets keep the
+            # bincount adds cache-resident (~1.5x)
+            order = np.argsort(u_c[sel] * n_v + v_c[sel], kind="stable")
+            uu, vv = u_c[sel][order], v_c[sel][order]
+            duu, dvv = du[sel][order], dv[sel][order]
+            wre, wim = w_re[sel][order], w_im[sel][order]
+            if dense_planes:
+                # slab-local scatter; one array row per (plane, slab)
+                slab_ids = uu // slab_w
+                for sl in np.unique(slab_ids):
+                    sm = slab_ids == sl
+                    u0 = int(sl) * slab_w - half
+                    h = slab_w + 2 * half
+                    sre, sim = _scatter(uu[sm] - u0, vv[sm], duu[sm],
+                                        dvv[sm], wre[sm], wim[sm], h)
+                    rows.append(pd.DataFrame({
+                        chan: [np.int32(k // 1_000_000)],
+                        pol: [np.int32(k % 1_000_000)],
+                        "u0": [np.int32(u0)],
+                        "grid_re": [sre], "grid_im": [sim],
+                    }))
+                continue
+            fre, fim = _scatter(uu, vv, duu, dvv, wre, wim, n_u)
+            flat = np.nonzero((fre != 0) | (fim != 0))[0]
+            ui, vi = flat // n_v, flat % n_v
+            rows.append(pd.DataFrame({
+                chan: np.full(len(ui), k // 1_000_000, np.int32),
+                pol: np.full(len(ui), k % 1_000_000, np.int32),
+                "u_idx": ui.astype(np.int32),
+                "v_idx": vi.astype(np.int32),
+                "grid_re": fre[flat],
+                "grid_im": fim[flat],
+            }))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    def _precise_batches(batches):
+        # gate path: quantized int64 partials, accumulated across
+        # batches, emitted once per partition
+        acc: dict[int, tuple] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             key = (pdf[chan].to_numpy(np.int64) * 1_000_000
                    + pdf[pol].to_numpy(np.int64))
-            acc: dict[int, tuple] = {}
             u_c = pdf["_u_c"].to_numpy(np.int64)
             v_c = pdf["_v_c"].to_numpy(np.int64)
             du = pdf["_du"].to_numpy(np.int64)
             dv = pdf["_dv"].to_numpy(np.int64)
             w_re = pdf["_wd_re"].to_numpy(np.float64)
             w_im = pdf["_wd_im"].to_numpy(np.float64)
-            dt = np.int64 if precise else np.float64
             for k in np.unique(key):
                 sel = key == k
                 gre, gim, tou = acc.setdefault(int(k), (
-                    np.zeros((n_u, n_v), dt), np.zeros((n_u, n_v), dt),
+                    np.zeros((n_u, n_v), np.int64),
+                    np.zeros((n_u, n_v), np.int64),
                     np.zeros((n_u, n_v), np.int64)))
                 uu, vv, duu, dvv = u_c[sel], v_c[sel], du[sel], dv[sel]
                 wre, wim = w_re[sel], w_im[sel]
@@ -257,31 +359,68 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     for iv in range(-half, support - half):
                         cv = cgk_arr[np.abs(ov * iv + dvv)]
                         conv = cu * cv
-                        if precise:
-                            # same association as the explode/oracle
-                            # expression: floor((conv*wd)*1e9)
-                            tre = np.floor(conv * wre * 1.0e9).astype(np.int64)
-                            tim = np.floor(conv * wim * 1.0e9).astype(np.int64)
-                        else:
-                            tre, tim = conv * wre, conv * wim
-                        np.add.at(gre, (uu + iu, vv + iv), tre)
-                        np.add.at(gim, (uu + iu, vv + iv), tim)
+                        # same association as the explode/oracle
+                        # expression: floor((conv*wd)*1e9)
+                        np.add.at(gre, (uu + iu, vv + iv),
+                                  np.floor(conv * wre * 1.0e9).astype(np.int64))
+                        np.add.at(gim, (uu + iu, vv + iv),
+                                  np.floor(conv * wim * 1.0e9).astype(np.int64))
                         np.add.at(tou, (uu + iu, vv + iv), 1)
-            rows = []
-            for k, (gre, gim, tou) in acc.items():
-                ui, vi = np.nonzero(tou)
-                rows.append(pd.DataFrame({
-                    chan: np.full(len(ui), k // 1_000_000, np.int32),
-                    pol: np.full(len(ui), k % 1_000_000, np.int32),
-                    "u_idx": ui.astype(np.int32),
-                    "v_idx": vi.astype(np.int32),
-                    "grid_re": gre[ui, vi],
-                    "grid_im": gim[ui, vi],
-                }))
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
+        rows = []
+        for k, (gre, gim, tou) in acc.items():
+            ui, vi = np.nonzero(tou)
+            rows.append(pd.DataFrame({
+                chan: np.full(len(ui), k // 1_000_000, np.int32),
+                pol: np.full(len(ui), k % 1_000_000, np.int32),
+                "u_idx": ui.astype(np.int32),
+                "v_idx": vi.astype(np.int32),
+                "grid_re": gre[ui, vi],
+                "grid_im": gim[ui, vi],
+            }))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
 
-    partials = prepared.select(*cols).mapInPandas(grid_batches, out_schema)
+    if dense_planes and precise:
+        raise ValueError("dense_planes is the production fast path; "
+                         "precise gate mode emits sparse cells")
+    if dense_planes:
+        import pyspark.sql.types as T
+
+        dense_schema = T.StructType([
+            T.StructField(chan, T.IntegerType()),
+            T.StructField(pol, T.IntegerType()),
+            T.StructField("u0", T.IntegerType()),
+            T.StructField("grid_re", T.ArrayType(T.DoubleType())),
+            T.StructField("grid_im", T.ArrayType(T.DoubleType())),
+        ])
+        src = prepared.select(*cols)
+        if n_planes:
+            # salt by CONTIGUOUS u-range, not hash: each (plane, slab)
+            # scatters into a slab-sized array (L2-resident) instead of
+            # the full grid, so the per-tap bincount zeroing is bounded
+            # by the slab and emitted partials stay small
+            spark = prepared.sparkSession
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            salt = F.floor(F.col("_u_c") / F.lit(slab_w))
+            src = src.repartition(p, chan, pol, salt)
+        # partial planes merge in the consumer (array placement + sums
+        # before the FFT)
+        return src.mapInPandas(grid_batches, dense_schema)
+    src = prepared.select(*cols)
+    if n_planes:
+        # co-locate each (chan, pol) plane so a task allocates only its
+        # own partial grids; a small salt keeps all cores busy when the
+        # plane count is below the core count (CHILES has 61k planes on
+        # 128 cores -> salt 1; the inverse shape salts up)
+        spark = prepared.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # 4x oversubscription of (plane, salt) combos vs partitions:
+        # plain hash placement is balls-in-bins, and combos == partitions
+        # leaves ~1/3 of cores idle on collisions
+        salt_n = max(1, -(-4 * p // max(1, int(n_planes))))
+        src = src.repartition(
+            p, chan, pol, F.pmod(F.xxhash64("_u_c", "_v_c"), F.lit(salt_n)))
+    partials = src.mapInPandas(grid_batches, out_schema)
     fin = (lambda c: F.sum(c) / F.lit(1.0e9)) if precise else F.sum
     return partials.groupBy(chan, pol, "u_idx", "v_idx").agg(
         fin(F.col("grid_re")).alias("grid_re"),

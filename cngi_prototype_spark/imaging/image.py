@@ -92,11 +92,80 @@ def image_from_grid(
     return joined.groupBy(chan, pol).applyInPandas(plane, schema)
 
 
+def image_planes_from_dense(
+    partials_df: DataFrame,
+    sumw_df: DataFrame,
+    gp: GridParms,
+    *,
+    image_size: tuple[int, int] | None = None,
+    chan: str = "chan",
+    pol: str = "pol",
+    out: str = "image",
+    correct_pswf: bool = True,
+) -> DataFrame:
+    """Dense partial planes (grid_visibilities ``dense_planes=True``) →
+    corrected image, ONE ROW PER PLANE with the image as a flat l-major
+    array. This is the cube-imaging fast path: no per-cell or per-pixel
+    row explosion anywhere — partial grids shuffle as whole arrays and
+    the written representation is the dense plane, exactly like the
+    reference's zarr image arrays (make_image.py:104-130)."""
+    n_u, n_v = gp.n_u, gp.n_v
+    crop = image_size or (n_u, n_v)
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField(out, T.ArrayType(T.DoubleType())),
+    ])
+    joined = partials_df.join(F.broadcast(sumw_df), on=[chan, pol], how="left")
+
+    if correct_pswf:
+        cu_full = pswf((np.arange(n_u) - n_u // 2) / (n_u // 2))[0]
+        cv_full = pswf((np.arange(n_v) - n_v // 2) / (n_v // 2))[0]
+
+    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = np.zeros((n_u, n_v), np.complex128)
+        for r in pdf.itertuples():
+            # partials are u-slabs [u0, u0 + len/n_v) of the grid
+            # (grid.py dense_planes emission); u0 may poke past the
+            # edges by the kernel half-width — clip on placement
+            arr = (np.asarray(r.grid_re) + 1j * np.asarray(r.grid_im)
+                   ).reshape(-1, n_v)
+            u0 = int(r.u0)
+            a0, a1 = max(0, -u0), min(len(arr), n_u - u0)
+            g[u0 + a0:u0 + a1] += arr[a0:a1]
+        img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
+        lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
+        img = img[lo_u:lo_u + crop[0], lo_v:lo_v + crop[1]].real * (n_u * n_v)
+        sw = pdf["sum_weight"].iloc[0]
+        if sw is None or pd.isna(sw) or sw == 0:
+            sw = 1.0
+        img = img / sw
+        if correct_pswf:
+            img = img / np.outer(cu_full[lo_u:lo_u + crop[0]],
+                                 cv_full[lo_v:lo_v + crop[1]])
+        return pd.DataFrame({chan: [key[0]], pol: [key[1]],
+                             out: [img.ravel()]})
+
+    return joined.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
 def make_image(vis_df: DataFrame, gp: GridParms, *,
                image_size: tuple[int, int] | None = None,
                weight: str = "imaging_weight", variant: str = "explode",
-               **cols) -> DataFrame:
-    """Dirty image from visibilities (make_image.py:104-130)."""
+               output: str = "cells", **cols) -> DataFrame:
+    """Dirty image from visibilities (make_image.py:104-130).
+
+    ``output="cells"`` emits (chan, pol, l_idx, m_idx, image) rows;
+    ``output="planes"`` (kernel variant only) keeps the whole pipeline
+    dense — partial grids and the image travel as flat plane arrays."""
+    if output == "planes":
+        if variant != "kernel":
+            raise ValueError("output='planes' requires variant='kernel'")
+        partials, sumw = grid_visibilities(vis_df, gp, weight=weight,
+                                           variant=variant,
+                                           dense_planes=True, **cols)
+        return image_planes_from_dense(partials, sumw, gp,
+                                       image_size=image_size, out="image")
     grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
                                    variant=variant, **cols)
     return image_from_grid(grid, sumw, gp, image_size=image_size, out="image")

@@ -33,13 +33,140 @@ def _fake_decode(blob: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
 
 
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """Real PPM/PGM decoder (netpbm P6/P5, binary, maxval <= 255) in
+    pure numpy: whitespace-token header, then raw samples. Returns
+    (h, w, 3) for P6, (h, w) for P5."""
+    magic = blob[:2]
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i:i + 1].isspace():
+            i += 1
+        if blob[i:i + 1] == b"#":  # comment to end of line
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(blob[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * ch, offset=i)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    """Real BMP decoder (BITMAPINFOHEADER, 24bpp, uncompressed) in pure
+    numpy: bottom-up BGR rows padded to 4 bytes. Returns (h, w, 3) RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24bpp uncompressed BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, np.uint8, count=stride * abs(h), offset=off)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_wav(blob: bytes) -> np.ndarray:
+    """Real WAV decoder (RIFF, PCM16) in pure numpy: chunk walk to
+    fmt/data. Returns (n_frames, n_channels) int16-valued array."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, n_ch, bits = 12, 1, 16
+    data = None
+    while i + 8 <= len(blob):
+        cid = blob[i:i + 4]
+        sz = int.from_bytes(blob[i + 4:i + 8], "little")
+        body = blob[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            n_ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if data is None or bits != 16:
+        raise NotImplementedError("PCM16 data chunk not found")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, n_ch)
+
+
 def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
+    # real pure-numpy decoders for self-describing formats; the fake
+    # pseudo-decoder only stands in for codec formats (JPEG/MP4/...)
+    # whose libraries are not in this environment
+    if blob[:2] in (b"P6", b"P5"):
+        return _decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:4] == b"RIFF":
+        return _decode_wav(blob)
     if fake:
         return _fake_decode(blob)
     raise NotImplementedError(
-        "real media decoding needs PIL/av which are not installed; "
-        "pass fake=True for the deterministic test decoder"
+        "blob is not PPM/PGM/BMP/WAV; codec formats need PIL/av which "
+        "are not installed — pass fake=True for the deterministic "
+        "test decoder"
     )
+
+
+# --- deterministic encoders (test/gate fixtures; formulas are the SQL
+# twins' closed forms) -------------------------------------------------
+
+def synth_ppm(seed: int, w: int = 12, h: int = 8) -> bytes:
+    """P6 with rgb(i,j) = ((s*7+i*3+j)%256, (s*11+i)%256, (s*13+j*5)%256)."""
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([(seed * 7 + ii * 3 + jj) % 256,
+                   (seed * 11 + ii) % 256,
+                   (seed * 13 + jj * 5) % 256], axis=2).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def synth_bmp(seed: int, w: int = 8, h: int = 6) -> bytes:
+    """24bpp BMP with rgb(i,j) = ((s+j*9)%256, (s*3+i)%256, (s*5+i*7+j*11)%256)."""
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    bgr = np.stack([(seed * 5 + ii * 7 + jj * 11) % 256,
+                    (seed * 3 + ii) % 256,
+                    (seed + jj * 9) % 256], axis=2).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = bgr[::-1].reshape(h, w * 3)  # bottom-up storage
+    body = rows.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little"))
+    info = (b"\x28\0\0\0" + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\0" * 24)
+    return header + info + body
+
+
+def synth_wav(seed: int, n: int = 64) -> bytes:
+    """PCM16 mono WAV with s(t) = (seed*17 + t*9) % 65536 - 32768."""
+    t = np.arange(n)
+    samples = ((seed * 17 + t * 9) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    return (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+            + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
 
 
 def decode_media(

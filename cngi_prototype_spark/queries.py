@@ -1426,25 +1426,92 @@ def predict_modelvis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from cngi_prototype_spark.multimodal.media import (  # noqa: E402
+    decode_media,
     documents_as_media,
     media_features,
     media_metadata,
     sample_frames,
+    synth_bmp,
+    synth_ppm,
+    synth_wav,
 )
+
+
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(documents_as_media(_docs(spark, sf_dir)))
+
+
+def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: deterministic PPM/BMP/WAV payloads built per
+    doc, decoded by the pure-numpy parsers (no fake), reduced to
+    dimensions + integer pixel/sample sums with closed-form SQL twins."""
+    import pandas as pd  # noqa: PLC0415
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 150)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows += [(d * 4, synth_ppm(d)), (d * 4 + 1, synth_bmp(d)),
+                         (d * 4 + 2, synth_wav(d))]
+            yield pd.DataFrame(rows, columns=["media_id", "media"])
+
+    blobs = ids.mapInPandas(enc, "media_id long, media binary")
+    dec = decode_media(blobs, fake=False)
+    return dec.select(
+        "media_id", "width", "height",
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("px_sum"))
+
+
+_N_PPM, _N_BMP, _N_WAV = len(synth_ppm(0)), len(synth_bmp(0)), len(synth_wav(0))
 
 
 @register(
-    "media_metadata",
-    """
-    SELECT doc_id AS media_id,
+    "media_suite",
+    f"""
+    SELECT 'metadata' AS part, doc_id AS media_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            md5(text) AS blob_md5,
-           upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+           upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic,
+           -1 AS width, -1 AS height, CAST(-1 AS BIGINT) AS px_sum
     FROM documents
+    UNION ALL
+    SELECT 'decode', doc_id * 4, {_N_PPM}, '', '', 12, 8,
+           CAST(SUM((doc_id*7 + i.range*3 + j.range) % 256
+                  + (doc_id*11 + i.range) % 256
+                  + (doc_id*13 + j.range*5) % 256) AS BIGINT)
+    FROM documents, range(8) i, range(12) j
+    WHERE doc_id < 150 GROUP BY doc_id
+    UNION ALL
+    SELECT 'decode', doc_id * 4 + 1, {_N_BMP}, '', '', 8, 6,
+           CAST(SUM((doc_id + j.range*9) % 256
+                  + (doc_id*3 + i.range) % 256
+                  + (doc_id*5 + i.range*7 + j.range*11) % 256) AS BIGINT)
+    FROM documents, range(6) i, range(8) j
+    WHERE doc_id < 150 GROUP BY doc_id
+    UNION ALL
+    SELECT 'decode', doc_id * 4 + 2, {_N_WAV}, '', '', 1, 64,
+           CAST(SUM((doc_id*17 + t.range*9) % 65536 - 32768) AS BIGINT)
+    FROM documents, range(64) t
+    WHERE doc_id < 150 GROUP BY doc_id
     """,
 )
-def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_metadata(documents_as_media(_docs(spark, sf_dir)))
+def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = media_metadata_q(spark, sf_dir).select(
+        F.lit("metadata").alias("part"), "media_id", "n_bytes", "blob_md5",
+        "magic", F.lit(-1).alias("width"), F.lit(-1).alias("height"),
+        F.lit(-1).cast("long").alias("px_sum"))
+    nbytes = (F.when(F.col("media_id") % 4 == 0, _N_PPM)
+              .when(F.col("media_id") % 4 == 1, _N_BMP)
+              .otherwise(_N_WAV).cast("long"))
+    dec = media_decode_q(spark, sf_dir).select(
+        F.lit("decode").alias("part"), "media_id", nbytes.alias("n_bytes"),
+        F.lit("").alias("blob_md5"), F.lit("").alias("magic"),
+        "width", "height", "px_sum")
+    return meta.unionByName(dec)
 
 
 @register("media_pixel_features", None)  # stub decoder: rows-only

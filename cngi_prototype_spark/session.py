@@ -36,6 +36,11 @@ def initialize_framework(
     - Arrow enabled for every pandas-UDF boundary.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # local mode = driver-only JVM: Spark's 1g default OOMs dense cube
+    # workloads, while oversized heaps measurably slow shuffle-heavy
+    # queries via GC (ngram/dedup ~2x at 64g) — 8g is the sweet spot on
+    # this 128 GiB box (override via SPARK_GRAFT_MEM)
+    memory = memory or os.environ.get("SPARK_GRAFT_MEM", "8g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -49,8 +54,7 @@ def initialize_framework(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
-    if memory:
-        builder = builder.config("spark.driver.memory", memory)
+    builder = builder.config("spark.driver.memory", memory)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

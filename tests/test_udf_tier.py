@@ -96,3 +96,23 @@ def test_fit_gaussian_psf(spark):
     exp_major, exp_minor = 3.0 / np.sqrt(2), 2.0 / np.sqrt(2)
     assert np.all(np.abs(out["major"] - exp_major) / exp_major < 0.15)
     assert np.all(np.abs(out["minor"] - exp_minor) / exp_minor < 0.15)
+
+
+def test_real_media_decoders_roundtrip():
+    import numpy as np
+
+    from cngi_prototype_spark.multimodal import media as M
+
+    for seed in (0, 7, 123):
+        p = M._decode_one(M.synth_ppm(seed), fake=False)
+        ii, jj = np.meshgrid(np.arange(8), np.arange(12), indexing="ij")
+        assert p.shape == (8, 12, 3)
+        assert (p[:, :, 0] == (seed * 7 + ii * 3 + jj) % 256).all()
+        b = M._decode_one(M.synth_bmp(seed), fake=False)
+        assert b.shape == (6, 8, 3)
+        ii, jj = np.meshgrid(np.arange(6), np.arange(8), indexing="ij")
+        assert (b[:, :, 0] == (seed + jj * 9) % 256).all()  # R channel
+        w = M._decode_one(M.synth_wav(seed), fake=False)
+        t = np.arange(64)
+        assert w.shape == (64, 1)
+        assert (w[:, 0] == (seed * 17 + t * 9) % 65536 - 32768).all()
