@@ -743,9 +743,11 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     cosine_pairs,
     lsh_topk,
     cosine_pairs_lsh,
+    ivf_topk,
     sql_brute_force_topk,
     sql_cosine_pairs,
     sql_cosine_pairs_lsh,
+    sql_ivf_topk,
     sql_lsh_topk,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
@@ -834,21 +836,48 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=6)
 
 
-# Exact brute-force and hyperplane-LSH top-k share one slot: both emit
-# (query_id, neighbor_id, cos_sim, rank), and the LSH planes are
-# deterministic md5 doubles, so the approximate path has an exact twin.
+def _ivf_gate_centroids() -> list[list[float]]:
+    """Deterministic unit centroids for the gate (md5-derived, like the
+    LSH planes): the operator takes externally trained centroids —
+    train_ivf_centroids is the production trainer (unit-tested); the
+    gate needs centroids known at oracle-build time."""
+    import math
+
+    from cngi_prototype_spark.similarity.ann import _plane
+
+    cs = []
+    for i in range(8):
+        p = _plane(7, i, 64)
+        n = math.sqrt(sum(x * x for x in p))
+        cs.append([x / n for x in p])
+    return cs
+
+
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
+                    _ivf_gate_centroids(), k=5, nprobe=3)
+
+
+# Exact brute-force, hyperplane-LSH, and IVF top-k share one slot: all
+# emit (query_id, neighbor_id, cos_sim, rank), and both approximate
+# paths use deterministic md5-derived structures, so each has an exact
+# SQL twin.
 @register(
     "ann_topk",
     f"""
     SELECT 'brute' AS method, * FROM ({sql_brute_force_topk(5, "vec_id < 10")})
     UNION ALL
     SELECT 'lsh', * FROM ({sql_lsh_topk(5, 64, 6, 42, "vec_id < 10")})
+    UNION ALL
+    SELECT 'ivf', * FROM ({sql_ivf_topk(_ivf_gate_centroids(), 5, 3, "vec_id < 10")})
     """,
 )
 def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ann_cosine_topk_q(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
     l = ann_lsh_topk_q(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
-    return b.unionByName(l)
+    i = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    return b.unionByName(l).unionByName(i)
 
 
 # Near-dup: the all-pairs blocked-matmul EXACT path and the scale-path

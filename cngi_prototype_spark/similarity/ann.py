@@ -207,6 +207,148 @@ def sql_cosine_pairs(threshold: float = 0.9) -> str:
     """
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Driver-side spherical k-means for the IVF coarse quantizer.
+
+    Training is a separate small job (the standard IVF shape): a
+    deterministic sample (first ``sample`` vectors in id order) collects
+    to the driver, k-means runs in numpy (init = evenly spaced sampled
+    vectors, assignment by max dot on unit vectors, fixed ``iters``),
+    and the centroids return as plain lists ready to broadcast into
+    :func:`ivf_topk` — and, being deterministic, into its SQL twin."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(int(sample)).collect())
+    v = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    k = min(int(n_centroids), len(v))
+    c = v[np.linspace(0, len(v) - 1, k).astype(int)].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(v @ c.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                nc = v[m].mean(axis=0)
+                n = np.linalg.norm(nc)
+                if n > 0:
+                    c[j] = nc / n
+    return [list(map(float, row)) for row in c]
+
+
+def _argmax_dot(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the max-dot centroid, first-max tie-break:
+    ``array_position(dots, array_max(dots))`` — linear expression size
+    and the identical first-match semantics as the DuckDB twin's
+    ``list_position(l, list_max(l))``."""
+    def dot(i: int) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
+        return F.aggregate(F.zip_with(vec, lit, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dots = F.array(*[dot(i) for i in range(len(centroids))])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors assign to their nearest coarse centroid
+    (one inverted list per centroid); each query probes its ``nprobe``
+    nearest lists and exact cosine re-ranks the candidates.
+
+    Scale shape: assignment is a projection (centroids broadcast with
+    the plan); the candidate join shuffles on the centroid id, so work
+    is Σ_probes |list| instead of |corpus| × |queries|. Centroids come
+    from :func:`train_ivf_centroids` (or any external trainer)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _dvec(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cell", _argmax_dot(F.col("cv"), centroids))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(F.col(vec_col)).alias("qv"))
+    probes = None
+    for i in range(len(centroids)):
+        lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
+        d = F.aggregate(F.zip_with(F.col("qv"), lit, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        p = q.select("query_id", "qv", F.lit(i).alias("cell"), d.alias("cdot"))
+        probes = p if probes is None else probes.unionByName(p)
+    wp = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell"))
+    probes = (probes.withColumn("prk", F.row_number().over(wp))
+              .filter(F.col("prk") <= nprobe).select("query_id", "qv", "cell"))
+    cand = (c.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def sql_ivf_topk(centroids: list[list[float]], k: int = 5, nprobe: int = 4,
+                 query_pred: str = "vec_id < 10") -> str:
+    """DuckDB twin of :func:`ivf_topk` for a fixed centroid list: the
+    same dot folds, the same first-max CASE chain, the same probe
+    ranking and re-rank."""
+    def lit(xs: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.17e}" for x in xs) + "]"
+
+    def dot(v: str, i: int) -> str:
+        return (f"list_reduce(list_transform(range(1, len({v}) + 1),"
+                f" i -> {v}[i] * ({lit(centroids[i])})[i]), (acc, x) -> acc + x)")
+
+    # first-max argmax, list form (matches _argmax_dot)
+    dots_list = "[" + ", ".join(dot("cv", i) for i in range(len(centroids))) + "]"
+    assign = (f"CAST(list_position({dots_list}, list_max({dots_list})) - 1"
+              " AS INT)")
+
+    probe_branches = "\n      UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS cell, {dot('qv', i)} AS cdot FROM q"
+        for i in range(len(centroids)))
+    cos = sql_cosine("q2.qv", "c.cv")
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id,
+                      {SQL_DVEC.format(v='embedding')} AS cv
+               FROM embeddings),
+    ca AS (SELECT neighbor_id, cv, {assign} AS cell FROM c),
+    q AS (SELECT vec_id AS query_id, {SQL_DVEC.format(v='embedding')} AS qv
+          FROM embeddings WHERE {query_pred}),
+    probes AS (
+      {probe_branches}
+    ),
+    pr AS (
+      SELECT query_id, qv, cell,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cdot DESC, cell) AS prk
+      FROM probes
+    ),
+    cand AS (
+      SELECT q2.query_id, c.neighbor_id, {cos} AS cos_sim
+      FROM ca c JOIN (SELECT * FROM pr WHERE prk <= {nprobe}) q2 USING (cell)
+      WHERE c.neighbor_id <> q2.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -49,6 +49,73 @@ def stream_time_average(
                     weight, "n_samples"))
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    *,
+    text: str = "text",
+    time: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the live twin of
+    ``dedup.dedup_exact``: keep the first document per content hash,
+    with state bounded by the watermark (hashes older than the
+    watermark are dropped from state, the standard streaming-dedup
+    contract). Built-in stateful ``dropDuplicates``; at 100 TB/day the
+    state store holds only the watermark horizon's hashes."""
+    return (stream_df
+            .withColumn("_content_md5", F.md5(F.col(text)))
+            .withWatermark(time, watermark)
+            .dropDuplicates(["_content_md5"]))
+
+
+def stream_running_mean(
+    stream_df: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("bl", "chan", "pol"),
+    data: tuple[str, ...] = ("data_re", "data_im"),
+    weight: str = "w",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    cumulative weighted running mean per key, emitted every trigger —
+    the streaming analog of an incremental calibration accumulator
+    (reference self_cal keeps per-baseline gain solutions; here the
+    state is the running (Σw, Σw·x, n) sufficient statistics, so the
+    emitted mean is exact over the whole stream, not per window).
+
+    State per key: 2·len(data)+2 doubles — bounded by key cardinality,
+    not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(f"{k} long" for k in keys)
+    out_schema = (f"{key_fields}, "
+                  + ", ".join(f"{c} double" for c in data)
+                  + f", {weight} double, n_samples long")
+    state_schema = ("sw double, n long, "
+                    + ", ".join(f"s_{c} double" for c in data))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0.0, 0] + [0.0] * len(data)
+        for pdf in pdfs:
+            w = pdf[weight].to_numpy()
+            st[0] += float(w.sum())
+            st[1] += len(pdf)
+            for i, c in enumerate(data):
+                st[2 + i] += float((pdf[c].to_numpy() * w).sum())
+        state.update(tuple(st))
+        sw = st[0]
+        row = list(key) + [st[2 + i] / sw if sw else None
+                           for i in range(len(data))] + [sw, st[1]]
+        yield pd.DataFrame([row], columns=[*keys, *data, weight, "n_samples"])
+
+    return (stream_df.groupBy(*[F.col(k) for k in keys])
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_append_vis(stream_df: DataFrame, outfile: str, checkpoint: str,
                       partition_by: tuple[str, ...] = ()):
     """Incremental parquet sink (write_vis append twin)."""

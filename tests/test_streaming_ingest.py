@@ -89,3 +89,74 @@ def test_stream_time_average_equals_batch(spark, row_pdf):
         assert (m.n_samples == m.n).all()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_exact(spark):
+    import pandas as pd
+
+    from cngi_prototype_spark.streaming.stream_ops import stream_dedup_exact
+
+    tmp = tempfile.mkdtemp()
+    try:
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(12), unit="s"),
+            "doc_id": range(12),
+            "text": [f"doc {i % 4}" for i in range(12)],  # 4 uniques x3
+        })
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        out = stream_dedup_exact(stream, text="text", time="ts")
+        q = (out.writeStream.format("memory").queryName("sdedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sdedup").toPandas()
+        assert len(got) == 4
+        assert sorted(got.text) == [f"doc {i}" for i in range(4)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_running_mean_accumulates_across_triggers(spark):
+    import pandas as pd
+
+    from cngi_prototype_spark.streaming.stream_ops import stream_running_mean
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rng = np.random.default_rng(3)
+        n = 300
+        pdf = pd.DataFrame({
+            "bl": rng.integers(0, 5, n).astype("int64"),
+            "chan": rng.integers(0, 2, n).astype("int64"),
+            "pol": rng.integers(0, 2, n).astype("int64"),
+            "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+            "w": rng.uniform(0.5, 2.0, n),
+        })
+        # two files -> maxFilesPerTrigger=1 forces TWO micro-batches, so
+        # the final emission proves state carried across triggers
+        spark.createDataFrame(pdf.iloc[:150]).write.mode("overwrite").parquet(f"{tmp}/in")
+        spark.createDataFrame(pdf.iloc[150:]).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+        out = stream_running_mean(stream)
+        q = (out.writeStream.format("memory").queryName("srun")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bl, chan, pol "
+            "ORDER BY n_samples DESC) rk FROM srun) WHERE rk = 1").toPandas()
+
+        exp = (pdf.assign(wr=pdf.data_re * pdf.w, wi=pdf.data_im * pdf.w)
+               .groupby(["bl", "chan", "pol"])
+               .agg(wr=("wr", "sum"), wi=("wi", "sum"), w=("w", "sum"),
+                    n=("w", "size")).reset_index())
+        merged = got.merge(exp, on=["bl", "chan", "pol"])
+        assert len(merged) == len(exp)
+        assert (merged.n_samples == merged.n).all()
+        assert np.allclose(merged.data_re, merged.wr / merged.w_y)
+        assert np.allclose(merged.data_im, merged.wi / merged.w_y)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -116,3 +116,34 @@ def test_real_media_decoders_roundtrip():
         t = np.arange(64)
         assert w.shape == (64, 1)
         assert (w[:, 0] == (seed * 17 + t * 9) % 65536 - 32768).all()
+
+
+def test_ivf_centroids_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.similarity.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=256)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    import numpy as np
+    norms = [np.linalg.norm(c) for c in cents]
+    assert np.allclose(norms, 1.0)
+    # deterministic: training twice gives identical centroids
+    assert cents == train_ivf_centroids(emb, n_centroids=8, sample=256)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=3).collect()}
+    # probing EVERY list must recover the exact result
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, cents, k=3, nprobe=8).collect()}
+    assert full == exact
+    # partial probing keeps decent recall on this data
+    part = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, cents, k=3, nprobe=3).collect()}
+    assert len(part & exact) >= len(exact) // 2
