@@ -279,13 +279,18 @@ def ivf_topk(
     c = c.withColumn("cell", _argmax_dot(F.col("cv"), centroids))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _dvec(F.col(vec_col)).alias("qv"))
-    probes = None
-    for i in range(len(centroids)):
+
+    def qdot(i: int) -> Column:
         lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
-        d = F.aggregate(F.zip_with(F.col("qv"), lit, lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x)
-        p = q.select("query_id", "qv", F.lit(i).alias("cell"), d.alias("cdot"))
-        probes = p if probes is None else probes.unionByName(p)
+        return F.aggregate(F.zip_with(F.col("qv"), lit, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # one scan: all centroid dots in one array, posexploded to
+    # (cell, cdot) rows — no k-way union re-reading the query side
+    probes = q.select(
+        "query_id", "qv",
+        F.posexplode(F.array(*[qdot(i) for i in range(len(centroids))]))
+        .alias("cell", "cdot"))
     wp = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell"))
     probes = (probes.withColumn("prk", F.row_number().over(wp))
               .filter(F.col("prk") <= nprobe).select("query_id", "qv", "cell"))

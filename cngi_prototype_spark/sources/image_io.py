@@ -45,3 +45,136 @@ def describe_image(spark: SparkSession, infile: str) -> DataFrame:
         F.max("l_idx").alias("max_l"),
         F.max("m_idx").alias("max_m"))
         .orderBy("chan"))
+
+
+# ---------------------------------------------------------------------------
+# FITS image I/O — pure numpy, no astropy. The FITS layout is a public
+# standard (NASA FITS 4.0): 2880-byte blocks, 80-char ASCII header
+# cards, big-endian data scaled by BSCALE/BZERO, Fortran axis order
+# (NAXIS1 fastest). convert_image parity for the FITS half of
+# cngi/conversion/convert_image.py:21-130 (the casacore-image half has
+# no sandbox analog).
+# ---------------------------------------------------------------------------
+
+_FITS_BLOCK = 2880
+_FITS_DTYPES = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8",
+                -32: ">f4", -64: ">f8"}
+
+
+def _read_fits_header(fh) -> tuple[dict, int]:
+    """Parse the primary header; returns (cards, data_offset)."""
+    cards: dict[str, str] = {}
+    offset = 0
+    done = False
+    while not done:
+        block = fh.read(_FITS_BLOCK)
+        if len(block) < _FITS_BLOCK:
+            raise ValueError("truncated FITS header")
+        offset += _FITS_BLOCK
+        for i in range(0, _FITS_BLOCK, 80):
+            card = block[i:i + 80].decode("ascii", "replace")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if card[8:10] == "= ":
+                cards[key] = card[10:].split("/")[0].strip()
+    return cards, offset
+
+
+def _fits_geometry(cards: dict) -> tuple:
+    bitpix = int(cards["BITPIX"])
+    naxis = int(cards["NAXIS"])
+    shape = [int(cards[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
+    bscale = float(cards.get("BSCALE", "1.0"))
+    bzero = float(cards.get("BZERO", "0.0"))
+    return bitpix, shape, bscale, bzero
+
+
+def read_fits_image(spark: SparkSession, infile: str,
+                    value: str = "image") -> DataFrame:
+    """Lazy distributed FITS image read: the driver parses ONLY the
+    header (a few KB); each (chan, pol) plane becomes one task that
+    seeks directly to its byte range — plane-parallel exactly like the
+    parquet path, no driver-side data load. Axis convention: NAXIS1=l,
+    NAXIS2=m, NAXIS3=chan, NAXIS4=pol (missing trailing axes = size 1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    with open(infile, "rb") as fh:
+        cards, data_off = _read_fits_header(fh)
+    bitpix, shape, bscale, bzero = _fits_geometry(cards)
+    n_l = shape[0] if len(shape) > 0 else 1
+    n_m = shape[1] if len(shape) > 1 else 1
+    n_chan = shape[2] if len(shape) > 2 else 1
+    n_pol = shape[3] if len(shape) > 3 else 1
+    dtype = np.dtype(_FITS_DTYPES[bitpix])
+    plane_bytes = n_l * n_m * dtype.itemsize
+
+    def read_planes(batches):
+        for pdf in batches:
+            out = []
+            with open(infile, "rb") as fh:
+                for pid in pdf["id"]:
+                    pid = int(pid)
+                    chan, pol = pid % n_chan, pid // n_chan
+                    fh.seek(data_off + pid * plane_bytes)
+                    raw = np.frombuffer(fh.read(plane_bytes), dtype=dtype)
+                    vals = raw.astype(np.float64) * bscale + bzero
+                    # FITS is Fortran order: NAXIS1 (l) varies fastest
+                    li = np.tile(np.arange(n_l, dtype=np.int32), n_m)
+                    mi = np.repeat(np.arange(n_m, dtype=np.int32), n_l)
+                    out.append(pd.DataFrame({
+                        "chan": np.full(vals.size, chan, np.int32),
+                        "pol": np.full(vals.size, pol, np.int32),
+                        "l_idx": li, "m_idx": mi, value: vals,
+                    }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    planes = spark.range(n_chan * n_pol).repartition(
+        min(n_chan * n_pol, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+    schema = f"chan int, pol int, l_idx int, m_idx int, {value} double"
+    return planes.mapInPandas(read_planes, schema)
+
+
+def write_fits_image(df: DataFrame, outfile: str, *,
+                     value: str = "image") -> None:
+    """Long-form image rows -> FITS primary HDU (BITPIX -64). The file
+    format is one sequential stream, so planes are streamed through the
+    driver one at a time (``toLocalIterator`` over plane-collected
+    rows) — bounded by ONE plane of memory, never the cube."""
+    import numpy as np
+
+    dims = df.agg(
+        F.max("l_idx"), F.max("m_idx"), F.max("chan"), F.max("pol")).collect()[0]
+    n_l, n_m, n_chan, n_pol = (int(d) + 1 for d in dims)
+
+    def card(key: str, val: str) -> bytes:
+        return f"{key:<8}= {val:>20}".ljust(80).encode("ascii")
+
+    header = (card("SIMPLE", "T") + card("BITPIX", "-64")
+              + card("NAXIS", "4")
+              + card("NAXIS1", str(n_l)) + card("NAXIS2", str(n_m))
+              + card("NAXIS3", str(n_chan)) + card("NAXIS4", str(n_pol))
+              + "END".ljust(80).encode("ascii"))
+    header += b" " * (-len(header) % _FITS_BLOCK)
+
+    packed = (df.select("chan", "pol", "l_idx", "m_idx", value)
+              .groupBy("chan", "pol")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("m_idx", "l_idx", value))).alias("cells"))
+              .withColumn("vals", F.transform("cells", lambda s: s[value]))
+              .select("chan", "pol", "vals")
+              .orderBy("pol", "chan"))
+    with open(outfile, "wb") as fh:
+        fh.write(header)
+        n = 0
+        for row in packed.toLocalIterator():
+            arr = np.asarray(row["vals"], dtype=">f8")
+            if arr.size != n_l * n_m:
+                raise ValueError("plane is not dense (l_idx x m_idx)")
+            fh.write(arr.tobytes())
+            n += arr.size
+        fh.write(b"\0" * (-(n * 8) % _FITS_BLOCK))

@@ -38,3 +38,61 @@ def test_image_io_roundtrip_and_pruning(spark):
         assert (d.pixels == 128).all() and (d.pols == 2).all()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fits_image_roundtrip(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.sources.image_io import (
+        read_fits_image,
+        write_fits_image,
+    )
+
+    n_l, n_m, n_chan, n_pol = 8, 6, 3, 2
+    cube = spark.range(n_l * n_m * n_chan * n_pol).select(
+        (F.col("id") % n_l).cast("int").alias("l_idx"),
+        ((F.col("id") / n_l).cast("long") % n_m).cast("int").alias("m_idx"),
+        ((F.col("id") / (n_l * n_m)).cast("long") % n_chan).cast("int").alias("chan"),
+        ((F.col("id") / (n_l * n_m * n_chan)).cast("long") % n_pol).cast("int").alias("pol"),
+        (F.col("id").cast("double") / 7.0).alias("image"))
+    path = str(tmp_path / "cube.fits")
+    write_fits_image(cube, path)
+
+    # file structure: header block + data rounded to 2880
+    raw = open(path, "rb").read()
+    assert raw[:6] == b"SIMPLE"
+    assert len(raw) % 2880 == 0
+
+    back = read_fits_image(spark, path).toPandas().sort_values(
+        ["pol", "chan", "m_idx", "l_idx"]).reset_index(drop=True)
+    orig = cube.toPandas().sort_values(
+        ["pol", "chan", "m_idx", "l_idx"]).reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert np.array_equal(back.image.to_numpy(), orig.image.to_numpy())
+
+
+def test_fits_reader_handles_bscale_int16(spark, tmp_path):
+    import numpy as np
+
+    from cngi_prototype_spark.sources.image_io import read_fits_image
+
+    # hand-built BITPIX=16 file with BSCALE/BZERO
+    n_l, n_m = 4, 3
+    def card(k, v):
+        return f"{k:<8}= {v:>20}".ljust(80).encode()
+    hdr = (card("SIMPLE", "T") + card("BITPIX", "16") + card("NAXIS", "2")
+           + card("NAXIS1", str(n_l)) + card("NAXIS2", str(n_m))
+           + card("BSCALE", "0.5") + card("BZERO", "100.0")
+           + b"END".ljust(80))
+    hdr += b" " * (-len(hdr) % 2880)
+    data = np.arange(n_l * n_m, dtype=">i2")
+    body = data.tobytes()
+    body += b"\0" * (-len(body) % 2880)
+    path = str(tmp_path / "scaled.fits")
+    open(path, "wb").write(hdr + body)
+
+    got = read_fits_image(spark, path).toPandas().sort_values(
+        ["m_idx", "l_idx"]).reset_index(drop=True)
+    assert np.allclose(got.image, np.arange(n_l * n_m) * 0.5 + 100.0)
+    assert (got.chan == 0).all() and (got.pol == 0).all()
