@@ -262,3 +262,84 @@ def auto_uvbin(df: DataFrame, *, nsigma: float = 5.0, cell_size: float = 100.0,
     hit = (n > 2) & (dev * dev > F.lit(float(nsigma) ** 2) * var)
     return (j.withColumn(flag, F.col(flag) | hit)
             .drop("_bu", "_bv", "_n", "_sx", "_sxx"))
+
+
+# --- selection-command parsing (manual_flag commands / flagonline.txt) ---
+
+def parse_sel_cmd(
+    cmd: dict,
+    *,
+    antenna_names: dict[str, int] | None = None,
+    vs: VisSchema = DEFAULT_VIS,
+    ant1: str = "ant1",
+    ant2: str = "ant2",
+) -> Column:
+    """Selection dict -> Column predicate — the long-form twin of
+    ``_parse_sel_cmd`` (ngcasa/flagging/_flagging_utils/_parse_sel_cmd.py:
+    20-57): keys 'time' ((start, stop) tuple, strings or timestamps),
+    'antenna' (name via ``antenna_names``, id, or list — matches either
+    antenna of the baseline like ``_antenna_to_baseline.py:18-44``),
+    'chan' and 'pol' (scalar or list). In long form the reference's
+    ``sel + reindex_like`` slab IS the predicate, ready for
+    :func:`manual_flag` / :func:`manual_unflag`."""
+    pred = F.lit(True)
+    if "time" in cmd:
+        start, stop = cmd["time"]
+        t = F.col(vs.time)
+        if start is not None:
+            pred = pred & (t >= F.lit(start).cast("timestamp"))
+        if stop is not None:
+            pred = pred & (t <= F.lit(stop).cast("timestamp"))
+    if "antenna" in cmd:
+        ants = cmd["antenna"]
+        if not isinstance(ants, (list, tuple)):
+            ants = [ants]
+        ids = []
+        for a in ants:
+            if isinstance(a, str):
+                if not antenna_names or a not in antenna_names:
+                    raise ValueError(f"unknown antenna name: {a!r}")
+                ids.append(int(antenna_names[a]))
+            else:
+                ids.append(int(a))
+        pred = pred & (F.col(ant1).isin(ids) | F.col(ant2).isin(ids))
+    if "chan" in cmd:
+        chans = cmd["chan"]
+        chans = chans if isinstance(chans, (list, tuple)) else [chans]
+        pred = pred & F.col(vs.chan).isin([int(c) for c in chans])
+    if "pol" in cmd:
+        pols = cmd["pol"]
+        pols = pols if isinstance(pols, (list, tuple)) else [pols]
+        pred = pred & F.col(vs.pol).isin([int(p) for p in pols])
+    return pred
+
+
+def read_flagcmds(filename: str) -> list[dict]:
+    """Parse CASA pipeline ``*flagonline.txt`` / ``*flagcmds.txt`` lines
+    into selection dicts (``_read_flagcmds.py:21-70`` semantics):
+    ``key='value'`` tokens; ``antenna='name&...'`` keeps the first
+    antenna, ``timerange='Y/M/D/h:m:s~Y/M/D/h:m:s'`` becomes a
+    ('time': (start, stop)) pair in ISO form."""
+    cmds: list[dict] = []
+    with open(filename) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            out: dict = {}
+            for tok in line.split(" "):
+                if "=" not in tok:
+                    continue
+                key, value = tok.split("=", 1)
+                value = value.strip("'")
+                if key == "antenna":
+                    out["antenna"] = value.split("&")[0]
+                elif key == "timerange":
+                    value = value.replace("/", "-")
+                    start, end = value.split("~")
+                    start = start[0:10] + "T" + start[11:]
+                    end = end[0:10] + "T" + end[11:]
+                    out["time"] = (start, end)
+            if out:
+                cmds.append(out)
+    return cmds
