@@ -158,7 +158,8 @@ def cosine_pairs(
                        F.col("flat").alias("vecs_a"))
     pb = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
                        F.col("flat").alias("vecs_b"))
-    pairs = pa.join(pb, pa["blk_a"] <= pb["blk_b"], "inner")
+    pairs = pa.join(pb, pa["blk_a"] <= pb["blk_b"], "inner") \
+        .select("blk_a", "blk_b", "ids_a", "ids_b", "vecs_a", "vecs_b")
 
     import pyspark.sql.types as T
 
@@ -180,11 +181,22 @@ def cosine_pairs(
             mb = np.asarray(r.vecs_b, dtype=np.float64).reshape(len(ids_b), -1)
             sims = np.round(ma @ mb.T, 6)  # round BEFORE thresholding,
             # exactly like the SQL twin's ROUND(...) >= thr
-            ii, jj = np.nonzero((sims >= thr) & (ids_a[:, None] < ids_b[None, :]))
+            if r.blk_a == r.blk_b:
+                # diagonal block pair: the id filter alone dedups
+                ii, jj = np.nonzero((sims >= thr)
+                                    & (ids_a[:, None] < ids_b[None, :]))
+                lo, hi = ids_a[ii], ids_b[jj]
+            else:
+                # off-diagonal: blocks are HASH-assigned, so id order is
+                # independent of block order — every pair appears in
+                # exactly one (blk_a < blk_b) join row; keep them all
+                # and normalize the id order in the output
+                ii, jj = np.nonzero(sims >= thr)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
             if len(ii):
                 frames.append(pd.DataFrame({
-                    "id_a": ids_a[ii], "id_b": ids_b[jj],
-                    "cos_sim": sims[ii, jj]}))
+                    "id_a": lo, "id_b": hi, "cos_sim": sims[ii, jj]}))
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "cos_sim": pd.Series(dtype="float64")})

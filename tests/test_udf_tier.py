@@ -147,3 +147,20 @@ def test_ivf_centroids_and_recall(spark):
     part = {(r.query_id, r.neighbor_id)
             for r in ivf_topk(emb, q, cents, k=3, nprobe=3).collect()}
     assert len(part & exact) >= len(exact) // 2
+
+
+def test_cosine_pairs_hash_blocks_complete(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.similarity.ann import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(120)
+    # one block vs many hash blocks must produce the identical pair set
+    # (regression: hash blocks decouple id order from block order, so
+    # an id-ordered upper-triangle filter across blocks loses pairs)
+    one = cosine_pairs(emb, threshold=0.3, block_size=1024).toPandas()
+    many = cosine_pairs(emb, threshold=0.3, block_size=16).toPandas()
+    key = lambda d: set(zip(d.id_a, d.id_b, np.round(d.cos_sim, 6)))
+    assert key(one) == key(many) and len(one) > 0
