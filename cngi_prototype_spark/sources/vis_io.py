@@ -94,3 +94,66 @@ def describe_vis(spark: SparkSession, infile: str) -> DataFrame:
         F.countDistinct("chan").alias("n_chan"),
         F.countDistinct("pol").alias("n_pol"),
     )
+
+
+def read_ms(
+    spark: SparkSession,
+    infile: str,
+    ddis: list[int] | None = None,
+    ignore: list[str] | None = None,
+) -> dict:
+    """Lazy MS-shaped reader (``cngi/conversion/read_ms.py:21-163``
+    surface): one MAIN DataFrame per DDI partition plus every subtable,
+    all LAZY — nothing is scanned until an action runs, mirroring the
+    reference's dask-delayed per-DDI xds partitions.
+
+    The on-disk layout is this engine's MS analog (casacore tables have
+    no sandbox reader): a directory with ``MAIN/`` parquet partitioned
+    by ``ddi`` (the :func:`write_vis` layout) and one
+    ``<SUBTABLE>.parquet`` per subtable (ANTENNA, SPECTRAL_WINDOW,
+    POLARIZATION, FIELD, ... — the :func:`read_simple_table` targets).
+    Returns ``{"xds<ddi>": DataFrame, ..., "global": {name: DataFrame}}``
+    keyed like the reference's mxds attrs.
+
+    DDI discovery reads only the hive partition directory names (file
+    listing, not data); ``ddis`` restricts which partitions get an
+    entry; ``ignore`` skips named subtables (read_ms.py:44-46).
+    """
+    import os
+
+    main_path = os.path.join(infile, "MAIN")
+    main = spark.read.parquet(main_path)
+    if ddis is None:
+        found = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(main_path)
+            if d.startswith("ddi="))
+        ddis = found
+    out: dict = {}
+    for ddi in ddis:
+        out[f"xds{ddi}"] = main.filter(F.col("ddi") == int(ddi))
+    skip = set(ignore or [])
+    subs: dict = {}
+    for entry in sorted(os.listdir(infile)):
+        if not entry.endswith(".parquet"):
+            continue
+        name = entry[: -len(".parquet")]
+        if name in skip:
+            continue
+        subs[name] = spark.read.parquet(os.path.join(infile, entry))
+    out["global"] = subs
+    return out
+
+
+def read_simple_table(spark: SparkSession, infile: str, subtable: str,
+                      add_row_id: str | None = None) -> DataFrame:
+    """Subtable read (``_table_conversion2.read_simple_table`` surface):
+    optionally adds the dense 0-based row-id column the reference
+    derives from the table row order (read_ms.py:72-74)."""
+    df = spark.read.parquet(f"{infile.rstrip('/')}/{subtable}.parquet")
+    if add_row_id:
+        from pyspark.sql.window import Window
+        df = df.withColumn(
+            add_row_id,
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
+    return df

@@ -160,3 +160,34 @@ def test_stream_running_mean_accumulates_across_triggers(spark):
         assert np.allclose(merged.data_im, merged.wi / merged.w_y)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_ms_lazy_surface(spark, row_pdf, tmp_path):
+    from cngi_prototype_spark.sources.vis_io import (
+        read_ms,
+        read_simple_table,
+        write_vis,
+    )
+
+    ms = str(tmp_path / "test.ms")
+    df = assign_baseline(spark.createDataFrame(row_pdf)) \
+        .withColumnRenamed("ts", "time")
+    write_vis(df, f"{ms}/MAIN", partition_by=["ddi"])
+    spark.createDataFrame(pd.DataFrame({
+        "name": ["ea01", "ea02"], "dish_m": [25.0, 25.0],
+    })).write.parquet(f"{ms}/ANTENNA.parquet")
+
+    mxds = read_ms(spark, ms)
+    assert set(mxds) == {"xds0", "xds1", "global"}
+    assert set(mxds["global"]) == {"ANTENNA"}
+    assert mxds["xds0"].filter("ddi <> 0").count() == 0
+    total = sum(mxds[k].count() for k in ("xds0", "xds1"))
+    assert total == len(row_pdf)
+
+    ant = read_simple_table(spark, ms, "ANTENNA", add_row_id="antenna_id")
+    got = ant.toPandas().sort_values("antenna_id")
+    assert list(got.antenna_id) == [0, 1]
+
+    # only one ddi requested -> only that partition entry
+    sel = read_ms(spark, ms, ddis=[1], ignore=["ANTENNA"])
+    assert set(sel) == {"xds1", "global"} and sel["global"] == {}
