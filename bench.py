@@ -118,7 +118,7 @@ def chiles_frac(spark, sf_dir: str, cpus: int):
     # replicate each event into REP distinct visibilities (distinct uv
     # sample per replica) so gridding work dominates the fixed per-plane
     # costs (FFT, image materialization) the way it does at full CHILES
-    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "512"))
+    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "1024"))
     n_vis = ev.count() * rep
     r = F.col("_rep")
     eid = F.col("event_id") * rep + r
@@ -152,18 +152,11 @@ def main() -> None:
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs.get(name) or getattr(Q, f"{name}_q", None)
-        if fn is None:
-            continue
-        t0 = time.time()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    _run(major_cycle(spark, sf_dir))
-    timings["imaging_major_cycle"] = round(time.time() - t0, 3)
-
+    # the baseline-comparison tier runs FIRST (right after warmup): 30
+    # preceding heavy queries leave JVM/GC pressure that inflates it by
+    # up to ~40%, and vs_baseline must reflect the engine, not session
+    # history
     img, n_vis = chiles_frac(spark, sf_dir, cpus)
     t0 = time.time()
     _run(img)
@@ -180,6 +173,21 @@ def main() -> None:
         "vs_baseline": round(_CHILES_TAPS_PER_S_CORE / taps_per_s_core, 3)
         if taps_per_s_core > 0 else None,
     }
+
+    # drop the CHILES tier's garbage before timing anything else
+    spark.sparkContext._jvm.System.gc()
+
+    for name in BENCH_QUERIES:
+        fn = qs.get(name) or getattr(Q, f"{name}_q", None)
+        if fn is None:
+            continue
+        t0 = time.time()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _run(major_cycle(spark, sf_dir))
+    timings["imaging_major_cycle"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

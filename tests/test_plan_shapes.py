@@ -61,3 +61,30 @@ def test_time_average_prunes_columns(spark):
     df = Q.queries()["time_average"](spark, SF)
     schemas = read_schemas(df)
     assert schemas and all("props" not in s for s in schemas)
+
+
+def test_reframe_is_catalyst_only_single_shuffle(spark):
+    # pack groupBy is the ONLY shuffle; interpolation is pure
+    # expressions (no Python boundary in the plan)
+    df = Q.queries()["reframe_vis"](spark, SF)
+    from cngi_prototype_spark.plans import explain_formatted
+    plan = explain_formatted(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert count_exchanges(df) <= 2  # pack shuffle (+AQE detail), no more
+
+
+def test_ivf_broadcasts_probe_side_only(spark):
+    # probes (queries x nprobe) are bounded; the corpus side never
+    # carries a broadcast hint
+    df = Q.ann_ivf_topk_q(spark, SF)
+    assert broadcast_hint_count(df) == 1
+
+
+def test_media_decode_stays_arrow_batched(spark):
+    # decode is mapInPandas (Arrow), never row-at-a-time Python
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.media_decode_q(spark, SF)
+    plan = explain_formatted(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
