@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "simhash",
     "ann_cosine_topk",
-    "embedding_neardup",
+    "embedding_neardup_exact",
     "embedding_neardup_lsh",
     "media_suite",
 ]

@@ -6,12 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels so each task touches a bounded batch of blobs —
 the only sane shape at 100 TB (no driver collection, no per-row Python).
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-environment. ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic pseudo-decoder
-(md5-seeded) so the Spark-side plumbing — schema, batching, partitioning,
-UDF signatures — is real and testable. Swapping in PIL/av later changes
-ONLY the ``_decode_one`` body.
+Self-describing formats decode for REAL in pure numpy: netpbm P6/P5,
+24bpp BMP, and PCM16 WAV (``_decode_ppm``/``_decode_bmp``/
+``_decode_wav``). Codec formats (JPEG/MP4/...) need libraries absent
+from this environment; for those ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic md5-seeded pseudo-decoder so the Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — stays real and
+testable. Swapping in PIL/av later changes ONLY the ``_decode_one``
+body.
 """
 
 from __future__ import annotations
@@ -267,3 +270,49 @@ def media_metadata(df: DataFrame, blob_col: str = "media",
         F.md5(F.col(blob_col)).alias("blob_md5"),
         F.hex(F.substring(F.col(blob_col), 1, 4)).alias("magic"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    blob_col: str = "media",
+    id_col: str = "media_id",
+    fake: bool = False,
+    method: str = "bilinear",
+) -> DataFrame:
+    """Decode + resize to (out_h, out_w) — the resize stage of a
+    multimodal training pipeline. Pure-numpy bilinear (or nearest)
+    over the decoded grid; channels are averaged to one gray plane
+    first so the output shape is format-independent. Arrow-batched
+    mapInPandas like every media kernel."""
+    out_schema = f"{id_col} long, width int, height int, pixels array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                px = _decode_one(bytes(blob), fake).astype(np.float64)
+                if px.ndim == 3:
+                    px = px.mean(axis=2)
+                h, w = px.shape
+                fi = np.linspace(0.0, h - 1.0, out_h)
+                fj = np.linspace(0.0, w - 1.0, out_w)
+                if method == "nearest":
+                    out = px[np.round(fi).astype(int)[:, None],
+                             np.round(fj).astype(int)[None, :]]
+                else:
+                    i0 = np.clip(np.floor(fi).astype(int), 0, max(h - 2, 0))
+                    j0 = np.clip(np.floor(fj).astype(int), 0, max(w - 2, 0))
+                    ti = (fi - i0)[:, None]
+                    tj = (fj - j0)[None, :]
+                    i1 = np.minimum(i0 + 1, h - 1)
+                    j1 = np.minimum(j0 + 1, w - 1)
+                    out = (px[np.ix_(i0, j0)] * (1 - ti) * (1 - tj)
+                           + px[np.ix_(i1, j0)] * ti * (1 - tj)
+                           + px[np.ix_(i0, j1)] * (1 - ti) * tj
+                           + px[np.ix_(i1, j1)] * ti * tj)
+                rows.append((int(mid), out_w, out_h, out.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "pixels"])
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)

@@ -900,6 +900,12 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(ls)
 
 
+def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup path alone (bench entry; gate-checked
+    inside the merged ``embedding_neardup`` union)."""
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup path alone (bench entry; gate-checked inside the
     merged ``embedding_neardup`` union)."""

@@ -164,3 +164,23 @@ def test_cosine_pairs_hash_blocks_complete(spark):
     many = cosine_pairs(emb, threshold=0.3, block_size=16).toPandas()
     key = lambda d: set(zip(d.id_a, d.id_b, np.round(d.cos_sim, 6)))
     assert key(one) == key(many) and len(one) > 0
+
+
+def test_resize_media_real_decode(spark):
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.multimodal.media import resize_media, synth_ppm
+
+    pdf = pd.DataFrame({"media_id": [1, 2],
+                        "media": [synth_ppm(1), synth_ppm(2)]})
+    df = spark.createDataFrame(pdf)
+    out = resize_media(df, out_w=6, out_h=4).toPandas().sort_values("media_id")
+    assert list(out.width) == [6, 6] and list(out.height) == [4, 4]
+    assert all(len(p) == 24 for p in out.pixels)
+    # corners of a bilinear resize equal the source corners (gray mean)
+    src = np.stack([( (1*7 + i*3 + j) % 256 + (1*11 + i) % 256
+                      + (1*13 + j*5) % 256) / 3.0
+                    for i in (0, 7) for j in (0, 11)])
+    got = np.asarray(out.iloc[0].pixels).reshape(4, 6)
+    assert np.allclose([got[0, 0], got[0, -1], got[-1, 0], got[-1, -1]], src)
