@@ -120,3 +120,72 @@ def test_gridder_linearity(spark):
 
     np.testing.assert_allclose(grid_of(a * x + b * y),
                                a * grid_of(x) + b * grid_of(y), atol=1e-9)
+
+
+@given(st.lists(st.floats(-5, 5, allow_nan=False), min_size=2, max_size=8),
+       st.floats(-3e5, 3e5, allow_nan=False))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_reframe_exact_on_linear_spectra(spark, coeffs_like, vel):
+    """Linear interpolation reproduces any AFFINE spectrum exactly at
+    every in-range output channel, for any velocity shift."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.operators.reframe import reframe_spectra
+
+    a, b = float(coeffs_like[0]), float(coeffs_like[1])
+    n = 24
+    df = spark.range(n).select(
+        F.lit(0).alias("bl"),
+        F.col("id").cast("int").alias("chan"),
+        (F.lit(a) + F.lit(b) * F.col("id").cast("double")).alias("data_re"))
+    out = reframe_spectra(
+        df, keys=("bl",), values=("data_re",), vel=F.lit(float(vel)),
+        f0=1.0e9, df_hz=1.0e6, out_f0=1.0e9 + 3.3e5, out_df=9.7e5,
+        out_nchan=20, n_in=n).toPandas().dropna(subset=["data_re"])
+    # expected: value at the fractional source position p of each out chan
+    s = 1.0 - float(vel) / 299792458.0
+    for _, r in out.iterrows():
+        g = 1.0e9 + 3.3e5 + r.chan * 9.7e5
+        p = (g - 1.0e9 * s) / (1.0e6 * s)
+        assert abs(r.data_re - (a + b * p)) < 1e-6 * max(1.0, abs(a) + abs(b) * n)
+
+
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stream_running_mean_matches_batch_anywhere(spark, keys_seq):
+    """The stateful running mean's final emission equals the batch
+    aggregate for ANY key sequence (single-trigger case)."""
+    import shutil
+    import tempfile
+
+    from cngi_prototype_spark.streaming.stream_ops import stream_running_mean
+
+    tmp = tempfile.mkdtemp()
+    try:
+        n = len(keys_seq)
+        pdf = pd.DataFrame({
+            "bl": pd.Series(keys_seq, dtype="int64"),
+            "chan": 0, "pol": 0,
+            "data_re": np.arange(n, dtype=float),
+            "data_im": -np.arange(n, dtype=float),
+            "w": 1.0 + (np.arange(n) % 3),
+        })
+        pdf["chan"] = pdf["chan"].astype("int64")
+        pdf["pol"] = pdf["pol"].astype("int64")
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        q = (stream_running_mean(stream)
+             .writeStream.format("memory").queryName("srunp")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM srunp").toPandas()
+        exp = (pdf.assign(wr=pdf.data_re * pdf.w)
+               .groupby("bl").agg(wr=("wr", "sum"), w=("w", "sum")))
+        for bl, r in exp.iterrows():
+            g = got[got.bl == bl].iloc[-1]
+            assert abs(g.data_re - r.wr / r.w) < 1e-9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
