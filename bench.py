@@ -74,7 +74,6 @@ def major_cycle(spark, sf_dir: str):
 
     gp = GridParms(n_u=512, n_v=512, cell_u=2.5e-6, cell_v=2.5e-6,
                    support=7, oversampling=100)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     vis = ev.select(
         ((F.col("event_id") * 7919 % 1000000) / F.lit(2.0) - F.lit(250000.0)).alias("u"),
@@ -113,7 +112,6 @@ def chiles_frac(spark, sf_dir: str, cpus: int):
 
     gp = GridParms(n_u=1024, n_v=1024, cell_u=1.25e-6, cell_v=1.25e-6,
                    support=17, oversampling=100)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # replicate each event into REP distinct visibilities (distinct uv
     # sample per replica) so gridding work dominates the fixed per-plane

@@ -112,13 +112,21 @@ def _decode_wav(blob: bytes) -> np.ndarray:
 def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
     # real pure-numpy decoders for self-describing formats; the fake
     # pseudo-decoder only stands in for codec formats (JPEG/MP4/...)
-    # whose libraries are not in this environment
-    if blob[:2] in (b"P6", b"P5"):
-        return _decode_ppm(blob)
-    if blob[:2] == b"BM":
-        return _decode_bmp(blob)
-    if blob[:4] == b"RIFF":
-        return _decode_wav(blob)
+    # whose libraries are not in this environment. Under fake=True the
+    # contract is "never raise": a codec blob whose first bytes happen
+    # to collide with a PPM/BMP/RIFF magic must fall through to the
+    # fake decoder instead of crashing the real one mid-batch.
+    try:
+        if blob[:2] in (b"P6", b"P5"):
+            return _decode_ppm(blob)
+        if blob[:2] == b"BM":
+            return _decode_bmp(blob)
+        if blob[:4] == b"RIFF":
+            return _decode_wav(blob)
+    except Exception:
+        if not fake:
+            raise
+        return _fake_decode(blob)
     if fake:
         return _fake_decode(blob)
     raise NotImplementedError(

@@ -12,11 +12,11 @@ cross-engine-reproducibility rules:
   DuckDB's decimal->double cast is not correctly rounded (computed as
   int128/10^s in floating point), so exact sums can still differ by
   1 ulp after the cast; rounding absorbs it;
-- never output a raw timestamp (testdata ts is nanosecond-precision;
-  Spark truncates to microseconds) — output epoch seconds of a bucket
-  instead. events.parquet needs ``spark.sql.legacy.parquet.nanosAsLong``
-  (Spark 4 refuses TIMESTAMP(NANOS) otherwise); the long is converted
-  with integer ``div`` to keep full precision;
+- never output a raw timestamp — output epoch seconds of a bucket
+  instead. events.ts's physical parquet type has drifted across driver
+  versions (nanos-as-long vs TIMESTAMP_NTZ micros), so all events reads
+  go through :func:`_events`, which branches on the dtype Spark actually
+  resolves rather than pinning any legacy conf;
 - deterministic tie-breaks for any arg-extremum;
 - aliases identical on both sides (driver sorts columns by name).
 
@@ -96,6 +96,32 @@ def _precise() -> bool:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to session-tz TIMESTAMP (micros).
+
+    The testdata's physical ts type has drifted across driver versions
+    (TIMESTAMP(NANOS) read as int64 under the legacy conf; now
+    TIMESTAMP(MICROS, NTZ) read as TIMESTAMP_NTZ), so branch on the
+    dtype Spark actually resolves instead of pinning a legacy conf:
+
+    - bigint            -> nanosecond epoch; integer-div to micros
+      (double division would lose precision on ns epochs)
+    - timestamp_ntz     -> cast to TIMESTAMP; exact under the UTC
+      session tz (session.py sets spark.sql.session.timeZone=UTC),
+      and matches DuckDB's naive-as-UTC ``epoch()`` semantics
+    - timestamp         -> already what we want
+    """
+    ev = _t(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_type.startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        raise TypeError(f"events.ts resolved as unsupported type {ts_type!r}")
+    return ev.withColumn("ts", ts)
 
 
 def round_doubles(df: DataFrame, ndigits: int = 6,
@@ -215,13 +241,10 @@ _EV_SQL_BASE = """
 
 
 def _events_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # testdata ts is TIMESTAMP(NANOS): read as long, convert via integer
-    # division (double division would lose precision on ns epochs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     return ev.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "ts",
         "user_id",
         "event_type",
         (F.col("user_id") % 20).alias("bl"),
@@ -944,7 +967,6 @@ _UV_SQL = """
 
 
 def _uv_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         ((F.col("event_id") * 7919 % 130000) / F.lit(10.0) - F.lit(6500.0)).alias("u"),
@@ -1027,7 +1049,6 @@ _UV_SQL_KEYED = """
 
 
 def _uv_vis_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1106,7 +1127,6 @@ _ROT_SQL_VIS = """
 
 
 def _rot_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1386,7 +1406,6 @@ from cngi_prototype_spark.sources.ingest import (  # noqa: E402
     """,
 )
 def ingest_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 6).cast("int").alias("ant1"),
@@ -1401,7 +1420,6 @@ def ingest_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("self_cal_gains", None)  # iterative fixed-point solve: rows-only
 def self_cal_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         (F.col("user_id") % 2).cast("long").alias("interval"),
         (F.col("user_id") % 6).cast("int").alias("ant1"),
@@ -1670,11 +1688,10 @@ _SQL_QUACK = """
 
 
 def quack_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _events(spark, sf_dir).select(
         "event_id",
         (F.col("user_id") % 3).cast("int").alias("scan"),
-        (F.expr("ts div 1000000000")).cast("double").alias("tsec"),
+        F.expr("unix_micros(ts) div 1000000").cast("double").alias("tsec"),
         (F.col("value") > 550).alias("flag"))
     out = quack(ev, 600.0, mode="both", scan="scan", time="tsec")
     return out.select("event_id", "flag")
@@ -1695,7 +1712,6 @@ _SQL_EXTEND = """
 
 
 def extend_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 20).cast("int").alias("baseline"),
@@ -1759,7 +1775,6 @@ _RFLAG_BASE = """
 
 
 def _rflag_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 20).cast("int").alias("baseline"),
@@ -2013,21 +2028,28 @@ from cngi_prototype_spark.operators.packing import pack_spectra, unpack_spectra 
 
 @register(
     "pack_spectra",
+    # The packed form is ARRAY-typed; the driver canonicalizer can't
+    # sort list cells, so the gate re-explodes WITH POSITION on both
+    # sides — position order proves the packed arrays are chan-sorted
+    # and value-aligned, which is the operator's whole contract.
     """
     WITH v AS (
       SELECT CAST(user_id % 20 AS INT) AS bl, CAST(user_id % 2 AS INT) AS pol,
              CAST(event_id % 64 AS INT) AS chan,
              value / 100.0 AS data_re
       FROM events WHERE event_id < 1280 AND (event_id // 64) % 11 = 0
+    ),
+    p AS (
+      SELECT bl, pol,
+             list(chan ORDER BY chan, data_re) AS chans,
+             list(data_re ORDER BY chan, data_re) AS vals
+      FROM v GROUP BY bl, pol
     )
-    SELECT bl, pol,
-           list(chan ORDER BY chan, data_re) AS chans,
-           list(data_re ORDER BY chan, data_re) AS data_re
-    FROM v GROUP BY bl, pol
+    SELECT bl, pol, CAST(i - 1 AS INT) AS pos, chans[i] AS chan, vals[i] AS data_re
+    FROM p, LATERAL unnest(generate_series(1, len(chans))) AS t(i)
     """,
 )
 def pack_spectra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     v = (_t(spark, sf_dir, "events")
          .filter((F.col("event_id") < 1280)
                  & ((F.col("event_id") / 64).cast("long") % 11 == 0))
@@ -2036,7 +2058,13 @@ def pack_spectra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("pol"),
         (F.col("event_id") % 64).cast("int").alias("chan"),
         (F.col("value") / F.lit(100.0)).alias("data_re")))
-    return pack_spectra(v, keys=("bl", "pol"), values=("data_re",))
+    packed = pack_spectra(v, keys=("bl", "pol"), values=("data_re",))
+    out = packed.select(
+        "bl", "pol",
+        F.posexplode(F.arrays_zip("chans", "data_re")).alias("pos", "z"))
+    return out.select(
+        "bl", "pol", F.col("pos").cast("int").alias("pos"),
+        F.col("z.chans").alias("chan"), F.col("z.data_re").alias("data_re"))
 
 
 @register(
@@ -2049,7 +2077,6 @@ def pack_spectra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_unpack_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     v = (_t(spark, sf_dir, "events").filter(F.col("event_id") < 1280).select(
         (F.col("user_id") % 20).cast("int").alias("bl"),
         (F.col("user_id") % 2).cast("int").alias("pol"),
@@ -2103,7 +2130,6 @@ def _rf_vel_case() -> str:
     """,
 )
 def reframe_vis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (_t(spark, sf_dir, "events")
            .groupBy((F.col("user_id") % 16).cast("int").alias("bl"),
                     ((F.col("user_id") % 16).cast("int") % 3).alias("field_id"),

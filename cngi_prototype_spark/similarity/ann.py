@@ -240,7 +240,11 @@ def train_ivf_centroids(
     rows = (corpus.select(id_col, vec_col).orderBy(id_col)
             .limit(int(sample)).collect())
     v = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    # an all-zero embedding would 0/0 -> NaN here and poison every
+    # centroid through the mean updates; treat it as unit-norm instead
+    # (it contributes a zero vector, matching its zero dot products)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    v = v / np.where(norms == 0.0, 1.0, norms)
     k = min(int(n_centroids), len(v))
     c = v[np.linspace(0, len(v) - 1, k).astype(int)].copy()
     for _ in range(int(iters)):

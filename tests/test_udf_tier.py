@@ -118,6 +118,33 @@ def test_real_media_decoders_roundtrip():
         assert (w[:, 0] == (seed * 17 + t * 9) % 65536 - 32768).all()
 
 
+def test_fake_decode_never_raises_on_magic_collision():
+    # a codec blob whose leading bytes collide with a real-decoder magic
+    # must fall through to the fake decoder under fake=True, not crash
+    from cngi_prototype_spark.multimodal import media as M
+
+    for blob in (b"P6 garbage-not-a-ppm", b"BM\x01\x02", b"RIFFxxxxnotWAVE",
+                 b"\xff\xd8\xff\xe0 jpeg-ish"):
+        out = M._decode_one(blob, fake=True)
+        assert out.size > 0
+    # fake=False keeps raising on the same corrupt blobs
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        M._decode_one(b"P6 garbage-not-a-ppm", fake=False)
+
+
+def test_ivf_training_survives_zero_norm_embedding(spark):
+    from cngi_prototype_spark.similarity.ann import train_ivf_centroids
+
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]), (4, [0.1, 0.9, 0.0])]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    cents = train_ivf_centroids(df, n_centroids=2, sample=5,
+                                id_col="id", vec_col="emb")
+    import numpy as np
+    assert np.isfinite(np.asarray(cents)).all()
+
+
 def test_ivf_centroids_and_recall(spark):
     from pyspark.sql import functions as F
 
