@@ -251,7 +251,7 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     slab_w = -(-n_u // dense_salt)
     cols = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im"]
 
-    def _scatter(uu, vv, duu, dvv, wre, wim, h):
+    def _scatter(uu, vv, duu, dvv, wre, wim, h, want_touched=False):
         # per-tap 1-D loop: the u-axis kernel factor (and its product
         # with the weighted data) is computed ONCE per iu and reused
         # across the iv taps — half the gathers of the 2-D
@@ -259,6 +259,10 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         # 1-D array; scatter target is (h, n_v) flattened
         fre = np.zeros(h * n_v)
         fim = np.zeros(h * n_v)
+        # touched-cell mask (sparse emission parity with the explode
+        # variant, which emits a 0.0 row for taps that exactly cancel);
+        # a plain boolean store per tap, far cheaper than a 3rd bincount
+        tou = np.zeros(h * n_v, bool) if want_touched else None
         idx_base = uu * n_v + vv
         for iu in range(-half, support - half):
             cu = cgk_arr[np.abs(ov * iu + duu)]
@@ -269,7 +273,9 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                 idx = base_u + iv
                 fre += np.bincount(idx, cv * cur, minlength=h * n_v)
                 fim += np.bincount(idx, cv * cui, minlength=h * n_v)
-        return fre, fim
+                if tou is not None:
+                    tou[idx] = True
+        return fre, fim, tou
 
     def grid_batches(batches):
         if precise:
@@ -308,8 +314,8 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     sm = slab_ids == sl
                     u0 = int(sl) * slab_w - half
                     h = slab_w + 2 * half
-                    sre, sim = _scatter(uu[sm] - u0, vv[sm], duu[sm],
-                                        dvv[sm], wre[sm], wim[sm], h)
+                    sre, sim, _ = _scatter(uu[sm] - u0, vv[sm], duu[sm],
+                                           dvv[sm], wre[sm], wim[sm], h)
                     rows.append(pd.DataFrame({
                         chan: [np.int32(k // 1_000_000)],
                         pol: [np.int32(k % 1_000_000)],
@@ -317,8 +323,9 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                         "grid_re": [sre], "grid_im": [sim],
                     }))
                 continue
-            fre, fim = _scatter(uu, vv, duu, dvv, wre, wim, n_u)
-            flat = np.nonzero((fre != 0) | (fim != 0))[0]
+            fre, fim, tou = _scatter(uu, vv, duu, dvv, wre, wim, n_u,
+                                     want_touched=True)
+            flat = np.nonzero(tou)[0]
             ui, vi = flat // n_v, flat % n_v
             rows.append(pd.DataFrame({
                 chan: np.full(len(ui), k // 1_000_000, np.int32),

@@ -59,6 +59,11 @@ def register(name: str, sql: str | None):
 # entries (round-1 finding), so registration order is part of the
 # contract: every oracle-bearing gate must land inside that window.
 # Rows-only (sql=None) gates go last, highest-value compositions first.
+# _DRIVER_WINDOW guards the contract: a 51st oracle-bearing @register
+# would silently push an existing gate past the hashed window, so
+# _ordered_names() raises instead — merge gates (tagged-union SELECTs,
+# see flagging_suite / time_average) to free a slot before adding one.
+_DRIVER_WINDOW = 50
 _ROWS_ONLY_PRIORITY = [
     "synthesis_imaging_cube", "mosaic_image", "hogbom_clean",
     "dirty_image", "psf_image", "predict_modelvis", "self_cal_gains",
@@ -70,6 +75,11 @@ _ROWS_ONLY_PRIORITY = [
 def _ordered_names() -> list[str]:
     oracled = [k for k, v in _REGISTRY.items() if v[1] is not None]
     rows_only = [k for k, v in _REGISTRY.items() if v[1] is None]
+    if len(oracled) > _DRIVER_WINDOW:
+        raise RuntimeError(
+            f"{len(oracled)} oracle-bearing gates exceed the driver's "
+            f"{_DRIVER_WINDOW}-entry hash window; merge gates instead "
+            f"of appending (see _DRIVER_WINDOW comment)")
     tail = [k for k in _ROWS_ONLY_PRIORITY if k in rows_only]
     tail += [k for k in rows_only if k not in _ROWS_ONLY_PRIORITY]
     return oracled + tail
@@ -1967,6 +1977,10 @@ def flag_manager_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.a0/c.det + (c.a1/c.det)*xx.x + (c.a2/c.det)*xx.x*xx.x AS v1,
            0.0 AS v2, 0.0 AS v3
     FROM xx JOIN c USING (bl)
+    -- quantization could in principle zero the determinant even with
+    -- >2 distinct chans; such spectra divide-by-zero here while the
+    -- kernel pinv least-squares them, so both sides drop det=0
+    WHERE c.det <> 0
     UNION ALL
     SELECT 'metrics', bl, -1,
            ROUND({sql_rms('data_re')}, 6),
@@ -1983,11 +1997,36 @@ def uv_cont_fit_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative drift), plus the rms/min/max fit metrics
     (uv_cont_fit.py:84-95) from the exact-decimal linear path."""
     fit = uv_cont_fit_q(spark, sf_dir)
-    # compare only spectra with >2 distinct chans (see oracle comment);
-    # unsolvable spectra surface as NULL through Arrow
-    dc = (fit.groupBy("bl")
-          .agg(F.countDistinct("chan").alias("_nd"))
-          .filter(F.col("_nd") > 2).drop("_nd"))
+    # compare only spectra with >2 distinct chans AND a nonzero
+    # closed-form determinant (see oracle comment): the det filter is
+    # the oracle's quantized-moment computation replicated in Catalyst
+    # — identical integer sums then identical double association, so
+    # det is bit-equal across engines and the filter is symmetric.
+    base = _lineitem_vis(spark, sf_dir).select("bl", "chan", "data_re")
+    stats = (base.groupBy("bl")
+             .agg(F.min(F.col("chan").cast("double")).alias("xmin"),
+                  F.max(F.col("chan").cast("double")).alias("xmax"),
+                  F.countDistinct("chan").alias("nd"))
+             .filter(F.col("nd") > 2))
+    xx = base.join(stats, "bl").withColumn(
+        "x",
+        F.when(F.col("xmax") > F.col("xmin"),
+               2.0 * (F.col("chan").cast("double") - F.col("xmin"))
+               / (F.col("xmax") - F.col("xmin")) - 1.0)
+        .otherwise(2.0 * (F.col("chan").cast("double") - F.col("xmin"))))
+
+    def _qsum(e: Column) -> Column:
+        return F.sum(F.floor(e * F.lit(1.0e9)).cast("long")) / F.lit(1.0e9)
+
+    x = F.col("x")
+    mom = xx.groupBy("bl").agg(
+        F.count(F.lit(1)).cast("double").alias("m0"),
+        _qsum(x).alias("m1"), _qsum(x * x).alias("m2"),
+        _qsum(x * x * x).alias("m3"), _qsum(x * x * x * x).alias("m4"))
+    m0, m1, m2, m3, m4 = (F.col(c) for c in ("m0", "m1", "m2", "m3", "m4"))
+    det = (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m2 * m3)
+           + m2 * (m1 * m3 - m2 * m2))
+    dc = mom.filter(det != 0).select("bl")
     fit = (fit.join(dc, "bl")
            .filter(F.col("data_re_cont").isNotNull()
                    & ~F.isnan("data_re_cont"))

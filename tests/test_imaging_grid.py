@@ -106,3 +106,26 @@ def test_psf_mode_grids_weights(spark, vis_pdf):
                                  .withColumnRenamed("count", "sum_weight"))
     for key in exp_grids:
         np.testing.assert_allclose(got_grids[key].real, exp_grids[key].real, atol=1e-9)
+
+
+@pytest.mark.parametrize("variant", ["explode", "kernel"])
+def test_cancelling_taps_still_emit_touched_cells(spark, variant):
+    # two identical uv samples with exactly opposite weighted data: every
+    # touched cell sums to exactly 0.0. Both variants must still emit the
+    # touched cells (as 0.0 rows) — the kernel variant used to drop them,
+    # diverging from the explode variant's row set.
+    pdf = pd.DataFrame({
+        "u": [10.0, 10.0],
+        "v": [5.0, 5.0],
+        "freq": [1.0e9, 1.0e9],
+        "chan": np.array([0, 0], np.int32),
+        "pol": np.array([0, 0], np.int32),
+        "data_re": [1.0, -1.0],
+        "data_im": [0.5, -0.5],
+        "weight": [1.0, 1.0],
+    })
+    df = spark.createDataFrame(pdf).coalesce(1)
+    grid_df, _ = grid_visibilities(df, GP, variant=variant)
+    got = grid_df.toPandas()
+    assert len(got) == GP.support * GP.support
+    assert (got["grid_re"] == 0.0).all() and (got["grid_im"] == 0.0).all()

@@ -88,3 +88,13 @@ def test_media_decode_stays_arrow_batched(spark):
     plan = explain_formatted(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_registry_respects_driver_hash_window():
+    # the driver hash-checks only the first 50 queries() entries; all
+    # oracle-bearing gates must fit inside, rows-only entries follow
+    import cngi_prototype_spark.queries as Q2
+    names = list(Q2.queries())
+    oracled = set(Q2.oracle_sql())
+    assert len(oracled) <= Q2._DRIVER_WINDOW
+    assert set(names[:len(oracled)]) == oracled
