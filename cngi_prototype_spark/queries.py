@@ -644,27 +644,31 @@ def _join_dataset_parts(spark: SparkSession, sf_dir: str):
     return OJ.join_dataset(fact1, dim1, fact2, dim2, dim_key="id", fact_fk="o_custkey")
 
 
+# facts + dims in one tagged-union slot (the driver hashes only
+# _DRIVER_WINDOW registry entries; merging frees a slot for the
+# imaging value gates)
 @register(
-    "join_dataset_facts",
+    "join_dataset",
     _JD_SQL + """
-    SELECT o_custkey, COUNT(*) AS n_orders
+    SELECT 'facts' AS part, CAST(o_custkey AS BIGINT) AS k,
+           COUNT(*) AS n, '' AS name
     FROM fact_all GROUP BY o_custkey
+    UNION ALL
+    SELECT 'dims', CAST(id AS BIGINT), CAST(0 AS BIGINT), c_name
+    FROM dim_all
     """,
 )
-def join_dataset_facts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact_out, _ = _join_dataset_parts(spark, sf_dir)
-    return fact_out.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-@register(
-    "join_dataset_dims",
-    _JD_SQL + """
-    SELECT id, c_name FROM dim_all
-    """,
-)
-def join_dataset_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, dim_out = _join_dataset_parts(spark, sf_dir)
-    return dim_out
+def join_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_out, dim_out = _join_dataset_parts(spark, sf_dir)
+    facts = (fact_out.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("facts").alias("part"),
+                     F.col("o_custkey").cast("long").alias("k"),
+                     "n", F.lit("").alias("name")))
+    dims = dim_out.select(F.lit("dims").alias("part"),
+                          F.col("id").cast("long").alias("k"),
+                          F.lit(0).cast("long").alias("n"),
+                          F.col("c_name").alias("name"))
+    return facts.unionByName(dims)
 
 
 # ---------------------------------------------------------------------------
@@ -1185,31 +1189,35 @@ _SKY_SIZE = (64, 64)
 _SKY_CELL = (1.0e-4, 1.0e-4)
 
 
+# sky lattice + visplot/implot thinning share one tagged-union slot
 @register(
     "sky_image",
     f"""
-    SELECT l_idx, m_idx, l, m,
+    SELECT 'sky' AS op, l_idx, m_idx, l, m,
            ROUND(right_ascension, 6) AS right_ascension,
            ROUND(declination, 6) AS declination
     FROM ({sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)})
+    UNION ALL
+    SELECT 'thin', l_idx, m_idx, l, m, 0.0, 0.0
+    FROM ({sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)})
+    WHERE l_idx % 8 = 0 AND m_idx % 4 = 0
     """,
 )
 def sky_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
-    return round_doubles(out, only=("right_ascension", "declination"))
+    sky = round_doubles(out, only=("right_ascension", "declination")).select(
+        F.lit("sky").alias("op"), "l_idx", "m_idx", "l", "m",
+        "right_ascension", "declination")
+    # `thin` is imported further down the module; by call time the
+    # global is bound, so referencing it here is safe
+    th = thin(out, {"l_idx": 8, "m_idx": 4}).select(
+        F.lit("thin").alias("op"), "l_idx", "m_idx", "l", "m",
+        F.lit(0.0).alias("right_ascension"), F.lit(0.0).alias("declination"))
+    return sky.unionByName(th)
 
 
-@register(
-    "airy_pb",
-    f"""
-    SELECT l_idx, m_idx, chan, freq, ROUND(pb, 6) AS pb
-    FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
-    """,
-)
-def airy_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
-    pb = make_pb(sky, [1.0e9, 1.1e9]).select("l_idx", "m_idx", "chan", "freq", "pb")
-    return round_doubles(pb, only=("pb",))
+# beam_models (airy + gaussian merged gate) is registered after the
+# image_ops import below — sql_gaussian_beam lives there
 
 
 @register("dirty_image", None)  # plane FFT: no SQL analog
@@ -1222,6 +1230,123 @@ def dirty_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def psf_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis_keyed(spark, sf_dir)
     return make_psf(vis, _GP, image_size=(48, 48), weight="weight")
+
+
+# ---------------------------------------------------------------------------
+# imaging_fft: VALUE evidence for the FFT imaging path (make_image /
+# make_psf, reference make_image.py:104-130 / make_psf.py:113-131). The
+# production 48^2 planes are rows-only (dirty_image / psf_image above);
+# this gate reruns the same operators on a 16^2 grid where the oracle
+# can afford the full centered DFT: for even n,
+#   fftshift(ifft2(ifftshift(g)))·N == sum_{u,v} g[u,v] ·
+#     exp(+i·2π((u-c)(l-c)/n_u + (v-c)(m-c)/n_v)),  c = n//2
+# (identity verified numerically to 1e-13). Grid cells and sum_weight
+# reuse the precise quantized twins, so grids are bit-equal across
+# engines; the only residual drift is FFT-vs-DFT accumulation order
+# (~1e-13), absorbed by ROUND 6 on both sides. PSWF correction values
+# are injected as exact repr literals.
+# ---------------------------------------------------------------------------
+
+import numpy as _np  # noqa: E402
+
+from cngi_prototype_spark.imaging.image import image_from_grid  # noqa: E402
+from cngi_prototype_spark.imaging.kernels import pswf as _pswf  # noqa: E402
+
+_FGP = GridParms(n_u=16, n_v=16, cell_u=2.0e-5, cell_v=2.0e-5,
+                 support=5, oversampling=100)
+_FFT_CROP = 12
+
+
+def _fft_vis_sql(re_expr: str, im_expr: str) -> str:
+    # uv bounded to +-5000 m so every sample lands inside the 16^2 grid
+    # with half=2 margin (u_pos in [2.66, 13.34] at 1 GHz, 2e-5 rad)
+    return f"""
+    SELECT ((event_id * 7919) % 10000) - 5000.0 AS u,
+           ((event_id * 104729 + user_id) % 10000) - 5000.0 AS v,
+           1.0e9 AS freq, 0 AS chan, CAST(user_id % 2 AS INT) AS pol,
+           {re_expr} AS data_re, {im_expr} AS data_im,
+           1.0 + CAST(event_id % 5 AS DOUBLE) AS weight
+    FROM events WHERE event_id < 1500
+    """
+
+
+def _fft_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    return ev.select(
+        (((F.col("event_id") * 7919) % 10000) - F.lit(5000.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 10000)
+         - F.lit(5000.0)).alias("v"),
+        F.lit(1.0e9).alias("freq"),
+        F.lit(0).alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+
+
+def _sql_dft_image(cells_sql: str, sumw_sql: str) -> str:
+    n, c = _FGP.n_u, _FGP.n_u // 2
+    lo = c - _FFT_CROP // 2
+    corr = _pswf((_np.arange(n) - c) / c)[0]
+    # e-notation literals parse as DOUBLE in DuckDB; bare decimals
+    # parse as DECIMAL whose ->DOUBLE cast can lose 1 ulp
+    corr_vals = ", ".join(f"({i}, {corr[lo + i]:.17e})"
+                          for i in range(_FFT_CROP))
+    ph = (f"2 * PI() * ((c.u_idx - {c}) * (p.l_idx + {lo} - {c}) / {float(n)!r}"
+          f" + (c.v_idx - {c}) * (p.m_idx + {lo} - {c}) / {float(n)!r})")
+    return f"""
+    WITH cells AS ({cells_sql}),
+    sw AS ({sumw_sql}),
+    corr(i, cf) AS (SELECT * FROM (VALUES {corr_vals})),
+    px AS (SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx
+           FROM range({_FFT_CROP}) l, range({_FFT_CROP}) m),
+    dft AS (
+      SELECT c.chan AS chan, c.pol AS pol, p.l_idx, p.m_idx,
+             SUM(c.grid_re * COS({ph}) - c.grid_im * SIN({ph})) AS raw
+      FROM cells c, px p
+      GROUP BY 1, 2, 3, 4)
+    SELECT d.chan, d.pol, d.l_idx, d.m_idx,
+           ROUND(d.raw
+                 / (CASE WHEN s.sum_weight = 0 THEN 1.0 ELSE s.sum_weight END)
+                 / (cu.cf * cm.cf), 6) AS v
+    FROM dft d
+    JOIN sw s ON d.chan = s.chan AND d.pol = s.pol
+    JOIN corr cu ON cu.i = d.l_idx
+    JOIN corr cm ON cm.i = d.m_idx
+    """
+
+
+@register(
+    "imaging_fft",
+    f"""
+    SELECT 'dirty' AS part, chan, pol, l_idx, m_idx, v
+    FROM ({_sql_dft_image(
+        sql_grid_visibilities(_FGP, _fft_vis_sql("value / 100.0",
+                                                 "0.0 - value / 200.0")),
+        sql_sum_weight(_FGP, _fft_vis_sql("value / 100.0",
+                                          "0.0 - value / 200.0")))})
+    UNION ALL
+    SELECT 'psf', chan, pol, l_idx, m_idx, v
+    FROM ({_sql_dft_image(
+        sql_grid_visibilities(_FGP, _fft_vis_sql("1.0", "0.0")),
+        sql_sum_weight(_FGP, _fft_vis_sql("1.0", "0.0")))})
+    """,
+)
+def imaging_fft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _fft_vis(spark, sf_dir)
+    crop = (_FFT_CROP, _FFT_CROP)
+    grid, sumw = grid_visibilities(vis, _FGP, weight="weight",
+                                   precise=_precise())
+    dirty = image_from_grid(grid, sumw, _FGP, image_size=crop, out="v")
+    gw, sw2 = grid_visibilities(vis, _FGP, weight="weight", re=None, im=None,
+                                precise=_precise())
+    psf = image_from_grid(gw, sw2, _FGP, image_size=crop, out="v")
+    d = dirty.select(F.lit("dirty").alias("part"), "chan", "pol",
+                     "l_idx", "m_idx", F.round("v", 6).alias("v"))
+    p = psf.select(F.lit("psf").alias("part"), "chan", "pol",
+                   "l_idx", "m_idx", F.round("v", 6).alias("v"))
+    return d.unionByName(p)
 
 
 # ---------------------------------------------------------------------------
@@ -1240,6 +1365,76 @@ def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
     out = deconvolve_point_clean(img, psf, gain=0.1, threshold=0.05, niter=50)
     return out.filter((F.col("model") != 0) | (F.col("l_idx") % 8 == 0))
+
+
+# ---------------------------------------------------------------------------
+# hogbom_small: VALUE evidence for the iterative CLEAN minor cycle
+# (deconvolve_point_clean.py:90-300 semantics). The loop body is pure
+# float arithmetic with a deterministic argmax (first-max in row-major
+# order), so a fixed-iteration unrolled SQL twin reproduces the Spark
+# kernel BIT-EXACTLY: each iteration is one CTE pair (peak pick via
+# ORDER BY ABS(r) DESC, row-major LIMIT 1; residual update mirrors
+# numpy's r -= (gain·peak)·psf association). threshold=0 pins the
+# iteration count so both sides run exactly NITER subtractions.
+# ---------------------------------------------------------------------------
+
+_HB_N = 8
+_HB_NITER = 6
+_HB_GAIN = 0.1
+
+
+def _sql_hogbom_small() -> str:
+    n, c = _HB_N, _HB_N // 2
+    g = f"{_HB_GAIN:.17e}"
+    ctes = [f"""
+    img AS (
+      SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx,
+             ((l.range * 5 + m.range * 11) % 17) / 4.0 - 2.0 AS v
+      FROM range({n}) l, range({n}) m),
+    psf AS (
+      SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx,
+             1.0 / (1.0 + (l.range - {c}) * (l.range - {c})
+                        + (m.range - {c}) * (m.range - {c})) AS v
+      FROM range({n}) l, range({n}) m),
+    r0 AS (SELECT l_idx, m_idx, v AS r, 0.0 AS model FROM img)"""]
+    for k in range(_HB_NITER):
+        ctes.append(f"""
+    p{k} AS (SELECT l_idx AS pl, m_idx AS pm, r AS peak FROM r{k}
+             ORDER BY ABS(r) DESC, l_idx * {n} + m_idx LIMIT 1)""")
+        ctes.append(f"""
+    r{k + 1} AS (
+      SELECT c.l_idx, c.m_idx,
+             c.r - ({g} * p.peak) * COALESCE(ps.v, 0.0) AS r,
+             c.model + CASE WHEN c.l_idx = p.pl AND c.m_idx = p.pm
+                            THEN {g} * p.peak ELSE 0.0 END AS model
+      FROM r{k} c CROSS JOIN p{k} p
+      LEFT JOIN psf ps ON ps.l_idx = {c} + c.l_idx - p.pl
+                      AND ps.m_idx = {c} + c.m_idx - p.pm)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"    SELECT l_idx, m_idx, ROUND(model, 6) AS model, "
+            f"ROUND(r, 6) AS residual FROM r{_HB_NITER}")
+
+
+@register("hogbom_small", _sql_hogbom_small())
+def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, cc = _HB_N, _HB_N // 2
+    lat = spark.range(n * n).select(
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("id") / n).cast("int").alias("l_idx"),
+        (F.col("id") % n).cast("int").alias("m_idx"))
+    img = lat.withColumn(
+        "image",
+        ((F.col("l_idx") * 5 + F.col("m_idx") * 11) % 17) / F.lit(4.0)
+        - F.lit(2.0))
+    psf = lat.withColumn(
+        "psf",
+        F.lit(1.0) / (F.lit(1.0)
+                      + (F.col("l_idx") - cc) * (F.col("l_idx") - cc)
+                      + (F.col("m_idx") - cc) * (F.col("m_idx") - cc)))
+    out = deconvolve_point_clean(img, psf, gain=_HB_GAIN, threshold=0.0,
+                                 niter=_HB_NITER)
+    return out.select("l_idx", "m_idx", F.round("model", 6).alias("model"),
+                      F.round("residual", 6).alias("residual"))
 
 
 @register("synthesis_imaging_cube", None)  # flagship composition
@@ -1277,6 +1472,31 @@ from cngi_prototype_spark.imaging.image_ops import (  # noqa: E402
 _SKY_SQL = sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)
 
 
+# airy primary beam + gaussian restoring beam share one tagged-union
+# slot (both are closed-form beam models over the sky lattice)
+@register(
+    "beam_models",
+    f"""
+    SELECT 'airy' AS part, l_idx, m_idx, chan, freq, ROUND(pb, 6) AS v
+    FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
+    UNION ALL
+    SELECT 'gauss', l_idx, m_idx, -1, 0.0, ROUND(beam, 6)
+    FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
+    """,
+)
+def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
+    pb = make_pb(sky, [1.0e9, 1.1e9]).select(
+        F.lit("airy").alias("part"), "l_idx", "m_idx", "chan", "freq",
+        F.round("pb", 6).alias("v"))
+    gsky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
+    gb = gaussian_beam(gsky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5).select(
+        F.lit("gauss").alias("part"), "l_idx", "m_idx",
+        F.lit(-1).alias("chan"), F.lit(0.0).alias("freq"),
+        F.round("beam", 6).alias("v"))
+    return pb.unionByName(gb)
+
+
 @register(
     "image_region_mask",
     f"""
@@ -1303,19 +1523,6 @@ def image_region_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("region1").alias("val"))
             .unionByName(m.select(F.lit("mask").alias("op"), "l_idx", "m_idx",
                                   F.col("mask1").alias("val"))))
-
-
-@register(
-    "gaussian_beam",
-    f"""
-    SELECT l_idx, m_idx, ROUND(beam, 6) AS beam
-    FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
-    """,
-)
-def gaussian_beam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
-    out = gaussian_beam(sky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5)
-    return round_doubles(out.select("l_idx", "m_idx", "beam"), only=("beam",))
 
 
 _STOKES_SQL = """
@@ -1370,24 +1577,77 @@ def stokes_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(back.select(F.lit("roundtrip").alias("op"), "*")))
 
 
-@register(
-    "thin_preview",
-    f"""
-    SELECT l_idx, m_idx, l, m FROM ({_SKY_SQL})
-    WHERE l_idx % 8 = 0 AND m_idx % 4 = 0
-    """,
-)
-def thin_preview_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sky = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
-    return thin(sky, {"l_idx": 8, "m_idx": 4}).select("l_idx", "m_idx", "l", "m")
-
-
-@register("image_smooth", None)  # plane-FFT convolution: no SQL analog
+@register("image_smooth", None)  # 48^2 production shape: rows-only
 def image_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis(spark, sf_dir)
     img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
     return image_smooth(img, _SKY_CELL, image_size=(48, 48),
                         size=(60.0, 45.0, 20.0))
+
+
+# ---------------------------------------------------------------------------
+# image_smooth_conv: VALUE evidence for the FFT-convolution smooth
+# (smooth.py:97-108 semantics). smooth's plane op is
+#   |fftshift(ifft2(fft2(img)·fft2(beam)))|
+# which for even n equals the centered cyclic convolution
+#   out[l,m] = |sum_{p,q} img[p,q]·beam[(l+c-p) mod n, (m+c-q) mod n]|
+# (identity verified numerically to 1e-14). At 12^2 the oracle can
+# afford the full O(n^4) direct sum; the unity-normalized gaussian
+# beam is replicated at import with the operator's own formula and
+# injected as exact repr literals.
+# ---------------------------------------------------------------------------
+
+from cngi_prototype_spark.imaging.image_ops import beam_abc as _beam_abc  # noqa: E402
+
+_SM_N = 12
+_SM_SIZE = (60.0, 45.0, 20.0)
+
+
+def _sm_beam_vals() -> "np.ndarray":
+    a, b, g = _beam_abc(*_SM_SIZE, _SKY_CELL)
+    x = (_np.arange(_SM_N) - _SM_N // 2)[:, None]
+    y = (_np.arange(_SM_N) - _SM_N // 2)[None, :]
+    beam = _np.exp(-(a * x * x + b * x * y + g * y * y))
+    return beam / beam.sum()
+
+
+def _sql_image_smooth_conv() -> str:
+    n, c = _SM_N, _SM_N // 2
+    beam = _sm_beam_vals()
+    # e-notation -> DOUBLE parse (see _sql_dft_image note)
+    beam_vals = ", ".join(f"({i}, {j}, {beam[i, j]:.17e})"
+                          for i in range(n) for j in range(n))
+    return f"""
+    WITH img AS (
+      SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx,
+             ((l.range * 7 + m.range * 3) % 11) / 10.0 - 0.3 AS v
+      FROM range({n}) l, range({n}) m),
+    beam(bi, bj, bv) AS (SELECT * FROM (VALUES {beam_vals})),
+    conv AS (
+      SELECT o.l_idx, o.m_idx,
+             SUM(i.v * b.bv) AS s
+      FROM img o, img i
+      JOIN beam b
+        ON b.bi = ((o.l_idx + {c} - i.l_idx) % {n} + {n}) % {n}
+       AND b.bj = ((o.m_idx + {c} - i.m_idx) % {n} + {n}) % {n}
+      GROUP BY 1, 2)
+    SELECT 0 AS chan, 0 AS pol, l_idx, m_idx, ROUND(ABS(s), 6) AS v
+    FROM conv
+    """
+
+
+@register("image_smooth_conv", _sql_image_smooth_conv())
+def image_smooth_conv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _SM_N
+    img = spark.range(n * n).select(
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("id") / n).cast("int").alias("l_idx"),
+        (F.col("id") % n).cast("int").alias("m_idx"),
+        (((F.col("id") / n).cast("int") * 7 + (F.col("id") % n) * 3) % 11
+         / F.lit(10.0) - F.lit(0.3)).alias("image"))
+    out = image_smooth(img, _SKY_CELL, image_size=(n, n), size=_SM_SIZE)
+    return out.select("chan", "pol", "l_idx", "m_idx",
+                      F.round("image", 6).alias("v"))
 
 
 # ---------------------------------------------------------------------------
@@ -1577,16 +1837,78 @@ def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.unionByName(dec)
 
 
-@register("media_pixel_features", None)  # stub decoder: rows-only
+@register("media_pixel_features", None)  # md5-seeded fake decoder: rows-only
 def media_pixel_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(documents_as_media(_docs(spark, sf_dir)), fake=True)
 
 
-@register("media_frame_sample", None)  # stub decoder: rows-only
+@register("media_frame_sample", None)  # md5-seeded fake decoder: rows-only
 def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(_docs(spark, sf_dir))
     return sample_frames(media.filter(F.col("media_id") % 10 == 0),
                          every_n=2, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# media_pixels: VALUE evidence for media_features and sample_frames over
+# the REAL decoders (the fake-decoder variants above stay rows-only —
+# md5->PCG64 pixels have no SQL analog). Same synth-blob pattern as
+# media_decode_q: pixel formulas are closed forms, so px_mean/px_std
+# and every sampled frame get exact SQL twins. byte_entropy is excluded
+# (it mixes header bytes; covered by unit tests).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_pixels",
+    f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + i.range * 3 + j.range) % 256 AS r,
+             (d.doc_id * 11 + i.range) % 256 AS g,
+             (d.doc_id * 13 + j.range * 5) % 256 AS b
+      FROM documents d, range(8) i, range(12) j WHERE d.doc_id < 150),
+    s AS (
+      SELECT doc_id, CAST(SUM(r) + SUM(g) + SUM(b) AS DOUBLE) AS s1,
+             CAST(SUM(r*r) + SUM(g*g) + SUM(b*b) AS DOUBLE) AS s2
+      FROM px GROUP BY doc_id)
+    SELECT 'features' AS part, doc_id * 4 AS media_id,
+           CAST({_N_PPM} AS BIGINT) AS a,
+           ROUND(s1 / 288.0, 6) AS b,
+           ROUND(SQRT(s2 / 288.0 - (s1 / 288.0) * (s1 / 288.0)), 6) AS c
+    FROM s
+    UNION ALL
+    SELECT 'frames', doc_id * 4 + 2, CAST(t.range AS BIGINT),
+           CAST((doc_id * 17 + t.range * 9) % 65536 - 32768 AS DOUBLE), 0.0
+    FROM documents, range(0, 64, 2) t WHERE doc_id < 150
+    """,
+)
+def media_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 150)
+
+    def enc(kind):
+        def run(batches):
+            for pdf in batches:
+                rows = [(int(d) * 4, synth_ppm(int(d))) if kind == "ppm"
+                        else (int(d) * 4 + 2, synth_wav(int(d)))
+                        for d in pdf["doc_id"]]
+                yield pd.DataFrame(rows, columns=["media_id", "media"])
+        return run
+
+    ppm = ids.mapInPandas(enc("ppm"), "media_id long, media binary")
+    wav = ids.mapInPandas(enc("wav"), "media_id long, media binary")
+    feats = media_features(ppm, fake=False).select(
+        F.lit("features").alias("part"), "media_id",
+        F.col("n_bytes").alias("a"),
+        F.round("px_mean", 6).alias("b"), F.round("px_std", 6).alias("c"))
+    frames = sample_frames(wav, every_n=2, fake=False).select(
+        F.lit("frames").alias("part"), "media_id",
+        F.col("frame_no").cast("long").alias("a"),
+        F.element_at("frame", 1).cast("double").alias("b"),
+        F.lit(0.0).alias("c"))
+    return feats.unionByName(frames)
 
 
 # ---------------------------------------------------------------------------
@@ -2065,64 +2387,61 @@ def uv_cont_fit_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from cngi_prototype_spark.operators.packing import pack_spectra, unpack_spectra  # noqa: E402
 
 
+# packed layout + unpack roundtrip share one tagged-union slot. The
+# packed form is ARRAY-typed and the driver canonicalizer can't sort
+# list cells, so the packed part re-explodes WITH POSITION on both
+# sides — position order proves the packed arrays are chan-sorted and
+# value-aligned, which is the operator's whole contract.
 @register(
     "pack_spectra",
-    # The packed form is ARRAY-typed; the driver canonicalizer can't
-    # sort list cells, so the gate re-explodes WITH POSITION on both
-    # sides — position order proves the packed arrays are chan-sorted
-    # and value-aligned, which is the operator's whole contract.
     """
     WITH v AS (
-      SELECT CAST(user_id % 20 AS INT) AS bl, CAST(user_id % 2 AS INT) AS pol,
+      SELECT event_id, CAST(user_id % 20 AS INT) AS bl,
+             CAST(user_id % 2 AS INT) AS pol,
              CAST(event_id % 64 AS INT) AS chan,
-             value / 100.0 AS data_re
-      FROM events WHERE event_id < 1280 AND (event_id // 64) % 11 = 0
+             value / 100.0 AS data_re, 0.0 - value / 200.0 AS data_im
+      FROM events WHERE event_id < 1280
     ),
     p AS (
       SELECT bl, pol,
              list(chan ORDER BY chan, data_re) AS chans,
              list(data_re ORDER BY chan, data_re) AS vals
-      FROM v GROUP BY bl, pol
+      FROM v WHERE (event_id // 64) % 11 = 0
+      GROUP BY bl, pol
     )
-    SELECT bl, pol, CAST(i - 1 AS INT) AS pos, chans[i] AS chan, vals[i] AS data_re
+    SELECT 'packed' AS part, bl, pol, CAST(i - 1 AS INT) AS pos,
+           chans[i] AS chan, vals[i] AS data_re, 0.0 AS data_im
     FROM p, LATERAL unnest(generate_series(1, len(chans))) AS t(i)
+    UNION ALL
+    SELECT 'roundtrip', bl, pol, -1, chan, data_re, data_im FROM v
     """,
 )
 def pack_spectra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = (_t(spark, sf_dir, "events")
-         .filter((F.col("event_id") < 1280)
-                 & ((F.col("event_id") / 64).cast("long") % 11 == 0))
-         .select(
-        (F.col("user_id") % 20).cast("int").alias("bl"),
-        (F.col("user_id") % 2).cast("int").alias("pol"),
-        (F.col("event_id") % 64).cast("int").alias("chan"),
-        (F.col("value") / F.lit(100.0)).alias("data_re")))
-    packed = pack_spectra(v, keys=("bl", "pol"), values=("data_re",))
-    out = packed.select(
-        "bl", "pol",
-        F.posexplode(F.arrays_zip("chans", "data_re")).alias("pos", "z"))
-    return out.select(
-        "bl", "pol", F.col("pos").cast("int").alias("pos"),
-        F.col("z.chans").alias("chan"), F.col("z.data_re").alias("data_re"))
-
-
-@register(
-    "pack_unpack_roundtrip",
-    """
-    SELECT CAST(user_id % 20 AS INT) AS bl, CAST(user_id % 2 AS INT) AS pol,
-           CAST(event_id % 64 AS INT) AS chan,
-           value / 100.0 AS data_re, 0.0 - value / 200.0 AS data_im
-    FROM events WHERE event_id < 1280
-    """,
-)
-def pack_unpack_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (_t(spark, sf_dir, "events").filter(F.col("event_id") < 1280).select(
+        "event_id",
         (F.col("user_id") % 20).cast("int").alias("bl"),
         (F.col("user_id") % 2).cast("int").alias("pol"),
         (F.col("event_id") % 64).cast("int").alias("chan"),
         (F.col("value") / F.lit(100.0)).alias("data_re"),
         (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im")))
-    return unpack_spectra(pack_spectra(v, keys=("bl", "pol")), keys=("bl", "pol"))
+    sub = v.filter((F.col("event_id") / 64).cast("long") % 11 == 0)
+    packed = pack_spectra(sub.select("bl", "pol", "chan", "data_re"),
+                          keys=("bl", "pol"), values=("data_re",))
+    pk = (packed.select(
+        "bl", "pol",
+        F.posexplode(F.arrays_zip("chans", "data_re")).alias("pos", "z"))
+        .select(F.lit("packed").alias("part"), "bl", "pol",
+                F.col("pos").cast("int").alias("pos"),
+                F.col("z.chans").alias("chan"),
+                F.col("z.data_re").alias("data_re"),
+                F.lit(0.0).alias("data_im")))
+    rt = (unpack_spectra(
+        pack_spectra(v.select("bl", "pol", "chan", "data_re", "data_im"),
+                     keys=("bl", "pol")),
+        keys=("bl", "pol"))
+        .select(F.lit("roundtrip").alias("part"), "bl", "pol",
+                F.lit(-1).alias("pos"), "chan", "data_re", "data_im"))
+    return pk.unionByName(rt)
 
 
 # ---------------------------------------------------------------------------
