@@ -1075,7 +1075,8 @@ def _uv_vis_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("uv_weight_grid", sql_grid_weights(_GP, _UV_SQL_KEYED))
+# uv weight-grid merged into the imaging_weights gate below (one
+# tagged-union slot for the whole weighting tier)
 def uv_weight_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cngi_prototype_spark.imaging.weights import grid_weights
     return grid_weights(_uv_vis_keyed(spark, sf_dir), _GP)
@@ -1095,21 +1096,35 @@ def imaging_weight_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "imaging_weights",
     f"""
-    SELECT 'briggs' AS weighting, * FROM (
+    SELECT 'briggs' AS weighting, CAST(event_id AS BIGINT) AS k1, -1 AS k2,
+           chan, pol, imaging_weight AS v FROM (
       {sql_imaging_weight(_GP, _UV_SQL_KEYED, weighting="briggs", robust=0.5,
                           key_cols="cells.event_id AS event_id,")})
     UNION ALL
-    SELECT 'uniform', * FROM (
+    SELECT 'uniform', CAST(event_id AS BIGINT), -1, chan, pol,
+           imaging_weight FROM (
       {sql_imaging_weight(_GP, _UV_SQL_KEYED, weighting="uniform",
                           key_cols="cells.event_id AS event_id,")})
+    UNION ALL
+    SELECT 'grid', CAST(u_idx AS BIGINT), v_idx, chan, pol, grid_w
+    FROM ({sql_grid_weights(_GP, _UV_SQL_KEYED)})
     """,
 )
 def imaging_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = imaging_weight_briggs_q(spark, sf_dir).select(
-        F.lit("briggs").alias("weighting"), "*")
+        F.lit("briggs").alias("weighting"),
+        F.col("event_id").cast("long").alias("k1"), F.lit(-1).alias("k2"),
+        "chan", "pol", F.col("imaging_weight").alias("v"))
     u = imaging_weight_uniform_q(spark, sf_dir).select(
-        F.lit("uniform").alias("weighting"), "*")
-    return b.unionByName(u)
+        F.lit("uniform").alias("weighting"),
+        F.col("event_id").cast("long").alias("k1"), F.lit(-1).alias("k2"),
+        "chan", "pol", F.col("imaging_weight").alias("v"))
+    g = uv_weight_grid_q(spark, sf_dir).select(
+        F.lit("grid").alias("weighting"),
+        F.col("u_idx").cast("long").alias("k1"),
+        F.col("v_idx").alias("k2"), "chan", "pol",
+        F.col("grid_w").alias("v"))
+    return b.unionByName(u).unionByName(g)
 
 
 # ---------------------------------------------------------------------------
@@ -1285,7 +1300,7 @@ def _fft_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dft_image(cells_sql: str, sumw_sql: str) -> str:
+def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> str:
     n, c = _FGP.n_u, _FGP.n_u // 2
     lo = c - _FFT_CROP // 2
     corr = _pswf((_np.arange(n) - c) / c)[0]
@@ -1295,6 +1310,10 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str) -> str:
                           for i in range(_FFT_CROP))
     ph = (f"2 * PI() * ((c.u_idx - {c}) * (p.l_idx + {lo} - {c}) / {float(n)!r}"
           f" + (c.v_idx - {c}) * (p.m_idx + {lo} - {c}) / {float(n)!r})")
+    val = (f"d.raw / (CASE WHEN s.sum_weight = 0 THEN 1.0 "
+           f"ELSE s.sum_weight END) / (cu.cf * cm.cf)")
+    if rounded:
+        val = f"ROUND({val}, 6)"
     return f"""
     WITH cells AS ({cells_sql}),
     sw AS ({sumw_sql}),
@@ -1307,9 +1326,7 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str) -> str:
       FROM cells c, px p
       GROUP BY 1, 2, 3, 4)
     SELECT d.chan, d.pol, d.l_idx, d.m_idx,
-           ROUND(d.raw
-                 / (CASE WHEN s.sum_weight = 0 THEN 1.0 ELSE s.sum_weight END)
-                 / (cu.cf * cm.cf), 6) AS v
+           {val} AS v
     FROM dft d
     JOIN sw s ON d.chan = s.chan AND d.pol = s.pol
     JOIN corr cu ON cu.i = d.l_idx
@@ -1434,6 +1451,76 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deconvolve_point_clean(img, psf, gain=_HB_GAIN, threshold=0.0,
                                  niter=_HB_NITER)
     return out.select("l_idx", "m_idx", F.round("model", 6).alias("model"),
+                      F.round("residual", 6).alias("residual"))
+
+
+# ---------------------------------------------------------------------------
+# synthesis_small: VALUE evidence for the flagship grid→FFT→CLEAN
+# composition (synthesis_imaging_cube below stays rows-only at its
+# production shape). Composes the imaging_fft DFT twins (dirty + psf
+# planes, unrounded) with the hogbom_small unrolled-iteration CTE per
+# (chan, pol) plane. The FFT-vs-DFT drift (~1e-13) feeds the argmax;
+# plane peaks on this data are separated by >>1e-6, so peak picks are
+# stable and ROUND 6 absorbs the residual drift.
+# ---------------------------------------------------------------------------
+
+_SY_NITER = 5
+_SY_GAIN = 0.2
+
+
+def _sql_synthesis_small() -> str:
+    n, c = _FFT_CROP, _FFT_CROP // 2
+    g = f"{_SY_GAIN:.17e}"
+    dirty_sql = _sql_dft_image(
+        sql_grid_visibilities(_FGP, _fft_vis_sql("value / 100.0",
+                                                 "0.0 - value / 200.0")),
+        sql_sum_weight(_FGP, _fft_vis_sql("value / 100.0",
+                                          "0.0 - value / 200.0")),
+        rounded=False)
+    psf_sql = _sql_dft_image(
+        sql_grid_visibilities(_FGP, _fft_vis_sql("1.0", "0.0")),
+        sql_sum_weight(_FGP, _fft_vis_sql("1.0", "0.0")),
+        rounded=False)
+    ctes = [f"dimg AS ({dirty_sql})", f"pimg AS ({psf_sql})",
+            "r0 AS (SELECT chan, pol, l_idx, m_idx, v AS r, 0.0 AS model"
+            " FROM dimg)"]
+    for k in range(_SY_NITER):
+        ctes.append(f"""
+    p{k} AS (
+      SELECT chan, pol, l_idx AS pl, m_idx AS pm, r AS peak FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY chan, pol
+                  ORDER BY ABS(r) DESC, l_idx * {n} + m_idx) AS rn
+        FROM r{k}) WHERE rn = 1)""")
+        ctes.append(f"""
+    r{k + 1} AS (
+      SELECT cr.chan, cr.pol, cr.l_idx, cr.m_idx,
+             cr.r - ({g} * p.peak) * COALESCE(ps.v, 0.0) AS r,
+             cr.model + CASE WHEN cr.l_idx = p.pl AND cr.m_idx = p.pm
+                             THEN {g} * p.peak ELSE 0.0 END AS model
+      FROM r{k} cr
+      JOIN p{k} p ON cr.chan = p.chan AND cr.pol = p.pol
+      LEFT JOIN pimg ps ON ps.chan = cr.chan AND ps.pol = cr.pol
+                       AND ps.l_idx = {c} + cr.l_idx - p.pl
+                       AND ps.m_idx = {c} + cr.m_idx - p.pm)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"    SELECT chan, pol, l_idx, m_idx, ROUND(model, 6) AS model, "
+            f"ROUND(r, 6) AS residual FROM r{_SY_NITER}")
+
+
+@register("synthesis_small", _sql_synthesis_small())
+def synthesis_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vis = _fft_vis(spark, sf_dir)
+    crop = (_FFT_CROP, _FFT_CROP)
+    grid, sumw = grid_visibilities(vis, _FGP, weight="weight",
+                                   precise=_precise())
+    dirty = image_from_grid(grid, sumw, _FGP, image_size=crop, out="image")
+    gw, sw2 = grid_visibilities(vis, _FGP, weight="weight", re=None, im=None,
+                                precise=_precise())
+    psf = image_from_grid(gw, sw2, _FGP, image_size=crop, out="psf")
+    out = deconvolve_point_clean(dirty, psf, gain=_SY_GAIN, threshold=0.0,
+                                 niter=_SY_NITER)
+    return out.select("chan", "pol", "l_idx", "m_idx",
+                      F.round("model", 6).alias("model"),
                       F.round("residual", 6).alias("residual"))
 
 
