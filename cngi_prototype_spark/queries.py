@@ -752,10 +752,47 @@ def uv_cont_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        precise=_precise())
 
 
-@register("spec_fit", None)  # iterative Gauss-Newton: rows-only check
+@register("spec_fit", None)  # Gauss-Newton on noisy driver data: rows-only
 def spec_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_vis(spark, sf_dir)
     return spec_fit(ev.filter(F.col("bl") < 5), ["bl"], "event_id", "data_re")
+
+
+# ---------------------------------------------------------------------------
+# spec_fit_small: VALUE evidence for the Gauss-Newton gaussian fit via
+# truth recovery (same pattern as self_cal_small): spectra are exact
+# noise-free gaussians y = A·exp(-((x-mu)/sigma)^2/2), so the fit
+# converges to the generating parameters to its 1e-12 tolerance and the
+# oracle is the closed-form truth; rms_err rounds to exactly 0.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spec_fit_small",
+    """
+    SELECT CAST(range AS INT) AS grp,
+           ROUND(5.0 + 0.5 * range, 6) AS amp,
+           ROUND(17.0 + 1.1 * range, 6) AS center,
+           ROUND(3.0 + 0.25 * range, 6) AS sigma,
+           0.0 AS rms_err
+    FROM range(5)
+    """,
+)
+def spec_fit_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spectra = spark.range(5 * 40).select(
+        (F.col("id") / 40).cast("int").alias("grp"),
+        (F.col("id") % 40).cast("double").alias("x"))
+    a = 5.0 + 0.5 * F.col("grp").cast("double")
+    mu = 17.0 + 1.1 * F.col("grp").cast("double")
+    sig = 3.0 + 0.25 * F.col("grp").cast("double")
+    t = (F.col("x") - mu) / sig
+    spectra = spectra.withColumn("y", a * F.exp(-0.5 * t * t))
+    out = spec_fit(spectra, ["grp"], "x", "y")
+    return out.select(
+        "grp", F.round("amp", 6).alias("amp"),
+        F.round("center", 6).alias("center"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("rms_err", 6).alias("rms_err"))
 
 
 # ---------------------------------------------------------------------------
@@ -1008,14 +1045,22 @@ _SQL_UV_GRID = sql_grid_visibilities(_GP, _UV_SQL)
     SELECT 'explode' AS variant, * FROM ({_SQL_UV_GRID})
     UNION ALL
     SELECT 'kernel', * FROM ({_SQL_UV_GRID})
+    UNION ALL
+    SELECT 'sumw', chan, pol, -1, -1, sum_weight, 0.0
+    FROM ({sql_sum_weight(_GP, _UV_SQL)})
     """,
 )
 def uv_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis(spark, sf_dir)
-    e, _ = grid_visibilities(vis, _GP, variant="explode", precise=_precise())
+    e, sumw = grid_visibilities(vis, _GP, variant="explode", precise=_precise())
     k, _ = grid_visibilities(vis, _GP, variant="kernel", precise=_precise())
+    sw = sumw.select(
+        F.lit("sumw").alias("variant"), "chan", "pol",
+        F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
+        F.col("sum_weight").alias("grid_re"), F.lit(0.0).alias("grid_im"))
     return (e.select(F.lit("explode").alias("variant"), "*")
-            .unionByName(k.select(F.lit("kernel").alias("variant"), "*")))
+            .unionByName(k.select(F.lit("kernel").alias("variant"), "*"))
+            .unionByName(sw))
 
 
 def uv_grid_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,7 +1069,7 @@ def uv_grid_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid
 
 
-@register("uv_grid_sum_weight", sql_sum_weight(_GP, _UV_SQL))
+# sum-of-weights merged into the uv_grid union above (slot economy)
 def uv_grid_sum_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, sumw = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
                                 variant="explode", precise=_precise())
@@ -1559,57 +1604,40 @@ from cngi_prototype_spark.imaging.image_ops import (  # noqa: E402
 _SKY_SQL = sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)
 
 
-# airy primary beam + gaussian restoring beam share one tagged-union
-# slot (both are closed-form beam models over the sky lattice)
-@register(
-    "beam_models",
-    f"""
-    SELECT 'airy' AS part, l_idx, m_idx, chan, freq, ROUND(pb, 6) AS v
-    FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
-    UNION ALL
-    SELECT 'gauss', l_idx, m_idx, -1, 0.0, ROUND(beam, 6)
-    FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
-    """,
-)
-def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
-    pb = make_pb(sky, [1.0e9, 1.1e9]).select(
-        F.lit("airy").alias("part"), "l_idx", "m_idx", "chan", "freq",
-        F.round("pb", 6).alias("v"))
-    gsky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
-    gb = gaussian_beam(gsky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5).select(
-        F.lit("gauss").alias("part"), "l_idx", "m_idx",
-        F.lit(-1).alias("chan"), F.lit(0.0).alias("freq"),
-        F.round("beam", 6).alias("v"))
-    return pb.unionByName(gb)
+# beam_models (airy + gaussian + mosaic PB merged gate) is registered
+# in the mosaic tier below, where sql_mosaic_pb is in scope
 
 
-@register(
-    "image_region_mask",
-    f"""
-    SELECT 'region' AS op, l_idx, m_idx,
-           ((right_ascension > 0.7985 AND right_ascension < 0.8015
+# region/mask merged into the stokes_corr gate below (one tagged-union
+# slot for the pixel-selection + polarization-basis tier)
+_SQL_REGION_MASK = f"""
+    SELECT 'region' AS op, l_idx, m_idx, -1 AS chan, -1 AS pol,
+           CAST((right_ascension > 0.7985 AND right_ascension < 0.8015
              AND declination > -0.4018 AND declination < -0.3985)
-            OR (l_idx > 50 AND l_idx < 60 AND m_idx > 4 AND m_idx < 12)) AS val
+            OR (l_idx > 50 AND l_idx < 60 AND m_idx > 4 AND m_idx < 12)
+            AS DOUBLE) AS image
     FROM ({_SKY_SQL})
     UNION ALL
-    SELECT 'mask', l_idx, m_idx,
-           (NOT (right_ascension > 0.7985 AND right_ascension < 0.8015
+    SELECT 'mask', l_idx, m_idx, -1, -1,
+           CAST((NOT (right_ascension > 0.7985 AND right_ascension < 0.8015
                  AND declination > -0.4018 AND declination < -0.3985)
             AND NOT (l_idx > 50 AND l_idx < 60 AND m_idx > 4 AND m_idx < 12))
+            AS DOUBLE)
     FROM ({_SKY_SQL})
-    """,
-)
+    """
+
+
 def image_region_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sky = make_empty_sky_image(spark, _SKY_CENTER, _SKY_SIZE, _SKY_CELL)
     r = image_region(sky, "region1", ra=(0.7985, 0.8015), dec=(-0.4018, -0.3985),
                      pixels=[[50, 4], [60, 12]])
     m = image_mask(sky, "mask1", ra=(0.7985, 0.8015), dec=(-0.4018, -0.3985),
                    pixels=[[50, 4], [60, 12]])
-    return (r.select(F.lit("region").alias("op"), "l_idx", "m_idx",
-                     F.col("region1").alias("val"))
-            .unionByName(m.select(F.lit("mask").alias("op"), "l_idx", "m_idx",
-                                  F.col("mask1").alias("val"))))
+    pad = lambda df, op, col: df.select(  # noqa: E731
+        F.lit(op).alias("op"), "l_idx", "m_idx",
+        F.lit(-1).alias("chan"), F.lit(-1).alias("pol"),
+        F.col(col).cast("double").alias("image"))
+    return pad(r, "region", "region1").unionByName(pad(m, "mask", "mask1"))
 
 
 _STOKES_SQL = """
@@ -1652,6 +1680,8 @@ def _stokes_df(spark: SparkSession) -> DataFrame:
     UNION ALL
     SELECT 'roundtrip', l_idx, m_idx, chan, 4 AS pol, 0.0 AS image
     FROM ({_STOKES_SQL}) WHERE pol = 4
+    UNION ALL
+    {_SQL_REGION_MASK}
     """,
 )
 def stokes_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,7 +1691,8 @@ def stokes_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = corr_to_stokes(stokes_to_corr(_stokes_df(spark), basis="linear"),
                           basis="linear")
     return (fwd.select(F.lit("to_corr").alias("op"), "*")
-            .unionByName(back.select(F.lit("roundtrip").alias("op"), "*")))
+            .unionByName(back.select(F.lit("roundtrip").alias("op"), "*"))
+            .unionByName(image_region_mask_q(spark, sf_dir)))
 
 
 @register("image_smooth", None)  # 48^2 production shape: rows-only
@@ -1793,6 +1824,86 @@ def self_cal_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# self_cal_small: VALUE evidence for the antsol gain solver via truth
+# recovery. The vis table is synthesized from KNOWN gains in closed
+# form (V_ij = g_i·conj(g_j)·M, no noise), so the damped fixed point
+# converges to the truth to its 1e-12 tolerance — far below the ROUND 6
+# quantum — and the oracle is simply the generating closed form: the
+# true gains, and corrected data == the model. This checks the solver's
+# stationary point, initial-guess path, refant re-phasing, and the
+# broadcast gain-apply arithmetic.
+# ---------------------------------------------------------------------------
+
+_SC_NANT = 4
+_SC_M = (2.0, 0.5)  # constant model visibility
+
+
+def _sc_gain(i):  # true gains; ant 0 real-positive (refant phase = 0)
+    return (1.0 + 0.1 * i, 0.05 * i)
+
+
+@register(
+    "self_cal_small",
+    f"""
+    WITH ants AS (SELECT CAST(range AS INT) AS a,
+                         1.0 + 0.1 * range AS gre, 0.05 * range AS gim
+                  FROM range({_SC_NANT})),
+    pairs AS (SELECT i.a AS a1, j.a AS a2,
+                     i.gre AS g1r, i.gim AS g1i, j.gre AS g2r, j.gim AS g2i
+              FROM ants i, ants j WHERE i.a < j.a)
+    SELECT 'gains' AS part, a AS k1, -1 AS k2,
+           ROUND(gre, 6) AS re, ROUND(gim, 6) AS im, 0.0 AS w
+    FROM ants
+    UNION ALL
+    SELECT 'corrected', a1 * {_SC_NANT} + a2, CAST(c.range AS INT),
+           {_SC_M[0]!r}, {_SC_M[1]!r},
+           ROUND((1.0 + c.range)
+                 * ((g1r*g1r + g1i*g1i) * (g2r*g2r + g2i*g2i)), 6)
+    FROM pairs, range(2) c
+    """,
+)
+def self_cal_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _SC_NANT
+    mre, mim = _SC_M
+    pairs = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("ant1"),
+        (F.col("id") % n).cast("int").alias("ant2"),
+    ).filter(F.col("ant1") < F.col("ant2"))
+    vis = pairs.crossJoin(spark.range(2).select(F.col("id").cast("int").alias("chan")))
+
+    def gre(a):  # true gain columns, closed form
+        return 1.0 + 0.1 * F.col(a).cast("double")
+
+    def gim(a):
+        return 0.05 * F.col(a).cast("double")
+
+    # G = g1·conj(g2); V = G·M (complex multiply, explicit re/im)
+    Gr = gre("ant1") * gre("ant2") + gim("ant1") * gim("ant2")
+    Gi = gim("ant1") * gre("ant2") - gre("ant1") * gim("ant2")
+    vis = vis.select(
+        F.lit(0).cast("long").alias("interval"), "ant1", "ant2", "chan",
+        F.lit(0).alias("pol"),
+        (Gr * mre - Gi * mim).alias("data_re"),
+        (Gr * mim + Gi * mre).alias("data_im"),
+        F.lit(mre).alias("model_re"), F.lit(mim).alias("model_im"),
+        (1.0 + F.col("chan").cast("double")).alias("weight"),
+        F.lit(False).alias("flag"))
+    gains, corrected = self_cal(vis, n_ant=n)
+    gout = gains.select(
+        F.lit("gains").alias("part"), F.col("ant").cast("int").alias("k1"),
+        F.lit(-1).alias("k2"), F.round("gain_re", 6).alias("re"),
+        F.round("gain_im", 6).alias("im"), F.lit(0.0).alias("w"))
+    cout = corrected.select(
+        F.lit("corrected").alias("part"),
+        (F.col("ant1") * n + F.col("ant2")).cast("int").alias("k1"),
+        F.col("chan").alias("k2"),
+        F.round("corrected_re", 6).alias("re"),
+        F.round("corrected_im", 6).alias("im"),
+        F.round("corrected_weight", 6).alias("w"))
+    return gout.unionByName(cout)
+
+
+# ---------------------------------------------------------------------------
 # Degrid / model prediction (beyond reference: its predict_modelvis_image is
 # a stub — SG:433). Exact oracle via the quantized-sum twin.
 # ---------------------------------------------------------------------------
@@ -1804,12 +1915,53 @@ from cngi_prototype_spark.imaging.degrid import (  # noqa: E402
 )
 
 
+def _sql_model_grid_fft() -> str:
+    """Forward centered-DFT twin of model_image_to_grid on the _FGP
+    lattice: g[u,v] = sum img·corr·exp(-2πi((u-c)(l-c)/n+(v-c)(m-c)/n))
+    (== fftshift(fft2(ifftshift(img))) for even n, verified to 1e-14).
+    """
+    n, c = _FGP.n_u, _FGP.n_u // 2
+    corr = _pswf((_np.arange(n) - c) / c)[0]
+    corr_vals = ", ".join(f"({i}, {corr[i]:.17e})" for i in range(n))
+    ph = (f"-2 * PI() * ((u.range - {c}) * (i.l_idx - {c}) / {float(n)!r}"
+          f" + (v.range - {c}) * (i.m_idx - {c}) / {float(n)!r})")
+    return f"""
+    WITH mim AS (
+      SELECT 0 AS chan, CAST(p.range AS INT) AS pol,
+             CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx,
+             ((l.range * 3 + m.range * 5 + p.range) % 7) / 3.0 - 1.0 AS mv
+      FROM range({n}) l, range({n}) m, range(2) p),
+    mcorr(ci, cf) AS (SELECT * FROM (VALUES {corr_vals})),
+    i AS (SELECT chan, pol, l_idx, m_idx, mv * cu.cf * cm.cf AS cv2
+          FROM mim JOIN mcorr cu ON cu.ci = l_idx
+                   JOIN mcorr cm ON cm.ci = m_idx)
+    SELECT i.chan, i.pol, CAST(u.range AS INT) AS u_idx,
+           CAST(v.range AS INT) AS v_idx,
+           SUM(i.cv2 * COS({ph})) AS grid_re,
+           SUM(i.cv2 * SIN({ph})) AS grid_im
+    FROM i, range({n}) u, range({n}) v
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+# degrid-from-taps + predict-from-model-image share one tagged-union
+# slot; the image part value-checks the forward-FFT model_image_to_grid
+# path (predict_modelvis below keeps the production rows-only shape).
+# FFT-vs-DFT drift (~1e-13) can flip the oracle's 1e-9 quantization on
+# isolated taps, so the image part rounds to 6 on both sides.
 @register(
     "uv_degrid",
     f"""
-    SELECT s.row_id AS event_id, s.model_re, s.model_im
+    SELECT 'taps' AS part, s.row_id AS event_id, s.model_re, s.model_im
     FROM ({sql_degrid(_GP, _UV_SQL_KEYED.replace("event_id,", "event_id AS row_id,"),
                       sql_grid_visibilities(_GP, _UV_SQL), key="row_id")}) s
+    UNION ALL
+    SELECT 'image', s.row_id, ROUND(s.model_re, 6), ROUND(s.model_im, 6)
+    FROM ({sql_degrid(
+        _FGP,
+        _fft_vis_sql("value / 100.0", "0.0 - value / 200.0").replace(
+            "SELECT ", "SELECT event_id AS row_id, ", 1),
+        _sql_model_grid_fft(), key="row_id")}) s
     """,
 )
 def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,10 +1969,43 @@ def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 variant="explode", precise=_precise())
     vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id", "row_id")
     out = degrid_visibilities(vis, grid, _GP, precise=_precise())
-    return out.select(F.col("row_id").alias("event_id"), "model_re", "model_im")
+    taps = out.select(F.lit("taps").alias("part"),
+                      F.col("row_id").alias("event_id"),
+                      "model_re", "model_im")
+
+    n = _FGP.n_u
+    model = spark.range(n * n * 2).select(
+        F.lit(0).alias("chan"),
+        (F.col("id") % 2).cast("int").alias("pol"),
+        ((F.col("id") / 2).cast("long") / n).cast("int").alias("l_idx"),
+        ((F.col("id") / 2).cast("long") % n).cast("int").alias("m_idx"),
+    ).withColumn(
+        "model",
+        ((F.col("l_idx") * 3 + F.col("m_idx") * 5 + F.col("pol")) % 7)
+        / F.lit(3.0) - F.lit(1.0))
+    # keyed variant of _fft_vis (row_id preserved)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    fvis = ev.select(
+        F.col("event_id").alias("row_id"),
+        (((F.col("event_id") * 7919) % 10000) - F.lit(5000.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 10000)
+         - F.lit(5000.0)).alias("v"),
+        F.lit(1.0e9).alias("freq"),
+        F.lit(0).alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+    pred = predict_modelvis_image(model, fvis, _FGP, precise=_precise())
+    img = pred.select(F.lit("image").alias("part"),
+                      F.col("row_id").alias("event_id"),
+                      F.round("model_re", 6).alias("model_re"),
+                      F.round("model_im", 6).alias("model_im"))
+    return taps.unionByName(img)
 
 
-@register("predict_modelvis", None)  # forward FFT: rows-only
+@register("predict_modelvis", None)  # forward FFT at production shape
 def predict_modelvis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = spark.createDataFrame(
         [(c, p, 32, 32, 2.0) for c in range(3) for p in range(2)],
@@ -2048,17 +2233,43 @@ from cngi_prototype_spark.imaging.mosaic import (  # noqa: E402
 _MOS_OFFSETS = {0: (0.0, 0.0), 1: (8.0e-4, 0.0), 2: (0.0, -6.0e-4)}
 
 
-@register(
-    "mosaic_pb",
-    f"""
-    SELECT l_idx, m_idx, ROUND(pb_mosaic, 6) AS pb_mosaic
-    FROM ({sql_mosaic_pb((48, 48), (1.0e-4, 1.0e-4), _MOS_OFFSETS, 1.0e9)})
-    """,
-)
 def mosaic_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (1.0e-4, 1.0e-4))
     pb = make_mosaic_pb(sky, _MOS_OFFSETS, 1.0e9)
     return round_doubles(pb, only=("pb_mosaic",))
+
+
+# airy primary beam + gaussian restoring beam + image-domain mosaic PB
+# share one tagged-union slot (all closed-form beam models over sky
+# lattices)
+@register(
+    "beam_models",
+    f"""
+    SELECT 'airy' AS part, l_idx, m_idx, chan, freq, ROUND(pb, 6) AS v
+    FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
+    UNION ALL
+    SELECT 'gauss', l_idx, m_idx, -1, 0.0, ROUND(beam, 6)
+    FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
+    UNION ALL
+    SELECT 'mosaic', l_idx, m_idx, -1, 1.0e9, ROUND(pb_mosaic, 6)
+    FROM ({sql_mosaic_pb((48, 48), (1.0e-4, 1.0e-4), _MOS_OFFSETS, 1.0e9)})
+    """,
+)
+def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
+    pb = make_pb(sky, [1.0e9, 1.1e9]).select(
+        F.lit("airy").alias("part"), "l_idx", "m_idx", "chan", "freq",
+        F.round("pb", 6).alias("v"))
+    gsky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
+    gb = gaussian_beam(gsky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5).select(
+        F.lit("gauss").alias("part"), "l_idx", "m_idx",
+        F.lit(-1).alias("chan"), F.lit(0.0).alias("freq"),
+        F.round("beam", 6).alias("v"))
+    mb = mosaic_pb_q(spark, sf_dir).select(
+        F.lit("mosaic").alias("part"), "l_idx", "m_idx",
+        F.lit(-1).alias("chan"), F.lit(1.0e9).alias("freq"),
+        F.col("pb_mosaic").alias("v"))
+    return pb.unionByName(gb).unionByName(mb)
 
 
 @register("mosaic_image", None)  # FFT-built GCF kernels: rows-only
@@ -2077,6 +2288,124 @@ def mosaic_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              2: (0.0, -6.0e-4)},
                               image_size=(48, 48))
     return img.filter(F.col("l_idx") % 2 == 0)
+
+
+# ---------------------------------------------------------------------------
+# mosaic_grid_small: VALUE evidence for the aperture (GCF) gridder +
+# per-field phase gradient — the mosaic tier's core physics
+# (mosaic_image above stays rows-only at its production shape). A small
+# GCF (oversampling 4, max_support 5 → 24² kernel) is built at import
+# by the SAME code the operator uses and injected into the oracle as
+# exact literals, so the SQL twin verifies kernel SELECTION + tap
+# indexing + phase rotation + the sum-of-kernel-weights accumulation,
+# not the FFT that built the kernel. Double sums are production
+# (unquantized) on both sides → ROUND 6; the vis set is one Arrow
+# batch (coalesce(1), <10k rows) so Spark's per-batch nonzero-cell
+# emission equals the oracle's HAVING-nonzero total.
+# ---------------------------------------------------------------------------
+
+_MGP = GridParms(n_u=32, n_v=32, cell_u=1.0e-4, cell_v=1.0e-4)
+_MGCF = make_gridding_convolution_function(_MGP, [1.0e9], [25.0],
+                                           oversampling=4, max_support=5)
+
+
+def _sql_mosaic_grid_small() -> str:
+    kern = _MGCF.kernels[0, 0]
+    S = kern.shape[0]
+    ov = _MGCF.oversampling
+    hw = int(_MGCF.support[0, 0, 0]) // 2
+    n, cgrid = _MGP.n_u, _MGP.n_u // 2
+    from cngi_prototype_spark.imaging.grid import C_M_S
+    # only indices reachable by S//2 + t*ov + d are needed; inject the
+    # full table anyway (it is small) as exact e-notation literals
+    kern_vals = ", ".join(f"({i}, {j}, {kern[i, j]:.17e})"
+                          for i in range(S) for j in range(S))
+    offs = ", ".join(f"({k}, {l:.17e}, {m:.17e})"
+                     for k, (l, m) in sorted(_MOS_OFFSETS.items()))
+    scale = f"(-(freq * {_MGP.cell_u!r} * {float(n)!r}) / {C_M_S!r})"
+    return f"""
+    WITH vis AS (
+      SELECT event_id,
+             ((event_id * 7919) % 2400) - 1200.0 AS u,
+             ((event_id * 104729 + user_id) % 2400) - 1200.0 AS v,
+             1.0e9 AS freq, 0 AS chan, CAST(user_id % 2 AS INT) AS pol,
+             CAST(event_id % 3 AS INT) AS field_id,
+             value / 100.0 AS re0, 0.0 - value / 200.0 AS im0,
+             1.0 + CAST(event_id % 3 AS DOUBLE) AS w
+      FROM events WHERE event_id < 3000),
+    foff(fid, lf, mf) AS (SELECT * FROM (VALUES {offs})),
+    kern(ki, kj, kv) AS (SELECT * FROM (VALUES {kern_vals})),
+    rot AS (
+      SELECT v.*,
+             re0 * COS(2 * PI() * ((u * freq / {C_M_S!r}) * lf
+                                   + (v.v * freq / {C_M_S!r}) * mf))
+             - im0 * SIN(2 * PI() * ((u * freq / {C_M_S!r}) * lf
+                                     + (v.v * freq / {C_M_S!r}) * mf)) AS re,
+             re0 * SIN(2 * PI() * ((u * freq / {C_M_S!r}) * lf
+                                   + (v.v * freq / {C_M_S!r}) * mf))
+             + im0 * COS(2 * PI() * ((u * freq / {C_M_S!r}) * lf
+                                     + (v.v * freq / {C_M_S!r}) * mf)) AS im
+      FROM vis v JOIN foff ON foff.fid = v.field_id),
+    geom AS (
+      SELECT chan, pol, w, re * w AS wre, im * w AS wim,
+             CAST(floor((u * {scale} + {float(cgrid)!r}) + 0.5) AS INT) AS uc,
+             CAST(floor((v * {scale} + {float(cgrid)!r}) + 0.5) AS INT) AS vc,
+             CAST(floor((CAST(floor((u * {scale} + {float(cgrid)!r}) + 0.5) AS INT)
+                         - (u * {scale} + {float(cgrid)!r})) * {float(ov)!r} + 0.5) AS INT) AS du,
+             CAST(floor((CAST(floor((v * {scale} + {float(cgrid)!r}) + 0.5) AS INT)
+                         - (v * {scale} + {float(cgrid)!r})) * {float(ov)!r} + 0.5) AS INT) AS dv
+      FROM rot
+      WHERE w IS NOT NULL AND w <> 0),
+    inb AS (
+      SELECT * FROM geom
+      WHERE uc >= {hw} AND uc < {n - hw} AND vc >= {hw} AND vc < {n - hw}
+        AND NOT (wre = 0 AND wim = 0)),
+    taps AS (SELECT tu.t AS tu, tv.t AS tv
+             FROM (VALUES {", ".join(f"({t})" for t in range(-hw, hw + 1))}) tu(t),
+                  (VALUES {", ".join(f"({t})" for t in range(-hw, hw + 1))}) tv(t)),
+    scat AS (
+      SELECT g.chan, g.pol, g.uc + t.tu AS u_idx, g.vc + t.tv AS v_idx,
+             k.kv * g.wre AS cre, k.kv * g.wim AS cim, g.w * k.kv AS wk
+      FROM inb g, taps t
+      JOIN kern k ON k.ki = {S // 2} + t.tu * {ov} + g.du
+                 AND k.kj = {S // 2} + t.tv * {ov} + g.dv)
+    SELECT 'grid' AS part, chan, pol, u_idx, v_idx,
+           ROUND(SUM(cre), 6) AS re, ROUND(SUM(cim), 6) AS im
+    FROM scat GROUP BY 1, 2, 3, 4, 5
+    HAVING NOT (SUM(cre) = 0 AND SUM(cim) = 0)
+    UNION ALL
+    SELECT 'sumw', chan, pol, -1, -1, ROUND(SUM(wk), 6), 0.0
+    FROM scat GROUP BY 1, 2, 3
+    """
+
+
+@register("mosaic_grid_small", _sql_mosaic_grid_small())
+def mosaic_grid_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cngi_prototype_spark.imaging.mosaic import (
+        apply_phase_gradient, mosaic_grid_visibilities)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    vis = ev.select(
+        (((F.col("event_id") * 7919) % 2400) - F.lit(1200.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 2400)
+         - F.lit(1200.0)).alias("v"),
+        F.lit(1.0e9).alias("freq"),
+        F.lit(0).alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("event_id") % 3).cast("int").alias("field_id"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+        (1.0 + (F.col("event_id") % 3).cast("double")).alias("weight"),
+    ).coalesce(1)
+    vis = apply_phase_gradient(vis, _MOS_OFFSETS, _MGP)
+    grid, sumw = mosaic_grid_visibilities(vis, _MGCF, _MGP)
+    gout = grid.select(F.lit("grid").alias("part"), "chan", "pol",
+                       "u_idx", "v_idx", F.round("grid_re", 6).alias("re"),
+                       F.round("grid_im", 6).alias("im"))
+    sout = sumw.select(F.lit("sumw").alias("part"), "chan", "pol",
+                       F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
+                       F.round("sum_weight", 6).alias("re"),
+                       F.lit(0.0).alias("im"))
+    return gout.unionByName(sout)
 
 
 # ---------------------------------------------------------------------------
