@@ -75,9 +75,15 @@ def major_cycle(spark, sf_dir: str):
     gp = GridParms(n_u=512, n_v=512, cell_u=2.5e-6, cell_v=2.5e-6,
                    support=7, oversampling=100)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # uv range sized so EVERY sample lands inside the padded grid
+    # (u_pos = 256 ± |u|·4.27e-3·(f/1e9); ±58500 m keeps the farthest
+    # sample at offset 251.5 < 252 with the 3-cell kernel margin). A
+    # wider range silently drops rows at the in-bounds filter and the
+    # benchmark stops measuring gridding (round-4 finding: the old
+    # ±250 km range gridded only ~24% of the declared rows).
     vis = ev.select(
-        ((F.col("event_id") * 7919 % 1000000) / F.lit(2.0) - F.lit(250000.0)).alias("u"),
-        (((F.col("event_id") * 104729 + F.col("user_id")) % 1000000) / F.lit(2.0) - F.lit(250000.0)).alias("v"),
+        ((F.col("event_id") * 7919 % 234000) / F.lit(2.0) - F.lit(58500.0)).alias("u"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 234000) / F.lit(2.0) - F.lit(58500.0)).alias("v"),
         (F.lit(1.0e9) + (F.col("event_id") % 8) * F.lit(1.0e6)).alias("freq"),
         (F.col("event_id") % 8).cast("int").alias("chan"),
         (F.col("user_id") % 2).cast("int").alias("pol"),
@@ -98,13 +104,20 @@ _CHILES_CORES = 128
 _CHILES_TAPS_PER_S_CORE = _CHILES_VIS * _CHILES_TAPS / _CHILES_SEC / _CHILES_CORES
 
 
-def chiles_frac(spark, sf_dir: str, cpus: int):
+def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     """CHILES-shaped major cycle at a declared fraction of the 2.5 TB
     workload: standard gridder, support 17 (289 taps/vis), padded grid
     1024x1024, image 1000x1000, 8 chans x 2 pols; the events table
     supplies the visibility rows. Returns (dataframe, n_vis) — the
     caller times a full noop-write execution and converts to
-    vis.taps/s/core for comparison against the 45-min/128-core figure."""
+    vis.taps/s/core for comparison against the 45-min/128-core figure.
+
+    ``skew=True`` replaces the uniform synthetic uv coverage with a
+    centrally-condensed (Bates/near-Gaussian, sigma ~29% of the half
+    span) distribution — real arrays concentrate short baselines, so
+    central grid cells go hot and the scatter tier sees realistic
+    write contention. Both numbers are reported so the uniform figure
+    can't hide a hot-cell cliff."""
     from pyspark.sql import functions as F
 
     from cngi_prototype_spark.imaging.grid import GridParms
@@ -116,16 +129,38 @@ def chiles_frac(spark, sf_dir: str, cpus: int):
     # replicate each event into REP distinct visibilities (distinct uv
     # sample per replica) so gridding work dominates the fixed per-plane
     # costs (FFT, image materialization) the way it does at full CHILES
-    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "1024"))
+    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "256"))
     n_vis = ev.count() * rep
     r = F.col("_rep")
     eid = F.col("event_id") * rep + r
+    # uv ranges sized so EVERY sample lands inside the padded grid
+    # (u_pos = 512 ± |u|·5.98e-3·(f/1.4e9); ±83500 m keeps the farthest
+    # sample at offset 501.6 < 503 with the 8-cell kernel margin).
+    # Round-4 finding: the old ±500 km range landed only ~2.8% of the
+    # declared rows in bounds, so the tier measured row generation, not
+    # gridding, and taps/s/core was inflated ~36x. Declared taps are
+    # now REAL taps.
+    uid = F.col("user_id")
+    if skew:
+        # Bates(4): mean of four independent uniform hashes — near-
+        # Gaussian, sigma ~29% of the half span (sigma_grid ~144 cells),
+        # so central cells run ~10x the uniform density: the hot-cell /
+        # hot-slab regime real centrally-condensed arrays produce
+        u_expr = (((eid * 7919 % 334000) + ((eid * 104729 + uid) % 334000)
+                   + (eid * 7 % 334000) + ((eid * 31 + uid) % 334000))
+                  / F.lit(8.0) - F.lit(83500.0))
+        v_expr = (((eid * 6007 % 334000) + ((eid * 90001 + uid) % 334000)
+                   + (eid * 13 % 334000) + ((eid * 57 + uid) % 334000))
+                  / F.lit(8.0) - F.lit(83500.0))
+    else:
+        u_expr = (eid * 7919 % 334000) / F.lit(2.0) - F.lit(83500.0)
+        v_expr = ((eid * 104729 + uid) % 334000) / F.lit(2.0) - F.lit(83500.0)
     vis = ev.select(
         "event_id", "user_id", "value",
         F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("_rep"),
     ).select(
-        ((eid * 7919 % 2000000) / F.lit(2.0) - F.lit(500000.0)).alias("u"),
-        (((eid * 104729 + F.col("user_id")) % 2000000) / F.lit(2.0) - F.lit(500000.0)).alias("v"),
+        u_expr.alias("u"),
+        v_expr.alias("v"),
         (F.lit(1.4e9) + (eid % 8) * F.lit(1.0e6)).alias("freq"),
         (eid % 8).cast("int").alias("chan"),
         ((F.col("user_id") + r) % 2).cast("int").alias("pol"),
@@ -133,6 +168,13 @@ def chiles_frac(spark, sf_dir: str, cpus: int):
         (-F.col("value") / F.lit(200.0)).alias("data_im"),
         (F.lit(1.0) + (eid % 5).cast("double")).alias("weight"),
     )
+    # materialize the synthetic rows once (the reference reads its rows
+    # from a real MS store; re-deriving them lazily would both time the
+    # generator and — with the skewed 4-term hash exprs — overflow the
+    # codegen size limit into interpreted evaluation, which measured as
+    # a phantom 6x "skew slowdown" that had nothing to do with gridding)
+    vis = vis.persist()
+    vis.count()
     img = make_image(vis, gp, image_size=(1000, 1000), weight="weight",
                      variant="kernel", n_planes=16, output="planes")
     return img, n_vis
@@ -151,8 +193,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # round-over-round comparability: some gates grew extra tagged-union
+    # parts for driver-slot economy; bench times the ORIGINAL scope
+    overrides = {
+        "uv_degrid": Q.uv_degrid_taps_q,       # taps-only (no image part)
+        "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
+    }
     for name in BENCH_QUERIES:
-        fn = qs.get(name) or getattr(Q, f"{name}_q", None)
+        fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)
         if fn is None:
             continue
         t0 = time.time()
@@ -183,6 +231,20 @@ def main() -> None:
         chiles_sec = el if chiles_sec is None else min(chiles_sec, el)
     timings["imaging_chiles_frac"] = chiles_sec
     taps_per_s_core = n_vis * _CHILES_TAPS / chiles_sec / cpus
+    spark.catalog.clearCache()
+
+    # skewed (centrally-condensed) uv coverage: same workload, hot
+    # central cells — reported alongside so uniform can't hide a cliff
+    img_s, n_vis_s = chiles_frac(spark, sf_dir, cpus, skew=True)
+    skew_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(img_s)
+        el = round(time.time() - t0, 3)
+        skew_sec = el if skew_sec is None else min(skew_sec, el)
+    timings["imaging_chiles_frac_skew"] = skew_sec
+    taps_skew = n_vis_s * _CHILES_TAPS / skew_sec / cpus
+
     chiles = {
         "declared_fraction": round(n_vis / _CHILES_VIS, 9),
         "n_vis": n_vis,
@@ -192,6 +254,9 @@ def main() -> None:
         # <1.0 means faster than the prototype's per-core throughput
         "vs_baseline": round(_CHILES_TAPS_PER_S_CORE / taps_per_s_core, 3)
         if taps_per_s_core > 0 else None,
+        "taps_per_s_core_skew": round(taps_skew),
+        "vs_baseline_skew": round(_CHILES_TAPS_PER_S_CORE / taps_skew, 3)
+        if taps_skew > 0 else None,
     }
 
     total = round(sum(timings.values()), 3)

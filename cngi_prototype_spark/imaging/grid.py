@@ -124,15 +124,6 @@ def _cgk_at(cgk_lit: Column, ov: int, tap: int, off: Column) -> Column:
     return F.element_at(cgk_lit, F.abs(F.lit(ov * tap) + off) + 1)
 
 
-def _norm_1d(gp: GridParms, cgk_lit: Column, off: Column) -> Column:
-    terms = [_cgk_at(cgk_lit, gp.oversampling, t, off)
-             for t in range(-gp.half, gp.support - gp.half)]
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
-
-
 def grid_visibilities(
     df: DataFrame,
     gp: GridParms,
@@ -176,12 +167,51 @@ def grid_visibilities(
         q = F.floor(c * F.lit(1.0e9)).cast("long")
         return (F.sum(q) / F.lit(1.0e9))
 
-    # --- sum of weights: separable norm, no explode (SG:358-360) ---
-    norm = _norm_1d(gp, cgk_lit, F.col("_du")) * _norm_1d(gp, cgk_lit, F.col("_dv"))
-    sum_weight = (
-        prepared.groupBy(chan, pol)
-        .agg(agg(F.col(weight) * norm).alias("sum_weight"))
-    )
+    # --- sum of weights: separable norm, no explode (SG:358-360).
+    # The 1-D norm Σ_t cgk[|ov·t + off|] has only oversampling+1
+    # distinct inputs (off = du or dv ∈ [-ov/2, ov/2]), so precompute
+    # it into a small array literal and index with ONE element_at per
+    # axis. Inlining the sum as 2·support chained element_at calls per
+    # row (the old form) cost ~110 s on the CHILES tier vs ~2 s for the
+    # whole agg; a broadcast-join LUT was no better (the join kicked
+    # the geometry expressions out of whole-stage codegen, ~95 s); the
+    # array-literal index stays fully in codegen (~4.6 s). LUT values
+    # accumulate left-to-right in Python — bit-identical to both the
+    # previous Catalyst chain and the SQL twin's `+` chain. ---
+    half_ov = gp.oversampling // 2
+    norm_vals = []
+    for off in range(-half_ov, half_ov + 1):
+        terms = [float(cgk[abs(gp.oversampling * t + off)])
+                 for t in range(-gp.half, gp.support - gp.half)]
+        acc = terms[0]
+        for x in terms[1:]:
+            acc = acc + x
+        norm_vals.append(acc)
+    norm_arr = F.array(*[F.lit(v) for v in norm_vals])
+    nu = F.element_at(norm_arr, F.col("_du") + F.lit(half_ov + 1))
+    nv = F.element_at(norm_arr, F.col("_dv") + F.lit(half_ov + 1))
+    if precise:
+        # gate mode: per-row quantized terms, row order can't matter —
+        # the SQL twin mirrors this association exactly
+        sum_weight = (
+            prepared.groupBy(chan, pol)
+            .agg(agg(F.col(weight) * (nu * nv)).alias("sum_weight"))
+        )
+    else:
+        # production mode: pre-reduce by the LUT key first. There are
+        # at most (oversampling+1)^2 distinct (du, dv) pairs per plane,
+        # so the per-row stage is a plain codegen hash agg on int keys
+        # and the array lookup touches only the reduced rows. (Applying
+        # element_at per input row can push the combined expression past
+        # the codegen size limit when the uv exprs are large; the
+        # interpreted fallback rebuilds the 101-element array literal
+        # per row — measured 95 s vs 5 s on the skewed CHILES tier.)
+        pre = (prepared.groupBy(chan, pol, "_du", "_dv")
+               .agg(F.sum(F.col(weight)).alias("_w")))
+        sum_weight = (
+            pre.groupBy(chan, pol)
+            .agg(F.sum(F.col("_w") * (nu * nv)).alias("sum_weight"))
+        )
 
     if variant == "explode":
         taps = F.array(*[

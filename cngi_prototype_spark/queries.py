@@ -936,22 +936,55 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact brute-force, hyperplane-LSH, and IVF top-k share one slot: all
 # emit (query_id, neighbor_id, cos_sim, rank), and both approximate
 # paths use deterministic md5-derived structures, so each has an exact
-# SQL twin.
+# SQL twin. recall@k rows (per query, approx ∩ brute / k) ride in the
+# same union: counts of deterministic sets, hash-exact.
 @register(
     "ann_topk",
     f"""
-    SELECT 'brute' AS method, * FROM ({sql_brute_force_topk(5, "vec_id < 10")})
+    WITH b AS ({sql_brute_force_topk(5, "vec_id < 10")}),
+    l AS ({sql_lsh_topk(5, 64, 6, 42, "vec_id < 10")}),
+    i AS ({sql_ivf_topk(_ivf_gate_centroids(), 5, 3, "vec_id < 10")})
+    SELECT 'brute' AS method, * FROM b
     UNION ALL
-    SELECT 'lsh', * FROM ({sql_lsh_topk(5, 64, 6, 42, "vec_id < 10")})
+    SELECT 'lsh', * FROM l
     UNION ALL
-    SELECT 'ivf', * FROM ({sql_ivf_topk(_ivf_gate_centroids(), 5, 3, "vec_id < 10")})
+    SELECT 'ivf', * FROM i
+    UNION ALL
+    SELECT 'recall_lsh', b.query_id, -1,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), -1
+    FROM b LEFT JOIN l ON b.query_id = l.query_id
+                      AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'recall_ivf', b.query_id, -1,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*), -1
+    FROM b LEFT JOIN i ON b.query_id = i.query_id
+                      AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
     """,
 )
 def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = ann_cosine_topk_q(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
-    l = ann_lsh_topk_q(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
-    i = ann_ivf_topk_q(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
-    return b.unionByName(l).unionByName(i)
+    b_ = ann_cosine_topk_q(spark, sf_dir)
+    l_ = ann_lsh_topk_q(spark, sf_dir)
+    i_ = ann_ivf_topk_q(spark, sf_dir)
+
+    def recall(approx: DataFrame, tag: str) -> DataFrame:
+        j = (b_.alias("b").join(
+            approx.alias("a"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")), "left"))
+        return (j.groupBy(F.col("b.query_id").alias("query_id"))
+                .agg((F.count(F.col("a.neighbor_id"))
+                      / F.count(F.lit(1))).alias("cos_sim"))
+                .select(F.lit(tag).alias("method"), "query_id",
+                        F.lit(-1).cast("long").alias("neighbor_id"),
+                        "cos_sim", F.lit(-1).alias("rank")))
+
+    out = (b_.select(F.lit("brute").alias("method"), "*")
+           .unionByName(l_.select(F.lit("lsh").alias("method"), "*"))
+           .unionByName(i_.select(F.lit("ivf").alias("method"), "*")))
+    return (out.unionByName(recall(l_, "recall_lsh"))
+            .unionByName(recall(i_, "recall_ivf")))
 
 
 # Near-dup: the all-pairs blocked-matmul EXACT path and the scale-path
@@ -1170,6 +1203,16 @@ def imaging_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_idx").alias("k2"), "chan", "pol",
         F.col("grid_w").alias("v"))
     return b.unionByName(u).unionByName(g)
+
+
+def imaging_weights_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """briggs + uniform only (bench entry: the original gate scope
+    before the weight-grid part was merged in)."""
+    b = imaging_weight_briggs_q(spark, sf_dir).select(
+        F.lit("briggs").alias("weighting"), "*")
+    u = imaging_weight_uniform_q(spark, sf_dir).select(
+        F.lit("uniform").alias("weighting"), "*")
+    return b.unionByName(u)
 
 
 # ---------------------------------------------------------------------------
@@ -2003,6 +2046,16 @@ def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("model_re", 6).alias("model_re"),
                       F.round("model_im", 6).alias("model_im"))
     return taps.unionByName(img)
+
+
+def uv_degrid_taps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taps-only degrid (bench entry: the original gate scope before the
+    image-predict part was merged in)."""
+    grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
+                                variant="explode", precise=_precise())
+    vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id", "row_id")
+    out = degrid_visibilities(vis, grid, _GP, precise=_precise())
+    return out.select(F.col("row_id").alias("event_id"), "model_re", "model_im")
 
 
 @register("predict_modelvis", None)  # forward FFT at production shape

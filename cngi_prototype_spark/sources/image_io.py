@@ -140,16 +140,28 @@ def read_fits_image(spark: SparkSession, infile: str,
 
 
 def write_fits_image(df: DataFrame, outfile: str, *,
-                     value: str = "image") -> None:
+                     value: str = "image",
+                     max_plane_cells: int = 64_000_000) -> None:
     """Long-form image rows -> FITS primary HDU (BITPIX -64). The file
     format is one sequential stream, so planes are streamed through the
     driver one at a time (``toLocalIterator`` over plane-collected
-    rows) — bounded by ONE plane of memory, never the cube."""
+    rows) — bounded by ONE plane of memory, never the cube.
+
+    ``max_plane_cells`` guards the driver funnel: a single plane above
+    this size (default 64M cells = 512 MB of float64) raises instead of
+    silently OOM-ing the driver mid-write — at that scale export via a
+    distributed format (parquet store) and convert outside Spark."""
     import numpy as np
 
     dims = df.agg(
         F.max("l_idx"), F.max("m_idx"), F.max("chan"), F.max("pol")).collect()[0]
     n_l, n_m, n_chan, n_pol = (int(d) + 1 for d in dims)
+    if n_l * n_m > max_plane_cells:
+        raise ValueError(
+            f"plane size {n_l}x{n_m} = {n_l * n_m} cells exceeds "
+            f"max_plane_cells={max_plane_cells}; FITS export funnels one "
+            f"plane at a time through the driver — write a parquet image "
+            f"store instead for cubes this large")
 
     def card(key: str, val: str) -> bytes:
         return f"{key:<8}= {val:>20}".ljust(80).encode("ascii")

@@ -31,13 +31,29 @@ def read_vis(
     infile: str,
     partition: int | list[int] | None = None,
     columns: list[str] | None = None,
+    s3_key: str | None = None,
+    s3_secret: str | None = None,
+    s3_endpoint: str | None = None,
 ) -> DataFrame:
     """Open a vis store; optionally select ddi partition(s) and columns.
 
     The ddi filter prunes hive partitions at plan time and the column
     list prunes the Parquet read schema — the lazy-variable behavior of
     read_vis.py:183-199 for free from Catalyst.
+
+    Keyed S3 access (read_vis.py:70-179's s3fs key/secret arguments):
+    explicit credentials map onto the Hadoop S3A conf of this session;
+    anonymous access is the S3A default credential chain. Pass the
+    bucket via an ``s3a://`` ``infile``.
     """
+    if s3_key is not None or s3_secret is not None or s3_endpoint is not None:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        if s3_key is not None:
+            hconf.set("fs.s3a.access.key", s3_key)
+        if s3_secret is not None:
+            hconf.set("fs.s3a.secret.key", s3_secret)
+        if s3_endpoint is not None:
+            hconf.set("fs.s3a.endpoint", s3_endpoint)
     df = spark.read.parquet(infile)
     if partition is not None:
         parts = [partition] if isinstance(partition, int) else list(partition)

@@ -96,3 +96,17 @@ def test_fits_reader_handles_bscale_int16(spark, tmp_path):
         ["m_idx", "l_idx"]).reset_index(drop=True)
     assert np.allclose(got.image, np.arange(n_l * n_m) * 0.5 + 100.0)
     assert (got.chan == 0).all() and (got.pol == 0).all()
+
+
+def test_write_fits_image_guards_oversize_planes(spark, tmp_path):
+    from cngi_prototype_spark.sources.image_io import write_fits_image
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("id") / 2).cast("int").alias("l_idx"),
+        (F.col("id") % 2).cast("int").alias("m_idx"),
+        F.col("id").cast("double").alias("image"))
+    with _pytest.raises(ValueError, match="max_plane_cells"):
+        write_fits_image(df, str(tmp_path / "x.fits"), max_plane_cells=2)

@@ -191,3 +191,17 @@ def test_read_ms_lazy_surface(spark, row_pdf, tmp_path):
     # only one ddi requested -> only that partition entry
     sel = read_ms(spark, ms, ddis=[1], ignore=["ANTENNA"])
     assert set(sel) == {"xds1", "global"} and sel["global"] == {}
+
+
+def test_read_vis_s3_credentials_map_to_hadoop_conf(spark):
+    from cngi_prototype_spark.sources.vis_io import read_vis
+
+    # local path still reads fine while creds land in the session conf
+    df = read_vis(spark, "/root/testdata/sf0.001/events.parquet",
+                  s3_key="AKTEST", s3_secret="SECRETTEST",
+                  s3_endpoint="s3.example.com")
+    assert df.count() > 0
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKTEST"
+    assert hconf.get("fs.s3a.secret.key") == "SECRETTEST"
+    assert hconf.get("fs.s3a.endpoint") == "s3.example.com"
