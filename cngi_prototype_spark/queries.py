@@ -145,14 +145,14 @@ def round_doubles(df: DataFrame, ndigits: int = 6,
     cols: list[Column] = []
     for f in df.schema.fields:
         if isinstance(f.dataType, T.DoubleType) and (only is None or f.name in only):
-            cols.append(F.round(F.col(f.name), ndigits).alias(f.name))
+            cols.append((F.round(F.col(f.name), ndigits) + F.lit(0.0)).alias(f.name))
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
 
 
 def R(expr: str) -> str:  # noqa: N802 - SQL-side twin of round_doubles
-    return f"ROUND({expr}, 6)"
+    return f"(ROUND({expr}, 6) + 0.0)"
 
 
 # ---------------------------------------------------------------------------
@@ -771,9 +771,9 @@ def spec_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spec_fit_small",
     """
     SELECT CAST(range AS INT) AS grp,
-           ROUND(5.0 + 0.5 * range, 6) AS amp,
-           ROUND(17.0 + 1.1 * range, 6) AS center,
-           ROUND(3.0 + 0.25 * range, 6) AS sigma,
+           (ROUND(5.0 + 0.5 * range, 6) + 0.0) AS amp,
+           (ROUND(17.0 + 1.1 * range, 6) + 0.0) AS center,
+           (ROUND(3.0 + 0.25 * range, 6) + 0.0) AS sigma,
            0.0 AS rms_err
     FROM range(5)
     """,
@@ -789,10 +789,10 @@ def spec_fit_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectra = spectra.withColumn("y", a * F.exp(-0.5 * t * t))
     out = spec_fit(spectra, ["grp"], "x", "y")
     return out.select(
-        "grp", F.round("amp", 6).alias("amp"),
-        F.round("center", 6).alias("center"),
-        F.round("sigma", 6).alias("sigma"),
-        F.round("rms_err", 6).alias("rms_err"))
+        "grp", (F.round("amp", 6) + F.lit(0.0)).alias("amp"),
+        (F.round("center", 6) + F.lit(0.0)).alias("center"),
+        (F.round("sigma", 6) + F.lit(0.0)).alias("sigma"),
+        (F.round("rms_err", 6) + F.lit(0.0)).alias("rms_err"))
 
 
 # ---------------------------------------------------------------------------
@@ -1260,8 +1260,8 @@ def _rot_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "direction_rotate",
     f"""
-    SELECT event_id, ROUND(u, 6) AS u, ROUND(v, 6) AS v, ROUND(w, 6) AS w,
-           ROUND(data_re, 6) AS data_re, ROUND(data_im, 6) AS data_im
+    SELECT event_id, (ROUND(u, 6) + 0.0) AS u, (ROUND(v, 6) + 0.0) AS v, (ROUND(w, 6) + 0.0) AS w,
+           (ROUND(data_re, 6) + 0.0) AS data_re, (ROUND(data_im, 6) + 0.0) AS data_im
     FROM ({sql_direction_rotate(_ROT_FIELDS, _ROT_NEW, _ROT_SQL_VIS,
                                 select_cols="rot.event_id AS event_id,")})
     """,
@@ -1297,8 +1297,8 @@ _SKY_CELL = (1.0e-4, 1.0e-4)
     "sky_image",
     f"""
     SELECT 'sky' AS op, l_idx, m_idx, l, m,
-           ROUND(right_ascension, 6) AS right_ascension,
-           ROUND(declination, 6) AS declination
+           (ROUND(right_ascension, 6) + 0.0) AS right_ascension,
+           (ROUND(declination, 6) + 0.0) AS declination
     FROM ({sql_sky_image(_SKY_CENTER, _SKY_SIZE, _SKY_CELL)})
     UNION ALL
     SELECT 'thin', l_idx, m_idx, l, m, 0.0, 0.0
@@ -1401,7 +1401,7 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> st
     val = (f"d.raw / (CASE WHEN s.sum_weight = 0 THEN 1.0 "
            f"ELSE s.sum_weight END) / (cu.cf * cm.cf)")
     if rounded:
-        val = f"ROUND({val}, 6)"
+        val = f"(ROUND({val}, 6) + 0.0)"
     return f"""
     WITH cells AS ({cells_sql}),
     sw AS ({sumw_sql}),
@@ -1448,9 +1448,9 @@ def imaging_fft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 precise=_precise())
     psf = image_from_grid(gw, sw2, _FGP, image_size=crop, out="v")
     d = dirty.select(F.lit("dirty").alias("part"), "chan", "pol",
-                     "l_idx", "m_idx", F.round("v", 6).alias("v"))
+                     "l_idx", "m_idx", (F.round("v", 6) + F.lit(0.0)).alias("v"))
     p = psf.select(F.lit("psf").alias("part"), "chan", "pol",
-                   "l_idx", "m_idx", F.round("v", 6).alias("v"))
+                   "l_idx", "m_idx", (F.round("v", 6) + F.lit(0.0)).alias("v"))
     return d.unionByName(p)
 
 
@@ -1516,8 +1516,8 @@ def _sql_hogbom_small() -> str:
       LEFT JOIN psf ps ON ps.l_idx = {c} + c.l_idx - p.pl
                       AND ps.m_idx = {c} + c.m_idx - p.pm)""")
     return (f"WITH {','.join(ctes)}\n"
-            f"    SELECT l_idx, m_idx, ROUND(model, 6) AS model, "
-            f"ROUND(r, 6) AS residual FROM r{_HB_NITER}")
+            f"    SELECT l_idx, m_idx, (ROUND(model, 6) + 0.0) AS model, "
+            f"(ROUND(r, 6) + 0.0) AS residual FROM r{_HB_NITER}")
 
 
 @register("hogbom_small", _sql_hogbom_small())
@@ -1538,8 +1538,8 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + (F.col("m_idx") - cc) * (F.col("m_idx") - cc)))
     out = deconvolve_point_clean(img, psf, gain=_HB_GAIN, threshold=0.0,
                                  niter=_HB_NITER)
-    return out.select("l_idx", "m_idx", F.round("model", 6).alias("model"),
-                      F.round("residual", 6).alias("residual"))
+    return out.select("l_idx", "m_idx", (F.round("model", 6) + F.lit(0.0)).alias("model"),
+                      (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
 
 
 # ---------------------------------------------------------------------------
@@ -1591,8 +1591,8 @@ def _sql_synthesis_small() -> str:
                        AND ps.l_idx = {c} + cr.l_idx - p.pl
                        AND ps.m_idx = {c} + cr.m_idx - p.pm)""")
     return (f"WITH {','.join(ctes)}\n"
-            f"    SELECT chan, pol, l_idx, m_idx, ROUND(model, 6) AS model, "
-            f"ROUND(r, 6) AS residual FROM r{_SY_NITER}")
+            f"    SELECT chan, pol, l_idx, m_idx, (ROUND(model, 6) + 0.0) AS model, "
+            f"(ROUND(r, 6) + 0.0) AS residual FROM r{_SY_NITER}")
 
 
 @register("synthesis_small", _sql_synthesis_small())
@@ -1608,8 +1608,8 @@ def synthesis_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deconvolve_point_clean(dirty, psf, gain=_SY_GAIN, threshold=0.0,
                                  niter=_SY_NITER)
     return out.select("chan", "pol", "l_idx", "m_idx",
-                      F.round("model", 6).alias("model"),
-                      F.round("residual", 6).alias("residual"))
+                      (F.round("model", 6) + F.lit(0.0)).alias("model"),
+                      (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
 
 
 @register("synthesis_imaging_cube", None)  # flagship composition
@@ -1792,7 +1792,7 @@ def _sql_image_smooth_conv() -> str:
         ON b.bi = ((o.l_idx + {c} - i.l_idx) % {n} + {n}) % {n}
        AND b.bj = ((o.m_idx + {c} - i.m_idx) % {n} + {n}) % {n}
       GROUP BY 1, 2)
-    SELECT 0 AS chan, 0 AS pol, l_idx, m_idx, ROUND(ABS(s), 6) AS v
+    SELECT 0 AS chan, 0 AS pol, l_idx, m_idx, (ROUND(ABS(s), 6) + 0.0) AS v
     FROM conv
     """
 
@@ -1808,7 +1808,7 @@ def image_smooth_conv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(10.0) - F.lit(0.3)).alias("image"))
     out = image_smooth(img, _SKY_CELL, image_size=(n, n), size=_SM_SIZE)
     return out.select("chan", "pol", "l_idx", "m_idx",
-                      F.round("image", 6).alias("v"))
+                      (F.round("image", 6) + F.lit(0.0)).alias("v"))
 
 
 # ---------------------------------------------------------------------------
@@ -1895,13 +1895,13 @@ def _sc_gain(i):  # true gains; ant 0 real-positive (refant phase = 0)
                      i.gre AS g1r, i.gim AS g1i, j.gre AS g2r, j.gim AS g2i
               FROM ants i, ants j WHERE i.a < j.a)
     SELECT 'gains' AS part, a AS k1, -1 AS k2,
-           ROUND(gre, 6) AS re, ROUND(gim, 6) AS im, 0.0 AS w
+           (ROUND(gre, 6) + 0.0) AS re, (ROUND(gim, 6) + 0.0) AS im, 0.0 AS w
     FROM ants
     UNION ALL
     SELECT 'corrected', a1 * {_SC_NANT} + a2, CAST(c.range AS INT),
            {_SC_M[0]!r}, {_SC_M[1]!r},
-           ROUND((1.0 + c.range)
-                 * ((g1r*g1r + g1i*g1i) * (g2r*g2r + g2i*g2i)), 6)
+           (ROUND((1.0 + c.range)
+                 * ((g1r*g1r + g1i*g1i) * (g2r*g2r + g2i*g2i)), 6) + 0.0)
     FROM pairs, range(2) c
     """,
 )
@@ -1934,15 +1934,15 @@ def self_cal_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains, corrected = self_cal(vis, n_ant=n)
     gout = gains.select(
         F.lit("gains").alias("part"), F.col("ant").cast("int").alias("k1"),
-        F.lit(-1).alias("k2"), F.round("gain_re", 6).alias("re"),
-        F.round("gain_im", 6).alias("im"), F.lit(0.0).alias("w"))
+        F.lit(-1).alias("k2"), (F.round("gain_re", 6) + F.lit(0.0)).alias("re"),
+        (F.round("gain_im", 6) + F.lit(0.0)).alias("im"), F.lit(0.0).alias("w"))
     cout = corrected.select(
         F.lit("corrected").alias("part"),
         (F.col("ant1") * n + F.col("ant2")).cast("int").alias("k1"),
         F.col("chan").alias("k2"),
-        F.round("corrected_re", 6).alias("re"),
-        F.round("corrected_im", 6).alias("im"),
-        F.round("corrected_weight", 6).alias("w"))
+        (F.round("corrected_re", 6) + F.lit(0.0)).alias("re"),
+        (F.round("corrected_im", 6) + F.lit(0.0)).alias("im"),
+        (F.round("corrected_weight", 6) + F.lit(0.0)).alias("w"))
     return gout.unionByName(cout)
 
 
@@ -1999,7 +1999,7 @@ def _sql_model_grid_fft() -> str:
     FROM ({sql_degrid(_GP, _UV_SQL_KEYED.replace("event_id,", "event_id AS row_id,"),
                       sql_grid_visibilities(_GP, _UV_SQL), key="row_id")}) s
     UNION ALL
-    SELECT 'image', s.row_id, ROUND(s.model_re, 6), ROUND(s.model_im, 6)
+    SELECT 'image', s.row_id, (ROUND(s.model_re, 6) + 0.0), (ROUND(s.model_im, 6) + 0.0)
     FROM ({sql_degrid(
         _FGP,
         _fft_vis_sql("value / 100.0", "0.0 - value / 200.0").replace(
@@ -2043,8 +2043,8 @@ def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = predict_modelvis_image(model, fvis, _FGP, precise=_precise())
     img = pred.select(F.lit("image").alias("part"),
                       F.col("row_id").alias("event_id"),
-                      F.round("model_re", 6).alias("model_re"),
-                      F.round("model_im", 6).alias("model_im"))
+                      (F.round("model_re", 6) + F.lit(0.0)).alias("model_re"),
+                      (F.round("model_im", 6) + F.lit(0.0)).alias("model_im"))
     return taps.unionByName(img)
 
 
@@ -2199,8 +2199,8 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM px GROUP BY doc_id)
     SELECT 'features' AS part, doc_id * 4 AS media_id,
            CAST({_N_PPM} AS BIGINT) AS a,
-           ROUND(s1 / 288.0, 6) AS b,
-           ROUND(SQRT(s2 / 288.0 - (s1 / 288.0) * (s1 / 288.0)), 6) AS c
+           (ROUND(s1 / 288.0, 6) + 0.0) AS b,
+           (ROUND(SQRT(s2 / 288.0 - (s1 / 288.0) * (s1 / 288.0)), 6) + 0.0) AS c
     FROM s
     UNION ALL
     SELECT 'frames', doc_id * 4 + 2, CAST(t.range AS BIGINT),
@@ -2227,7 +2227,7 @@ def media_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = media_features(ppm, fake=False).select(
         F.lit("features").alias("part"), "media_id",
         F.col("n_bytes").alias("a"),
-        F.round("px_mean", 6).alias("b"), F.round("px_std", 6).alias("c"))
+        (F.round("px_mean", 6) + F.lit(0.0)).alias("b"), (F.round("px_std", 6) + F.lit(0.0)).alias("c"))
     frames = sample_frames(wav, every_n=2, fake=False).select(
         F.lit("frames").alias("part"), "media_id",
         F.col("frame_no").cast("long").alias("a"),
@@ -2259,7 +2259,7 @@ from cngi_prototype_spark.imaging.image import calc_image_cell_size  # noqa: E40
       CASE WHEN cu / cv < 1.2 AND cv / cu < 1.2 THEN least(cu, cv) ELSE cu END AS cell_l,
       CASE WHEN cu / cv < 1.2 AND cv / cu < 1.2 THEN least(cu, cv) ELSE cv END AS cell_m,
       fwhm FROM c)
-    SELECT ROUND(cell_l, 6) AS cell_l, ROUND(cell_m, 6) AS cell_m,
+    SELECT (ROUND(cell_l, 6) + 0.0) AS cell_l, (ROUND(cell_m, 6) + 0.0) AS cell_m,
            CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_l, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_l,
            CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_m, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_m
     FROM e
@@ -2298,13 +2298,13 @@ def mosaic_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "beam_models",
     f"""
-    SELECT 'airy' AS part, l_idx, m_idx, chan, freq, ROUND(pb, 6) AS v
+    SELECT 'airy' AS part, l_idx, m_idx, chan, freq, (ROUND(pb, 6) + 0.0) AS v
     FROM ({sql_airy_pb((48, 48), (5.0e-6, 5.0e-6), [1.0e9, 1.1e9])})
     UNION ALL
-    SELECT 'gauss', l_idx, m_idx, -1, 0.0, ROUND(beam, 6)
+    SELECT 'gauss', l_idx, m_idx, -1, 0.0, (ROUND(beam, 6) + 0.0)
     FROM ({sql_gaussian_beam((42.0, 21.0, 30.0), _SKY_CELL, 64, 64, scale=1.5)})
     UNION ALL
-    SELECT 'mosaic', l_idx, m_idx, -1, 1.0e9, ROUND(pb_mosaic, 6)
+    SELECT 'mosaic', l_idx, m_idx, -1, 1.0e9, (ROUND(pb_mosaic, 6) + 0.0)
     FROM ({sql_mosaic_pb((48, 48), (1.0e-4, 1.0e-4), _MOS_OFFSETS, 1.0e9)})
     """,
 )
@@ -2312,12 +2312,12 @@ def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sky = make_empty_sky_image(spark, (0.0, 0.0), (48, 48), (5.0e-6, 5.0e-6))
     pb = make_pb(sky, [1.0e9, 1.1e9]).select(
         F.lit("airy").alias("part"), "l_idx", "m_idx", "chan", "freq",
-        F.round("pb", 6).alias("v"))
+        (F.round("pb", 6) + F.lit(0.0)).alias("v"))
     gsky = make_empty_sky_image(spark, _SKY_CENTER, (64, 64), _SKY_CELL)
     gb = gaussian_beam(gsky, (42.0, 21.0, 30.0), _SKY_CELL, scale=1.5).select(
         F.lit("gauss").alias("part"), "l_idx", "m_idx",
         F.lit(-1).alias("chan"), F.lit(0.0).alias("freq"),
-        F.round("beam", 6).alias("v"))
+        (F.round("beam", 6) + F.lit(0.0)).alias("v"))
     mb = mosaic_pb_q(spark, sf_dir).select(
         F.lit("mosaic").alias("part"), "l_idx", "m_idx",
         F.lit(-1).alias("chan"), F.lit(1.0e9).alias("freq"),
@@ -2423,11 +2423,11 @@ def _sql_mosaic_grid_small() -> str:
       JOIN kern k ON k.ki = {S // 2} + t.tu * {ov} + g.du
                  AND k.kj = {S // 2} + t.tv * {ov} + g.dv)
     SELECT 'grid' AS part, chan, pol, u_idx, v_idx,
-           ROUND(SUM(cre), 6) AS re, ROUND(SUM(cim), 6) AS im
+           (ROUND(SUM(cre), 6) + 0.0) AS re, (ROUND(SUM(cim), 6) + 0.0) AS im
     FROM scat GROUP BY 1, 2, 3, 4, 5
     HAVING NOT (SUM(cre) = 0 AND SUM(cim) = 0)
     UNION ALL
-    SELECT 'sumw', chan, pol, -1, -1, ROUND(SUM(wk), 6), 0.0
+    SELECT 'sumw', chan, pol, -1, -1, (ROUND(SUM(wk), 6) + 0.0), 0.0
     FROM scat GROUP BY 1, 2, 3
     """
 
@@ -2452,11 +2452,11 @@ def mosaic_grid_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = apply_phase_gradient(vis, _MOS_OFFSETS, _MGP)
     grid, sumw = mosaic_grid_visibilities(vis, _MGCF, _MGP)
     gout = grid.select(F.lit("grid").alias("part"), "chan", "pol",
-                       "u_idx", "v_idx", F.round("grid_re", 6).alias("re"),
-                       F.round("grid_im", 6).alias("im"))
+                       "u_idx", "v_idx", (F.round("grid_re", 6) + F.lit(0.0)).alias("re"),
+                       (F.round("grid_im", 6) + F.lit(0.0)).alias("im"))
     sout = sumw.select(F.lit("sumw").alias("part"), "chan", "pol",
                        F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
-                       F.round("sum_weight", 6).alias("re"),
+                       (F.round("sum_weight", 6) + F.lit(0.0)).alias("re"),
                        F.lit(0.0).alias("im"))
     return gout.unionByName(sout)
 
@@ -2545,7 +2545,7 @@ def shadow_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "predict_component",
     f"""
-    SELECT event_id, ROUND(model_re, 6) AS model_re, ROUND(model_im, 6) AS model_im
+    SELECT event_id, (ROUND(model_re, 6) + 0.0) AS model_re, (ROUND(model_im, 6) + 0.0) AS model_im
     FROM ({sql_predict_component([(2.0, 0.0008, 0.0), (0.7, -0.0004, 0.0006)],
                                  _ROT_SQL_VIS, select_cols="event_id,")})
     """,
@@ -2774,7 +2774,7 @@ def flag_manager_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.det <> 0
     UNION ALL
     SELECT 'metrics', bl, -1,
-           ROUND({sql_rms('data_re')}, 6),
+           (ROUND({sql_rms('data_re')}, 6) + 0.0),
            MIN(data_re), MAX(data_re)
     FROM fitted
     GROUP BY bl
@@ -2951,7 +2951,7 @@ def _rf_vel_case() -> str:
 @register(
     "reframe_vis",
     f"""
-    SELECT bl, field_id, chan, freq, ROUND(data_re, 6) AS data_re
+    SELECT bl, field_id, chan, freq, (ROUND(data_re, 6) + 0.0) AS data_re
     FROM ({sql_reframe_spectra(_RF_SRC_SQL, keys="bl, field_id",
                                vel_case=_rf_vel_case(), **_RF)})
     """,
@@ -2984,7 +2984,7 @@ _RFI_SRC_SQL = """
 @register(
     "reframe_image",
     f"""
-    SELECT l_idx, m_idx, chan, freq, ROUND(image, 6) AS image
+    SELECT l_idx, m_idx, chan, freq, (ROUND(image, 6) + 0.0) AS image
     FROM ({sql_reframe_spectra(_RFI_SRC_SQL, keys="l_idx, m_idx",
                                vel_case=f"{_RFI_VEL:.17e}",
                                out_f0=_RFI["f0"], out_df=_RFI["df_hz"],

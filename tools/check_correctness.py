@@ -66,6 +66,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 problems.append(
                     f"col {c}: {int((~exact).sum())}/{len(a)} differ, max|d|={np.nanmax(diff):.3e}"
                 )
+            else:
+                # The driver hashes raw float *bytes*, so -0.0 vs +0.0
+                # (numerically equal) still flips the hash — the round-4
+                # uv_degrid failure. Flag signbit disagreement on zeros.
+                zflip = (a == b) & (np.signbit(a) != np.signbit(b))
+                if zflip.any():
+                    problems.append(
+                        f"col {c}: {int(zflip.sum())} signed-zero byte "
+                        f"mismatches (-0.0 vs +0.0 — driver hash flips)")
         else:
             neq = sv.astype(str) != ov.astype(str)
             if neq.any():
