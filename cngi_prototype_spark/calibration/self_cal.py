@@ -153,21 +153,9 @@ def self_cal(
 
     gains = df.select(*cols).groupBy(interval, pol).applyInPandas(solve, schema)
 
-    g1 = F.broadcast(gains.select(
-        F.col(interval), F.col(pol), F.col("ant").alias(ant1),
-        F.col("gain_re").alias("_g1r"), F.col("gain_im").alias("_g1i")))
-    g2 = F.broadcast(gains.select(
-        F.col(interval), F.col(pol), F.col("ant").alias(ant2),
-        F.col("gain_re").alias("_g2r"), F.col("gain_im").alias("_g2i")))
-    j = df.join(g1, [interval, pol, ant1], "left").join(g2, [interval, pol, ant2], "left")
-    # G = g1 · conj(g2); corrected = V / G; weight' = w·|G|²
-    gr = F.col("_g1r") * F.col("_g2r") + F.col("_g1i") * F.col("_g2i")
-    gi = F.col("_g1i") * F.col("_g2r") - F.col("_g1r") * F.col("_g2i")
-    g2abs = gr * gr + gi * gi
-    corr_re = (F.col(dre) * gr + F.col(dim) * gi) / g2abs
-    corr_im = (F.col(dim) * gr - F.col(dre) * gi) / g2abs
-    corrected = (j.withColumn("corrected_re", corr_re)
-                 .withColumn("corrected_im", corr_im)
-                 .withColumn("corrected_weight", F.col(weight) * g2abs)
-                 .drop("_g1r", "_g1i", "_g2r", "_g2i"))
+    from cngi_prototype_spark.calibration.apply_calibration import apply_calibration
+
+    corrected = apply_calibration(
+        df, gains, join_keys=[interval, pol], ant1=ant1, ant2=ant2,
+        data=data, weight=weight)
     return gains, corrected

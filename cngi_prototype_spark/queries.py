@@ -1817,6 +1817,9 @@ def image_smooth_conv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gain solve (iterative fixed point: rows-only).
 # ---------------------------------------------------------------------------
 
+from cngi_prototype_spark.calibration.apply_calibration import (  # noqa: E402
+    apply_calibration,
+)
 from cngi_prototype_spark.calibration.self_cal import self_cal  # noqa: E402
 from cngi_prototype_spark.sources.ingest import (  # noqa: E402
     assign_baseline,
@@ -1903,6 +1906,28 @@ def _sc_gain(i):  # true gains; ant 0 real-positive (refant phase = 0)
            (ROUND((1.0 + c.range)
                  * ((g1r*g1r + g1i*g1i) * (g2r*g2r + g2i*g2i)), 6) + 0.0)
     FROM pairs, range(2) c
+    UNION ALL
+    -- standalone apply_calibration: a DIFFERENT gain set g' applied to
+    -- the same synthesized vis; corrected = (G·M)/G' in closed form,
+    -- mirroring the engine's V·conj(G')/|G'|² expression order exactly
+    SELECT 'applied', a1 * {_SC_NANT} + a2, CAST(c.range AS INT),
+           (ROUND((vre * gpr + vim * gpi) / d, 6) + 0.0),
+           (ROUND((vim * gpr - vre * gpi) / d, 6) + 0.0),
+           (ROUND((1.0 + c.range) * d, 6) + 0.0)
+    FROM (
+      SELECT a1, a2,
+             (gr * {_SC_M[0]!r} - gi * {_SC_M[1]!r}) AS vre,
+             (gr * {_SC_M[1]!r} + gi * {_SC_M[0]!r}) AS vim,
+             gpr, gpi, (gpr * gpr + gpi * gpi) AS d
+      FROM (
+        SELECT a1, a2,
+               (g1r*g2r + g1i*g2i) AS gr, (g1i*g2r - g1r*g2i) AS gi,
+               ((1.0 + 0.07*a1) * (1.0 + 0.07*a2)
+                + (-0.03*a1) * (-0.03*a2)) AS gpr,
+               ((-0.03*a1) * (1.0 + 0.07*a2)
+                - (1.0 + 0.07*a1) * (-0.03*a2)) AS gpi
+        FROM pairs)
+    ), range(2) c
     """,
 )
 def self_cal_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,7 +1968,23 @@ def self_cal_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("corrected_re", 6) + F.lit(0.0)).alias("re"),
         (F.round("corrected_im", 6) + F.lit(0.0)).alias("im"),
         (F.round("corrected_weight", 6) + F.lit(0.0)).alias("w"))
-    return gout.unionByName(cout)
+    # standalone apply_calibration with a DIFFERENT (primed) gain set:
+    # exercises the named API's join + complex-divide independently of
+    # the solve path (reference apply_calibration.py:20-49 contract)
+    gains2 = spark.range(n).select(
+        F.lit(0).cast("long").alias("interval"), F.lit(0).alias("pol"),
+        F.col("id").cast("int").alias("ant"),
+        (1.0 + 0.07 * F.col("id").cast("double")).alias("gain_re"),
+        (-0.03 * F.col("id").cast("double")).alias("gain_im"))
+    applied = apply_calibration(vis, gains2)
+    aout = applied.select(
+        F.lit("applied").alias("part"),
+        (F.col("ant1") * n + F.col("ant2")).cast("int").alias("k1"),
+        F.col("chan").alias("k2"),
+        (F.round("corrected_re", 6) + F.lit(0.0)).alias("re"),
+        (F.round("corrected_im", 6) + F.lit(0.0)).alias("im"),
+        (F.round("corrected_weight", 6) + F.lit(0.0)).alias("w"))
+    return gout.unionByName(cout).unionByName(aout)
 
 
 # ---------------------------------------------------------------------------
