@@ -170,7 +170,7 @@ def mosaic_grid_visibilities(
     baseline: str = "baseline",
     u: str = "u", v: str = "v", freq: str = "freq",
     weight: str = "weight",
-    re: str = "data_re", im: str = "data_im",
+    re: str | None = "data_re", im: str = "data_im",
     chan: str = "chan", pol: str = "pol",
 ) -> tuple[DataFrame, DataFrame]:
     """Grid with per-row GCF selection — the aperture gridder
@@ -178,7 +178,12 @@ def mosaic_grid_visibilities(
     numpy scatter-add per Arrow batch, per-row kernel chosen by
     (baseline type, chan group), sparse partial cells combined by the
     usual groupBy sum. ``baseline_dish`` maps baseline id -> the dish
-    pair; default: homogeneous (single type)."""
+    pair; default: homogeneous (single type).
+
+    ``re=None`` grids the weights themselves (PSF mode — the
+    ``do_psf=True`` branch of the reference aperture gridder,
+    ``make_psf_with_gcf.py:126-131``); the gridded quantity is real,
+    so rows with zero data but nonzero weight still contribute."""
     n_u, n_v = gp.n_u, gp.n_v
     ov = gcf.oversampling
     S = gcf.kernels.shape[-1]
@@ -204,12 +209,16 @@ def mosaic_grid_visibilities(
     u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
     if baseline not in vis_df.columns:
         vis_df = vis_df.withColumn(baseline, F.lit(0))
+    if re is None:  # PSF mode: the weight IS the gridded quantity
+        wre_col, wim_col = F.col(weight), F.lit(0.0)
+    else:
+        wre_col = F.col(re) * F.col(weight)
+        wim_col = F.col(im) * F.col(weight)
     prepared = (vis_df
                 .withColumn("_up", u_pos).withColumn("_vp", v_pos)
                 .select(baseline, chan, pol, "_up", "_vp",
                         F.col(weight).alias("_w"),
-                        (F.col(re) * F.col(weight)).alias("_wre"),
-                        (F.col(im) * F.col(weight)).alias("_wim"))
+                        wre_col.alias("_wre"), wim_col.alias("_wim"))
                 .filter(F.col("_w").isNotNull() & (F.col("_w") != 0)))
 
     def grid_batches(batches):
@@ -309,6 +318,37 @@ def make_image_with_gcf(
     grid, sumw = mosaic_grid_visibilities(vis_df, gcf, gp, **cols)
     return image_from_grid(grid, sumw, gp, image_size=image_size,
                            out="image", correct_pswf=False)
+
+
+def make_psf_with_gcf(
+    vis_df: DataFrame,
+    gcf: GCF,
+    gp: GridParms,
+    *,
+    image_size: tuple[int, int] | None = None,
+    **cols,
+) -> DataFrame:
+    """Mosaic PSF: grid the imaging WEIGHTS with the GCF, FFT, then
+    peak-normalize at the image center (``make_psf_with_gcf.py:126-140``
+    — real reference code, not a stub: ``do_psf=True`` gridding followed
+    by ``normalized_image / normalized_image[image_center]``).
+
+    No phase gradient is applied: the gridded quantity is the real
+    weight, and a per-field gradient would only shift the PSF in the
+    image domain. The center-peak divide is a broadcast join of the
+    per-(chan, pol) peak — one tiny dim against the pixel fact."""
+    grid, sumw = mosaic_grid_visibilities(vis_df, gcf, gp, re=None, **cols)
+    psf = image_from_grid(grid, sumw, gp, image_size=image_size,
+                          out="psf", correct_pswf=False)
+    crop = image_size or (gp.n_u, gp.n_v)
+    chan = cols.get("chan", "chan")
+    pol = cols.get("pol", "pol")
+    center = (psf.filter((F.col("l_idx") == crop[0] // 2)
+                         & (F.col("m_idx") == crop[1] // 2))
+              .select(chan, pol, F.col("psf").alias("_peak")))
+    return (psf.join(F.broadcast(center), [chan, pol], "left")
+            .withColumn("psf", F.col("psf") / F.col("_peak"))
+            .drop("_peak"))
 
 
 def make_mosaic_pb(

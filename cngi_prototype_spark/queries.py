@@ -2463,6 +2463,17 @@ def _sql_mosaic_grid_small() -> str:
       FROM inb g, taps t
       JOIN kern k ON k.ki = {S // 2} + t.tu * {ov} + g.du
                  AND k.kj = {S // 2} + t.tv * {ov} + g.dv)
+    , scat_psf AS (
+      -- PSF mode: the weight is the gridded quantity (re=None); rows
+      -- with zero data but nonzero weight still contribute, so the
+      -- in-bounds filter drops the (wre=0 AND wim=0) condition
+      SELECT g.chan, g.pol, g.uc + t.tu AS u_idx, g.vc + t.tv AS v_idx,
+             k.kv * g.w AS cre, g.w * k.kv AS wk
+      FROM (SELECT * FROM geom
+            WHERE uc >= {hw} AND uc < {n - hw}
+              AND vc >= {hw} AND vc < {n - hw}) g, taps t
+      JOIN kern k ON k.ki = {S // 2} + t.tu * {ov} + g.du
+                 AND k.kj = {S // 2} + t.tv * {ov} + g.dv)
     SELECT 'grid' AS part, chan, pol, u_idx, v_idx,
            (ROUND(SUM(cre), 6) + 0.0) AS re, (ROUND(SUM(cim), 6) + 0.0) AS im
     FROM scat GROUP BY 1, 2, 3, 4, 5
@@ -2470,6 +2481,14 @@ def _sql_mosaic_grid_small() -> str:
     UNION ALL
     SELECT 'sumw', chan, pol, -1, -1, (ROUND(SUM(wk), 6) + 0.0), 0.0
     FROM scat GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'psf_grid', chan, pol, u_idx, v_idx,
+           (ROUND(SUM(cre), 6) + 0.0), 0.0
+    FROM scat_psf GROUP BY 1, 2, 3, 4, 5
+    HAVING NOT (SUM(cre) = 0)
+    UNION ALL
+    SELECT 'psf_sumw', chan, pol, -1, -1, (ROUND(SUM(wk), 6) + 0.0), 0.0
+    FROM scat_psf GROUP BY 1, 2, 3
     """
 
 
@@ -2490,6 +2509,7 @@ def mosaic_grid_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
         (1.0 + (F.col("event_id") % 3).cast("double")).alias("weight"),
     ).coalesce(1)
+    vis0 = vis
     vis = apply_phase_gradient(vis, _MOS_OFFSETS, _MGP)
     grid, sumw = mosaic_grid_visibilities(vis, _MGCF, _MGP)
     gout = grid.select(F.lit("grid").alias("part"), "chan", "pol",
@@ -2499,7 +2519,18 @@ def mosaic_grid_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
                        (F.round("sum_weight", 6) + F.lit(0.0)).alias("re"),
                        F.lit(0.0).alias("im"))
-    return gout.unionByName(sout)
+    # PSF/weight mode (make_psf_with_gcf's do_psf gridding): weights
+    # gridded with the same GCF, no phase gradient
+    pgrid, psumw = mosaic_grid_visibilities(vis0, _MGCF, _MGP, re=None)
+    pgout = pgrid.select(F.lit("psf_grid").alias("part"), "chan", "pol",
+                         "u_idx", "v_idx",
+                         (F.round("grid_re", 6) + F.lit(0.0)).alias("re"),
+                         (F.round("grid_im", 6) + F.lit(0.0)).alias("im"))
+    psout = psumw.select(F.lit("psf_sumw").alias("part"), "chan", "pol",
+                         F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
+                         (F.round("sum_weight", 6) + F.lit(0.0)).alias("re"),
+                         F.lit(0.0).alias("im"))
+    return gout.unionByName(sout).unionByName(pgout).unionByName(psout)
 
 
 # ---------------------------------------------------------------------------

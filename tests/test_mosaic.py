@@ -106,3 +106,21 @@ def test_mosaic_pb(spark):
     assert grid[16, 16] == pytest.approx(exp_center, rel=1e-9)
     # ridge between the two pointings is higher than either flank
     assert grid[20, 16] > grid[8, 16]
+
+
+def test_make_psf_with_gcf_peak_normalized(spark):
+    """PSF mode grids the weights; the output is peak-normalized at the
+    image center, and a uniform-weight PSF is symmetric about it."""
+    from cngi_prototype_spark.imaging.mosaic import make_psf_with_gcf
+
+    rng = np.random.default_rng(11)
+    vis_pdf = _point_source_vis(500, 0, rng)
+    # zero out some data (not weights): psf must still grid those rows
+    vis_pdf.loc[:49, ["data_re", "data_im"]] = 0.0
+    gcf = make_gridding_convolution_function(GP, [1.0e9], [25.0],
+                                             oversampling=16, max_support=15)
+    psf = make_psf_with_gcf(spark.createDataFrame(vis_pdf), gcf, GP).toPandas()
+    grid = np.zeros((64, 64))
+    grid[psf.l_idx, psf.m_idx] = psf.psf
+    assert grid[32, 32] == pytest.approx(1.0, abs=1e-12)
+    assert np.abs(grid).max() == pytest.approx(1.0, abs=1e-12)
