@@ -74,7 +74,9 @@ def major_cycle(spark, sf_dir: str):
 
     gp = GridParms(n_u=512, n_v=512, cell_u=2.5e-6, cell_v=2.5e-6,
                    support=7, oversampling=100)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # spread the single-file events scan (see chiles_frac note)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
     # uv range sized so EVERY sample lands inside the padded grid
     # (u_pos = 256 ± |u|·4.27e-3·(f/1e9); ±58500 m keeps the farthest
     # sample at offset 251.5 < 252 with the 3-cell kernel margin). A
@@ -125,7 +127,13 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
 
     gp = GridParms(n_u=1024, n_v=1024, cell_u=1.25e-6, cell_v=1.25e-6,
                    support=17, oversampling=100)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.parquet is ONE small file -> ONE scan partition; without an
+    # explicit spread, the 256x row replication, geometry exprs, and
+    # exchange write all run single-threaded and starve the 32-way
+    # scatter (round-5 finding: this alone hid ~1.7x of tier
+    # throughput). A real MS store arrives chunked (the reference's
+    # zarr is); repartitioning the 100k-row seed is the honest analog.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
     # replicate each event into REP distinct visibilities (distinct uv
     # sample per replica) so gridding work dominates the fixed per-plane
     # costs (FFT, image materialization) the way it does at full CHILES

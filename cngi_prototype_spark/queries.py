@@ -961,6 +961,20 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b LEFT JOIN i ON b.query_id = i.query_id
                       AND b.neighbor_id = i.neighbor_id
     GROUP BY b.query_id
+    UNION ALL
+    -- retrieval-floor ASSERTIONS (oracle emits LITERALS, Spark
+    -- computes): red rows if quality collapses even when both sides'
+    -- mirrored recall computations would agree.
+    -- (1) dominance: brute's best non-self similarity is a global
+    --     optimum, so no approximate method may beat it per query;
+    SELECT 'dominance', q.query_id, -1, 1.0, 1
+    FROM (SELECT DISTINCT query_id FROM b) q
+    UNION ALL
+    -- (2) IVF mean recall@5 over the query set stays >= 0.3 (0.5 on
+    --     this testdata; random embeddings cap what any bucketed
+    --     method can reach, so the floor is set below the measured
+    --     value but far above a broken bucketing's ~0)
+    SELECT 'floor_ivf', -1, -1, 1.0, 1
     """,
 )
 def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,11 +994,33 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(-1).cast("long").alias("neighbor_id"),
                         "cos_sim", F.lit(-1).alias("rank")))
 
+    # assertion rows: Spark COMPUTES, the oracle emits LITERAL 1.0
+    bmax = b_.groupBy("query_id").agg(F.max("cos_sim").alias("_bmax"))
+    amax = (l_.unionByName(i_).groupBy("query_id")
+            .agg(F.max("cos_sim").alias("_amax")))
+    dominance = (bmax.join(amax, "query_id", "left")
+                 .select(F.lit("dominance").alias("method"), "query_id",
+                         F.lit(-1).cast("long").alias("neighbor_id"),
+                         F.when(F.coalesce(F.col("_amax"), F.lit(-2.0))
+                                <= F.col("_bmax") + F.lit(1e-12), 1.0)
+                         .otherwise(0.0).alias("cos_sim"),
+                         F.lit(1).alias("rank")))
+    floor_ivf = (recall(i_, "recall_ivf")
+                 .agg(F.avg("cos_sim").alias("_r"))
+                 .select(F.lit("floor_ivf").alias("method"),
+                         F.lit(-1).cast("long").alias("query_id"),
+                         F.lit(-1).cast("long").alias("neighbor_id"),
+                         F.when(F.col("_r") >= 0.3, 1.0).otherwise(0.0)
+                         .alias("cos_sim"),
+                         F.lit(1).alias("rank")))
+
     out = (b_.select(F.lit("brute").alias("method"), "*")
            .unionByName(l_.select(F.lit("lsh").alias("method"), "*"))
            .unionByName(i_.select(F.lit("ivf").alias("method"), "*")))
     return (out.unionByName(recall(l_, "recall_lsh"))
-            .unionByName(recall(i_, "recall_ivf")))
+            .unionByName(recall(i_, "recall_ivf"))
+            .unionByName(dominance)
+            .unionByName(floor_ivf))
 
 
 # Near-dup: the all-pairs blocked-matmul EXACT path and the scale-path
