@@ -180,12 +180,16 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     # from a real MS store; re-deriving them lazily would both time the
     # generator and — with the skewed 4-term hash exprs — overflow the
     # codegen size limit into interpreted evaluation, which measured as
-    # a phantom 6x "skew slowdown" that had nothing to do with gridding)
+    # a phantom 6x "skew slowdown" that had nothing to do with gridding).
+    # The persist cost is returned so BENCH json can report it and the
+    # timed section is provably gridding-only.
+    t0 = time.time()
     vis = vis.persist()
     vis.count()
+    mat_sec = round(time.time() - t0, 3)
     img = make_image(vis, gp, image_size=(1000, 1000), weight="weight",
                      variant="kernel", n_planes=16, output="planes")
-    return img, n_vis
+    return img, n_vis, mat_sec
 
 
 def main() -> None:
@@ -227,10 +231,17 @@ def main() -> None:
     spark = initialize_framework(cores=cpus, app_name="bench_chiles",
                                  shuffle_partitions=cpus)
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
-    img, n_vis = chiles_frac(spark, sf_dir, cpus)
-    # min of 2: this box shows bursty hypervisor CPU steal (~15% avg,
-    # far higher in bursts); the min is the engine's throughput, the
-    # max is the host's mood
+    img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
+    # ONE untimed priming run first: the first execution of this plan
+    # pays whole-stage-codegen JIT compilation and python-worker
+    # fork+import (measured ~2x the steady-state time). The reference
+    # baseline (45 min / 128 cores) amortizes its numba-jit warmup to
+    # ~nothing at full scale; at our 0.06% fraction it would dominate,
+    # so the steady-state regime is the comparable one. Then min of 2:
+    # this box shows bursty hypervisor CPU steal (~15% avg, far higher
+    # in bursts); the min is the engine's throughput, the max is the
+    # host's mood.
+    _run(img)
     chiles_sec = None
     for _ in range(2):
         t0 = time.time()
@@ -243,7 +254,8 @@ def main() -> None:
 
     # skewed (centrally-condensed) uv coverage: same workload, hot
     # central cells — reported alongside so uniform can't hide a cliff
-    img_s, n_vis_s = chiles_frac(spark, sf_dir, cpus, skew=True)
+    img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
+    _run(img_s)
     skew_sec = None
     for _ in range(2):
         t0 = time.time()
@@ -257,6 +269,10 @@ def main() -> None:
         "declared_fraction": round(n_vis / _CHILES_VIS, 9),
         "n_vis": n_vis,
         "taps_per_vis": _CHILES_TAPS,
+        # input materialization (persist+count of the synthetic rows),
+        # NOT part of the timed gridding section
+        "materialize_sec": mat_sec,
+        "materialize_sec_skew": mat_sec_s,
         "taps_per_s_core": round(taps_per_s_core),
         "baseline_taps_per_s_core": round(_CHILES_TAPS_PER_S_CORE),
         # <1.0 means faster than the prototype's per-core throughput

@@ -29,14 +29,16 @@ Two physical strategies, same semantics:
    approaches the full grid, making the dense partial strictly smaller.
 
    With ``dense_planes=True`` (cube-imaging fast path, used by
-   ``make_image(output="planes")``): input repartitions by
-   (chan, pol, u-slab), each task scatters into L2-resident slab
-   arrays, and partials are emitted as WHOLE ARRAYS (one row per
-   plane-slab) — no per-cell row explosion; the FFT consumer places
-   and sums slabs directly. At the CHILES shape (support 17, 1024²
-   padded grid) this path measures within ~1.4x of the reference
-   prototype's per-core gridding throughput (see bench.py
-   imaging_chiles_frac) where the sparse-cell emission was ~10x off.
+   ``make_image(output="planes")``): rows group JVM-side into one fat
+   ``collect_list(struct)`` row per (chan, pol, u-slab) — the groupBy
+   is the shuffle — each ``mapInArrow`` task scatters its groups into
+   L2-resident slab arrays, and partials are emitted as WHOLE ARRAYS
+   (one row per plane-slab) — no per-cell row explosion; the FFT
+   consumer places and sums slabs directly. At the CHILES shape
+   (support 17, 1024² padded grid) this path measures ~1.6x of the
+   reference prototype's per-core gridding throughput (see bench.py
+   imaging_chiles_frac) where sparse-cell emission was ~10x off and
+   the earlier row-at-a-time Arrow feed ~3x off.
 
 The per-visibility kernel normalization is separable
 (``Σ_{u,v} conv_u·conv_v = (Σ conv_u)(Σ conv_v)``), so the
@@ -178,10 +180,15 @@ def grid_visibilities(
     # array-literal index stays fully in codegen (~4.6 s). LUT values
     # accumulate left-to-right in Python — bit-identical to both the
     # previous Catalyst chain and the SQL twin's `+` chain. ---
-    half_ov = gp.oversampling // 2
+    # reachable offset range: _du = floor((u_c - u_pos)·ov + 0.5) with
+    # (u_c - u_pos) ∈ (-0.5, 0.5], so |_du| can reach ov//2 + 1 when
+    # oversampling is odd — size the LUT over the full reachable range
+    # (the extra cgk indices stay within the table: ov·half + ov//2 + 1
+    # ≤ ov·(half+1) for ov ≥ 2)
+    half_ov = gp.oversampling // 2 + 1
     norm_vals = []
     for off in range(-half_ov, half_ov + 1):
-        terms = [float(cgk[abs(gp.oversampling * t + off)])
+        terms = [float(cgk[i]) if (i := abs(gp.oversampling * t + off)) < len(cgk) else 0.0
                  for t in range(-gp.half, gp.support - gp.half)]
         acc = terms[0]
         for x in terms[1:]:
@@ -310,7 +317,7 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
 
     spark = prepared.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    want_salt = max(1, -(-4 * p // max(1, int(n_planes or 1))))
+    want_salt = max(1, -(-8 * p // max(1, int(n_planes or 1))))
     slab_log = max(0, int(np.ceil(np.log2(max(1, -(-n_u // want_salt))))))
     slab_w = 1 << slab_log
     shift_group = 16 + bv + slab_log  # (chan, pol, u_slab) id

@@ -42,18 +42,26 @@ def read_vis(
     read_vis.py:183-199 for free from Catalyst.
 
     Keyed S3 access (read_vis.py:70-179's s3fs key/secret arguments):
-    explicit credentials map onto the Hadoop S3A conf of this session;
-    anonymous access is the S3A default credential chain. Pass the
-    bucket via an ``s3a://`` ``infile``.
+    explicit credentials map onto the Hadoop S3A conf of this session,
+    scoped PER BUCKET (``fs.s3a.bucket.<bucket>.*``) when ``infile`` is
+    an ``s3a://`` URI, so two stores with different keys coexist in one
+    session; a non-s3a ``infile`` falls back to the session-global keys
+    (last writer wins — documented S3A semantics). Anonymous access is
+    the S3A default credential chain.
     """
     if s3_key is not None or s3_secret is not None or s3_endpoint is not None:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        prefix = "fs.s3a."
+        if infile.startswith("s3a://"):
+            bucket = infile[len("s3a://"):].split("/", 1)[0]
+            if bucket:
+                prefix = f"fs.s3a.bucket.{bucket}."
         if s3_key is not None:
-            hconf.set("fs.s3a.access.key", s3_key)
+            hconf.set(prefix + "access.key", s3_key)
         if s3_secret is not None:
-            hconf.set("fs.s3a.secret.key", s3_secret)
+            hconf.set(prefix + "secret.key", s3_secret)
         if s3_endpoint is not None:
-            hconf.set("fs.s3a.endpoint", s3_endpoint)
+            hconf.set(prefix + "endpoint", s3_endpoint)
     df = spark.read.parquet(infile)
     if partition is not None:
         parts = [partition] if isinstance(partition, int) else list(partition)

@@ -1,0 +1,35 @@
+"""Registry hygiene: the driver-contract ordering lists stay coherent.
+
+A rename in queries.py must not silently drop a rows-only production
+query from the bench/driver surface (_ROWS_ONLY_PRIORITY names are the
+high-value compositions listed first after the hashed window)."""
+
+from __future__ import annotations
+
+from cngi_prototype_spark import queries as Q
+
+
+def test_rows_only_priority_names_resolve():
+    rows_only = {k for k, v in Q._REGISTRY.items() if v[1] is None}
+    missing = [k for k in Q._ROWS_ONLY_PRIORITY if k not in rows_only]
+    assert not missing, (
+        f"_ROWS_ONLY_PRIORITY names no longer registered rows-only: "
+        f"{missing} (renamed or given an oracle without updating the "
+        f"priority list)")
+
+
+def test_priority_list_has_no_duplicates():
+    assert len(Q._ROWS_ONLY_PRIORITY) == len(set(Q._ROWS_ONLY_PRIORITY))
+
+
+def test_oracled_gates_fit_driver_window():
+    oracled = [k for k, v in Q._REGISTRY.items() if v[1] is not None]
+    assert len(oracled) <= Q._DRIVER_WINDOW
+
+
+def test_bench_queries_resolve():
+    import bench
+
+    qs = Q.queries()
+    for name in bench.BENCH_QUERIES:
+        assert name in qs or hasattr(Q, f"{name}_q"), name
