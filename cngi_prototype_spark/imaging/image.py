@@ -171,6 +171,20 @@ def make_image(vis_df: DataFrame, gp: GridParms, *,
     return image_from_grid(grid, sumw, gp, image_size=image_size, out="image")
 
 
+def make_grid(vis_df: DataFrame, gp: GridParms, *,
+              weight: str = "imaging_weight", variant: str = "explode",
+              **cols) -> tuple[DataFrame, DataFrame]:
+    """Gridded visibilities WITHOUT the FFT — the reference's named
+    ``make_grid`` surface (make_grid.py:100-143: ``_graph_standard_grid``
+    with ``do_psf=False``, the GRID and SUM_WEIGHT data variables
+    written back with no image step). Returns ``(grid_df,
+    sum_weight_df)`` in the same cell/weight contract every imaging
+    consumer here uses; functionally ``grid_visibilities`` under the
+    reference's name and default kernel parameters."""
+    return grid_visibilities(vis_df, gp, weight=weight, variant=variant,
+                             **cols)
+
+
 def make_psf(vis_df: DataFrame, gp: GridParms, *,
              image_size: tuple[int, int] | None = None,
              weight: str = "imaging_weight", variant: str = "explode",

@@ -86,3 +86,32 @@ def test_airy_pb(spark):
     p = pb[(pb.l_idx == 10) & (pb.m_idx == 8) & (pb.chan == 0)].iloc[0]
     r = abs(p.l) * (2 * np.pi * 1.0e9 / 299792458.0) * 12.5
     assert p.pb == pytest.approx(float(airy_disk(np.array([r]))[0]), rel=1e-12)
+
+
+def test_make_grid_named_surface(spark):
+    """make_grid (make_grid.py:100-143) = gridding without the FFT:
+    identical cells/sum_weight to grid_visibilities."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+    from cngi_prototype_spark.imaging.image import make_grid
+
+    rng = np.random.default_rng(2)
+    n = 500
+    pdf = pd.DataFrame({
+        "u": rng.uniform(-9000, 9000, n), "v": rng.uniform(-9000, 9000, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "imaging_weight": rng.uniform(0.5, 2.0, n),
+    })
+    gp = GridParms(n_u=64, n_v=64, cell_u=2e-5, cell_v=2e-5,
+                   support=7, oversampling=100)
+    df = spark.createDataFrame(pdf)
+    g1, s1 = make_grid(df, gp)
+    g2, s2 = grid_visibilities(df, gp, weight="imaging_weight")
+    p1 = g1.toPandas().sort_values(["u_idx", "v_idx"]).reset_index(drop=True)
+    p2 = g2.toPandas().sort_values(["u_idx", "v_idx"]).reset_index(drop=True)
+    assert len(p1) == len(p2) and np.allclose(p1.grid_re, p2.grid_re)
+    assert np.isclose(s1.toPandas().sum_weight[0], s2.toPandas().sum_weight[0])
