@@ -332,9 +332,21 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                           F.col("_wd_im").alias("_wi"))
     # one fat row per (chan, pol, u-slab): the groupBy IS the
     # repartition (same shuffle keys), and collect_list(struct) keeps
-    # k/wr/wi index-aligned through partial-buffer merges
-    src = (src.groupBy(F.shiftrightunsigned(F.col("_k"), shift_group)
-                       .alias("_g"))
+    # k/wr/wi index-aligned through partial-buffer merges.
+    # Scale safety valve: a fat row is unbounded in the few-planes /
+    # many-rows (continuum) regime — a (plane, slab) group over 10^9
+    # rows would collect one multi-GB list. Sub-salt the group key so
+    # each fat row covers at most ~2 input partitions' worth of rows;
+    # the consumer already sums multiple partials per slab, so extra
+    # fat rows only cost their emission. nsub == 1 whenever the plane
+    # count alone gives enough groups (the cube-imaging common case).
+    n_groups = max(1, int(n_planes or 1)) * max(1, n_u >> slab_log)
+    npart = src.rdd.getNumPartitions()
+    nsub = max(1, npart // (2 * n_groups))
+    gkey = F.shiftrightunsigned(F.col("_k"), shift_group)
+    if nsub > 1:
+        gkey = gkey * F.lit(nsub) + F.pmod(F.xxhash64("_k"), F.lit(nsub))
+    src = (src.groupBy(gkey.alias("_g"))
            .agg(F.collect_list(F.struct("_k", "_wr", "_wi")).alias("_rows")))
 
     # (256, support) LUT over the packed du byte; indices past the

@@ -129,3 +129,44 @@ def test_cancelling_taps_still_emit_touched_cells(spark, variant):
     got = grid_df.toPandas()
     assert len(got) == GP.support * GP.support
     assert (got["grid_re"] == 0.0).all() and (got["grid_im"] == 0.0).all()
+
+
+def test_dense_planes_subsalt_parity(spark):
+    """Few planes + many input partitions trigger the fat-row sub-salt
+    (multiple collect_list partials per slab); the consumer's slab sum
+    must make the result identical to the explode variant."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    pdf = pd.DataFrame({
+        "u": rng.uniform(-9000, 9000, n), "v": rng.uniform(-9000, 9000, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "weight": rng.uniform(0.5, 2.0, n),
+    })
+    gp = GridParms(n_u=64, n_v=64, cell_u=2e-5, cell_v=2e-5,
+                   support=7, oversampling=100)
+    # 1 plane, 300 input partitions -> nsub > 1 (multiple partials/slab)
+    df = spark.createDataFrame(pdf).repartition(300)
+    fast, _ = grid_visibilities(df, gp, variant="kernel", n_planes=1,
+                                dense_planes=True)
+    fp = fast.toPandas()
+    assert len(fp) > 64, "sub-salt should emit multiple partials per slab"
+    ref, _ = grid_visibilities(spark.createDataFrame(pdf), gp,
+                               variant="explode")
+    rp = ref.toPandas()
+    g = np.zeros((64, 64), complex)
+    for r in fp.itertuples():
+        arr = (np.asarray(r.grid_re) + 1j * np.asarray(r.grid_im)
+               ).reshape(-1, 64)
+        u0 = int(r.u0)
+        a0, a1 = max(0, -u0), min(len(arr), 64 - u0)
+        g[u0 + a0:u0 + a1] += arr[a0:a1]
+    gr = np.zeros((64, 64), complex)
+    gr[rp.u_idx, rp.v_idx] = rp.grid_re + 1j * rp.grid_im
+    assert np.abs(g - gr).max() < 1e-9
