@@ -210,6 +210,7 @@ def main() -> None:
     overrides = {
         "uv_degrid": Q.uv_degrid_taps_q,       # taps-only (no image part)
         "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
+        "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
     }
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)

@@ -325,3 +325,74 @@ def sql_simhash_fingerprints(bits: int = SIMHASH_BITS) -> str:
     agg AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
     SELECT doc_id, {fp} AS simhash FROM agg
     """
+
+
+# --- duplicate-cluster resolution ------------------------------------------
+
+def duplicate_clusters(
+    pairs_df: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over verified duplicate pairs → one row per
+    member ``(doc_id, canonical_id)``, canonical = min doc id in the
+    component — the standard final step of corpus dedup (cluster the
+    near-dup graph, keep one canonical document per cluster).
+
+    Spark shape: iterative min-label propagation. Each sweep joins the
+    symmetric edge list against current labels and takes the min label
+    over each node's neighborhood (one shuffle per sweep, partial aggs
+    map-side); the driver loop stops at a fixpoint (count of changed
+    labels = 0) or ``max_iter``. Near-dup clusters are shallow (most
+    are pairs/triangles), so sweeps ≈ graph diameter stays small; each
+    sweep is a plain shuffle join, so the algorithm scales with the
+    pair count, not the corpus. Labels are checkpointed via persist per
+    sweep to keep lineage flat.
+    """
+    edges = (pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs_df.select(F.col(id_b).alias("src"),
+                                          F.col(id_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("_nl")))
+        new_labels = (labels.join(neigh, labels.node == neigh.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("_nl"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("canonical_id"))
+
+
+def sql_duplicate_clusters(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: min reachable id per node over the
+    undirected pair graph (transitive closure, fine at gate scale)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.r
+    )
+    SELECT node AS doc_id, MIN(r) AS canonical_id
+    FROM reach GROUP BY node
+    """

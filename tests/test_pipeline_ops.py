@@ -114,3 +114,17 @@ def test_multimodal_plumbing(spark, docs):
     assert len(frames) == 5 * 4  # 8 rows / stride 2 per media
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         decode_media(media, fake=False).collect()
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain a-b-c plus isolated pair d-e: two components, canonical =
+    min id; convergence needs >1 label-propagation sweep for the chain."""
+    from cngi_prototype_spark.dedup.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 40, 31],
+                      "id_b": [20, 30, 50, 10],
+                      "jaccard": [0.9, 0.8, 0.7, 0.6]}))
+    out = duplicate_clusters(pairs).toPandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.canonical_id))
+    assert got == {10: 10, 20: 10, 30: 10, 31: 10, 40: 40, 50: 40}
