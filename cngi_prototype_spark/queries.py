@@ -1684,7 +1684,12 @@ def synthesis_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synthesis_imaging_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis_keyed(spark, sf_dir).withColumn(
         "data_re", F.col("weight") * 0 + 1.0).withColumn("data_im", F.lit(0.0))
-    vis = make_imaging_weight(vis, _GP, weighting="briggs", robust=0.5)
+    # materialize the weighted vis once: the reference writes
+    # IMAGING_WEIGHT back into the vis store before imaging
+    # (make_imaging_weight.py), and without it the image+psf branches
+    # recompute the scan+briggs pipeline ~4x (plan showed 20 scans,
+    # 0 reused exchanges)
+    vis = make_imaging_weight(vis, _GP, weighting="briggs", robust=0.5).persist()
     img = make_image(vis, _GP, image_size=(48, 48), weight="imaging_weight")
     psf = make_psf(vis, _GP, image_size=(48, 48), weight="imaging_weight")
     out = deconvolve_point_clean(img, psf, gain=0.2, threshold=0.1, niter=20)
