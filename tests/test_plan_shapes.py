@@ -100,3 +100,34 @@ def test_registry_respects_driver_hash_window():
     oracled = set(Q2.oracle_sql())
     assert len(oracled) <= Q2._DRIVER_WINDOW
     assert set(names[:len(oracled)]) == oracled
+
+
+def test_dense_planes_gridder_plan_shape(spark):
+    """The dense-planes fast path's scale contract: the packed rows
+    reach Python as FAT array rows (PythonMapInArrow over the
+    collect_list aggregate), with ONE shuffle for the (plane, slab)
+    grouping — no row-at-a-time Arrow feed, no extra exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+    from cngi_prototype_spark.plans import explain_formatted
+
+    rng = np.random.default_rng(1)
+    n = 200
+    pdf = pd.DataFrame({
+        "u": rng.uniform(-9000, 9000, n), "v": rng.uniform(-9000, 9000, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "weight": np.ones(n),
+    })
+    gp = GridParms(n_u=64, n_v=64, cell_u=2e-5, cell_v=2e-5,
+                   support=7, oversampling=100)
+    g, _ = grid_visibilities(spark.createDataFrame(pdf), gp,
+                             variant="kernel", n_planes=1, dense_planes=True)
+    plan = explain_formatted(g)
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan
+    assert "collect_list" in plan
+    from cngi_prototype_spark.plans import count_exchanges
+    assert count_exchanges(g) == 1
