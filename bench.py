@@ -93,7 +93,10 @@ def major_cycle(spark, sf_dir: str):
         (-F.col("value") / F.lit(200.0)).alias("data_im"),
         (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
     )
-    return make_image(vis, gp, image_size=(400, 400), weight="weight")
+    # dense-planes fast path (same values as explode/cells —
+    # parity-tested in tests/test_production_parity.py)
+    return make_image(vis, gp, image_size=(400, 400), weight="weight",
+                      variant="kernel", n_planes=16, output="planes")
 
 
 # CHILES throughput constants (BASELINE.md md 9): 727,272 MS rows x

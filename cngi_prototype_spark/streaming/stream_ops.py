@@ -125,3 +125,64 @@ def stream_append_vis(stream_df: DataFrame, outfile: str, checkpoint: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     return w
+
+
+def stream_grid_accumulate(
+    stream_df: DataFrame,
+    gp,
+    *,
+    u: str = "u",
+    v: str = "v",
+    freq: str = "freq",
+    weight: str = "weight",
+    re: str = "data_re",
+    im: str = "data_im",
+    chan: str = "chan",
+    pol: str = "pol",
+) -> DataFrame:
+    """Online imaging: incrementally accumulate the uv grid over a live
+    visibility stream (beyond reference — its gridder is batch-only).
+
+    The explode-taps gridder is a pure groupBy-sum, so it lifts onto
+    Structured Streaming unchanged: per trigger, each micro-batch's
+    taps partial-aggregate map-side and merge into the per-cell running
+    sums in the state store. Emit in ``update`` output mode; the cell
+    count bounds the state (≤ padded-grid size per plane), independent
+    of how many visibilities have streamed through — the same property
+    that bounds the batch shuffle. A downstream FFT consumer can image
+    any snapshot of the sink table.
+    """
+    from cngi_prototype_spark.imaging.grid import _cgk_at, _scaled_pos
+
+    u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
+    geom = (stream_df
+            .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_v_c", F.floor(v_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_du", F.floor((F.col("_u_c") - u_pos)
+                                       * F.lit(float(gp.oversampling))
+                                       + F.lit(0.5)).cast("int"))
+            .withColumn("_dv", F.floor((F.col("_v_c") - v_pos)
+                                       * F.lit(float(gp.oversampling))
+                                       + F.lit(0.5)).cast("int")))
+    half = gp.half
+    geom = geom.filter(
+        (F.col("_u_c") + half < gp.n_u) & (F.col("_u_c") - half >= 0)
+        & (F.col("_v_c") + half < gp.n_v) & (F.col("_v_c") - half >= 0)
+        & F.col(re).isNotNull() & F.col(im).isNotNull())
+    geom = geom.withColumn("_wd_re", F.col(re) * F.col(weight)).withColumn(
+        "_wd_im", F.col(im) * F.col(weight))
+    cgk_lit = F.array(*[F.lit(float(x)) for x in gp.kernel_1d()])
+    taps = F.array(*[F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
+                     for iu, iv in gp.taps()])
+    e = geom.select(chan, pol, "_u_c", "_v_c", "_du", "_dv",
+                    "_wd_re", "_wd_im", F.explode(taps).alias("_tap"))
+    conv = (_cgk_at(cgk_lit, gp.oversampling, 0,
+                    F.col("_tap.iu") * gp.oversampling + F.col("_du"))
+            * _cgk_at(cgk_lit, gp.oversampling, 0,
+                      F.col("_tap.iv") * gp.oversampling + F.col("_dv")))
+    return (e.groupBy(
+        chan, pol,
+        (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
+        (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"))
+        .agg(F.sum(conv * F.col("_wd_re")).alias("grid_re"),
+             F.sum(conv * F.col("_wd_im")).alias("grid_im")))

@@ -205,3 +205,51 @@ def test_read_vis_s3_credentials_map_to_hadoop_conf(spark):
     assert hconf.get("fs.s3a.access.key") == "AKTEST"
     assert hconf.get("fs.s3a.secret.key") == "SECRETTEST"
     assert hconf.get("fs.s3a.endpoint") == "s3.example.com"
+
+
+def test_stream_grid_accumulate_equals_batch(spark):
+    """Online uv-grid accumulation over two micro-batch files equals
+    the batch explode gridder on the union of rows."""
+    import pandas as pd
+
+    from cngi_prototype_spark.imaging.grid import GridParms, grid_visibilities
+    from cngi_prototype_spark.streaming.stream_ops import stream_grid_accumulate
+
+    gp = GridParms(n_u=32, n_v=32, cell_u=2e-5, cell_v=2e-5,
+                   support=5, oversampling=100)
+    rng = np.random.default_rng(12)
+
+    def mk(n, seed0):
+        return pd.DataFrame({
+            "u": rng.uniform(-4000, 4000, n), "v": rng.uniform(-4000, 4000, n),
+            "freq": np.full(n, 1.0e9),
+            "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+            "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+            "weight": np.ones(n),
+        })
+
+    tmp = tempfile.mkdtemp()
+    try:
+        a, b = mk(300, 0), mk(200, 1)
+        spark.createDataFrame(a).write.parquet(f"{tmp}/in/f0")
+        spark.createDataFrame(b).write.parquet(f"{tmp}/in/f1")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+        acc = stream_grid_accumulate(stream, gp)
+        q = (acc.writeStream.format("memory").queryName("sgrid")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sgrid").toPandas()
+
+        both = pd.concat([a, b], ignore_index=True)
+        ref, _ = grid_visibilities(spark.createDataFrame(both), gp,
+                                   variant="explode")
+        rp = ref.toPandas()
+        m = got.merge(rp, on=["chan", "pol", "u_idx", "v_idx"],
+                      suffixes=("_s", "_b"))
+        assert len(m) == len(rp) == len(got)
+        np.testing.assert_allclose(m.grid_re_s, m.grid_re_b, atol=1e-10)
+        np.testing.assert_allclose(m.grid_im_s, m.grid_im_b, atol=1e-10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
