@@ -317,7 +317,7 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
 
     spark = prepared.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    want_salt = max(1, -(-8 * p // max(1, int(n_planes or 1))))
+    want_salt = max(1, -(-16 * p // max(1, int(n_planes or 1))))
     slab_log = max(0, int(np.ceil(np.log2(max(1, -(-n_u // want_salt))))))
     slab_w = 1 << slab_log
     shift_group = 16 + bv + slab_log  # (chan, pol, u_slab) id
