@@ -1,0 +1,312 @@
+"""Post-deconvolution image combination, masking, and iteration control.
+
+Reference parity — these are specified stubs in the reference (docstring
+semantics, no code), implemented here the same way the flagging stubs
+were (real operators + value gates):
+
+- ``feather`` (``/root/reference/ngcasa/deconvolution/feather.py:20-33``):
+  ``out = iFT( FT(lowres) + [1 - FT(lowres_beam)] · FT(highres) )``.
+- ``restore_model``
+  (``/root/reference/ngcasa/deconvolution/restore_model.py:21-48``,
+  cube/single-term branch): smooth the model (Jy/pixel) with the
+  restoring beam, add the residual (Jy/beam).
+- ``linear_mosaic``
+  (``/root/reference/ngcasa/deconvolution/linear_mosaic.py:21-39``):
+  re-sample per-field images onto a common grid and combine as
+  ``sum(input_images) / sum(input_pbs)`` (flat-noise inputs).
+- ``make_mask``
+  (``/root/reference/ngcasa/deconvolution/make_mask.py:21-39``):
+  intersection of a pblimit mask, an auto-threshold mask, and an
+  optional user region.
+- ``is_converged``
+  (``/root/reference/ngcasa/deconvolution/is_converged.py:21-45``):
+  derive ``cyclethreshold`` from the image set, then apply the ordered
+  stopping criteria (peak residual vs threshold, iters vs niter).
+
+Spark shape: the two FFT combiners follow the smooth/deconvolve plane
+rule — all pixels of one (chan, pol) plane in one ``applyInPandas``
+group, planes parallel across executors (the cube's chan × pol extent
+is the scale axis). Everything else is pure Catalyst: ``linear_mosaic``
+is a map-side offset shift plus one partial/final aggregation on mosaic
+pixel, ``make_mask`` a per-plane window max plus boolean exprs,
+``is_converged`` a per-plane aggregate. At 100 TB none of these ships
+pixels to the driver; grouping keys are plane ids (bounded), not pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from cngi_prototype_spark.imaging.image_ops import beam_abc
+
+
+def _gaussian_beam_array(n_l: int, n_m: int, size, incr_rad,
+                         norm: str) -> np.ndarray:
+    """Centered elliptical gaussian on the (n_l, n_m) grid.
+
+    ``norm='sum'`` → unit volume (FT is 1 at the uv origin — the feather
+    low-res beam convention); ``norm='peak'`` → unit peak (Jy/beam
+    restoring-beam convention).
+    """
+    a, b, g = beam_abc(*size, incr_rad)
+    x = (np.arange(n_l) - n_l // 2)[:, None]
+    y = (np.arange(n_m) - n_m // 2)[None, :]
+    beam = np.exp(-(a * x * x + b * x * y + g * y * y))
+    return beam / beam.sum() if norm == "sum" else beam
+
+
+def _beam_transfer(beam: np.ndarray) -> np.ndarray:
+    """FT of the centered beam with the beam's origin moved to pixel
+    (0, 0) (``ifftshift``), so ``ifft2(fft2(img) · fb)`` is the cyclic
+    convolution of ``img`` with the *centered* beam — no residual
+    half-grid phase ramp."""
+    return np.fft.fft2(np.fft.ifftshift(beam))
+
+
+def feather(
+    low_df: DataFrame,
+    high_df: DataFrame,
+    incr_rad: tuple[float, float],
+    *,
+    image_size: tuple[int, int],
+    low_beam_size: tuple[float, float, float],
+    dv: str = "image",
+    chan: str = "chan",
+    pol: str = "pol",
+    out: str = "image",
+) -> DataFrame:
+    """Feather a low-resolution (single-dish) and a high-resolution
+    (interferometer) image cube: per (chan, pol) plane,
+
+        out = Re[ iFT( FT(low) + (1 − FT(low_beam)) · FT(high) ) ]
+            = low + high − low_beam ⊛ high      (⊛ = centered cyclic conv)
+
+    with the low-res beam unit-volume normalized so its transfer
+    function is 1 at the uv origin (total flux comes from the low-res
+    map) and →0 at long spacings (structure from the high-res map).
+    """
+    n_l, n_m = image_size
+
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("l_idx", T.IntegerType()),
+        T.StructField("m_idx", T.IntegerType()),
+        T.StructField(out, T.DoubleType()),
+    ])
+
+    both = (low_df.select(chan, pol, "l_idx", "m_idx",
+                          F.col(dv).alias("_low"))
+            .join(high_df.select(chan, pol, "l_idx", "m_idx",
+                                 F.col(dv).alias("_high")),
+                  on=[chan, pol, "l_idx", "m_idx"], how="inner"))
+
+    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        li = pdf["l_idx"].to_numpy(int)
+        mi = pdf["m_idx"].to_numpy(int)
+        low = np.zeros((n_l, n_m))
+        high = np.zeros((n_l, n_m))
+        low[li, mi] = pdf["_low"].to_numpy(float)
+        high[li, mi] = pdf["_high"].to_numpy(float)
+        fb = _beam_transfer(
+            _gaussian_beam_array(n_l, n_m, low_beam_size, incr_rad, "sum"))
+        comb = np.real(np.fft.ifft2(
+            np.fft.fft2(low) + (1.0 - fb) * np.fft.fft2(high)))
+        return pd.DataFrame({
+            chan: np.full(li.size, key[0], np.int32),
+            pol: np.full(li.size, key[1], np.int32),
+            "l_idx": li.astype(np.int32), "m_idx": mi.astype(np.int32),
+            out: comb[li, mi],
+        })
+
+    return both.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
+def restore_model(
+    model_df: DataFrame,
+    residual_df: DataFrame,
+    incr_rad: tuple[float, float],
+    *,
+    image_size: tuple[int, int],
+    beam_size: tuple[float, float, float],
+    model: str = "model",
+    residual: str = "residual",
+    chan: str = "chan",
+    pol: str = "pol",
+    out: str = "restored",
+) -> DataFrame:
+    """Restore a deconvolved model (cube / single-term branch of the
+    reference spec): smooth the model (Jy/pixel) with the unit-peak
+    restoring beam — a centered cyclic convolution, like ``smooth`` —
+    and add the residual (already in Jy/beam):
+
+        restored = model ⊛ beam_peak1 + residual
+    """
+    n_l, n_m = image_size
+
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("l_idx", T.IntegerType()),
+        T.StructField("m_idx", T.IntegerType()),
+        T.StructField(out, T.DoubleType()),
+    ])
+
+    both = (model_df.select(chan, pol, "l_idx", "m_idx",
+                            F.col(model).alias("_mod"))
+            .join(residual_df.select(chan, pol, "l_idx", "m_idx",
+                                     F.col(residual).alias("_res")),
+                  on=[chan, pol, "l_idx", "m_idx"], how="inner"))
+
+    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        li = pdf["l_idx"].to_numpy(int)
+        mi = pdf["m_idx"].to_numpy(int)
+        mod = np.zeros((n_l, n_m))
+        res = np.zeros((n_l, n_m))
+        mod[li, mi] = pdf["_mod"].to_numpy(float)
+        res[li, mi] = pdf["_res"].to_numpy(float)
+        fb = _beam_transfer(
+            _gaussian_beam_array(n_l, n_m, beam_size, incr_rad, "peak"))
+        restored = np.real(np.fft.ifft2(np.fft.fft2(mod) * fb)) + res
+        return pd.DataFrame({
+            chan: np.full(li.size, key[0], np.int32),
+            pol: np.full(li.size, key[1], np.int32),
+            "l_idx": li.astype(np.int32), "m_idx": mi.astype(np.int32),
+            out: restored[li, mi],
+        })
+
+    return both.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
+def linear_mosaic(
+    df: DataFrame,
+    offsets: DataFrame | dict,
+    *,
+    field: str = "field",
+    image: str = "image",
+    pb: str = "pb",
+    pb_limit: float = 1e-3,
+    precise: bool = False,
+) -> DataFrame:
+    """Primary-beam weighted linear mosaic: re-sample each field's image
+    onto the mosaic grid by its integer pixel offset and combine
+
+        mosaic[p] = Σ_fields image[p] / Σ_fields pb[p]     (Σpb > pb_limit)
+
+    (flat-noise inputs, per the reference spec). ``offsets`` maps field
+    id → (off_l, off_m), as a dict or a DataFrame (field, off_l, off_m);
+    it is a per-field table (small) and is broadcast — the combine is
+    one partial/final aggregation on mosaic pixel, no driver loop.
+
+    ``precise=True`` routes the two sums through decimal accumulation so
+    a DuckDB oracle can hash-match exactly.
+    """
+    spark = df.sparkSession
+    if isinstance(offsets, dict):
+        offsets = spark.createDataFrame(
+            [(int(k), int(v[0]), int(v[1])) for k, v in offsets.items()],
+            schema=f"{field} int, off_l int, off_m int")
+
+    shifted = (df.join(F.broadcast(offsets), on=field, how="inner")
+               .select((F.col("l_idx") + F.col("off_l")).alias("l_idx"),
+                       (F.col("m_idx") + F.col("off_m")).alias("m_idx"),
+                       F.col(image).alias("_img"), F.col(pb).alias("_pb")))
+    if precise:
+        dec = "decimal(38, 18)"
+        s_img = F.sum(F.col("_img").cast(dec)).cast("double")
+        s_pb = F.sum(F.col("_pb").cast(dec)).cast("double")
+    else:
+        s_img, s_pb = F.sum("_img"), F.sum("_pb")
+    agg = shifted.groupBy("l_idx", "m_idx").agg(
+        s_img.alias("_s_img"), s_pb.alias("_s_pb"))
+    return (agg.filter(F.col("_s_pb") > pb_limit)
+            .select("l_idx", "m_idx",
+                    (F.col("_s_img") / F.col("_s_pb")).alias(image)))
+
+
+def make_mask(
+    df: DataFrame,
+    *,
+    image: str = "image",
+    pb: str | None = None,
+    pb_limit: float = 0.2,
+    threshold: float | None = None,
+    frac: float | None = None,
+    region: str | None = None,
+    chan: str = "chan",
+    pol: str = "pol",
+    out: str = "mask",
+) -> DataFrame:
+    """Deconvolution mask: the intersection (AND) of every requested
+    criterion, per the reference spec —
+
+    - pblimit mask: ``pb > pb_limit`` (when a pb column is given);
+    - auto-threshold mask: ``|image| > threshold`` (absolute) or
+      ``|image| > frac · max(|image|)`` per (chan, pol) plane (the
+      auto-masking "detect structure" option, computed with a window
+      max — no second scan);
+    - user region: an existing boolean column to intersect.
+
+    Adds boolean ``out``; no rows are dropped (the mask is data, as in
+    the reference's region representation).
+    """
+    cond = F.lit(True)
+    if pb is not None:
+        cond = cond & (F.col(pb) > F.lit(float(pb_limit)))
+    if threshold is not None:
+        cond = cond & (F.abs(F.col(image)) > F.lit(float(threshold)))
+    if frac is not None:
+        w = Window.partitionBy(chan, pol)
+        cond = cond & (F.abs(F.col(image))
+                       > F.lit(float(frac)) * F.max(F.abs(F.col(image))).over(w))
+    if region is not None:
+        cond = cond & F.col(region)
+    return df.withColumn(out, cond)
+
+
+def is_converged(
+    residual_df: DataFrame,
+    *,
+    niter_done: int,
+    niter: int,
+    threshold: float,
+    psf_sidelobe_level: float = 0.1,
+    mask: str | None = None,
+    residual: str = "residual",
+    chan: str = "chan",
+    pol: str = "pol",
+) -> DataFrame:
+    """Iteration controller: per (chan, pol) plane, merge the explicit
+    user criteria with image-derived ones (reference spec Step 1), then
+    apply the ordered stopping rules (Step 2):
+
+    1. ``peak_residual`` = max |residual| within the mask region;
+    2. ``cyclethreshold = max(threshold, psf_sidelobe_level · peak)``
+       (the minor-cycle stopping point for the next cycle);
+    3. ``converged`` = peak_residual ≤ threshold  OR  niter_done ≥ niter.
+
+    Returns one convergence-history row per plane — the reference
+    appends the same dict to the dataset attrs (is_converged.py:41-45).
+    """
+    src = residual_df
+    if mask is not None:
+        src = src.filter(F.col(mask))
+    peak = F.max(F.abs(F.col(residual)))
+    return (src.groupBy(chan, pol)
+            .agg(peak.alias("peak_residual"),
+                 F.count(F.lit(1)).alias("n_pix"))
+            .select(
+                chan, pol, "peak_residual", "n_pix",
+                F.greatest(
+                    F.lit(float(threshold)),
+                    F.lit(float(psf_sidelobe_level)) * F.col("peak_residual"),
+                ).alias("cyclethreshold"),
+                ((F.col("peak_residual") <= F.lit(float(threshold)))
+                 | F.lit(niter_done >= niter)).alias("converged"),
+                F.lit(int(niter_done)).alias("niter_done"),
+            ))

@@ -1554,6 +1554,8 @@ def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HB_N = 8
 _HB_NITER = 6
 _HB_GAIN = 0.1
+_HB_THR = 0.05       # is_converged absolute threshold
+_HB_SIDELOBE = 0.2   # psf sidelobe level for cyclethreshold
 
 
 def _sql_hogbom_small() -> str:
@@ -1583,9 +1585,29 @@ def _sql_hogbom_small() -> str:
       FROM r{k} c CROSS JOIN p{k} p
       LEFT JOIN psf ps ON ps.l_idx = {c} + c.l_idx - p.pl
                       AND ps.m_idx = {c} + c.m_idx - p.pm)""")
-    return (f"WITH {','.join(ctes)}\n"
-            f"    SELECT l_idx, m_idx, (ROUND(model, 6) + 0.0) AS model, "
-            f"(ROUND(r, 6) + 0.0) AS residual FROM r{_HB_NITER}")
+    # Three parts off the shared final CTE: the CLEAN planes ('clean'),
+    # the iteration-controller criteria ('converged': is_converged.py
+    # semantics — one row, l_idx = converged flag, m_idx = niter_done,
+    # model = peak residual, residual = cyclethreshold), and the
+    # auto-threshold deconvolution mask ('mask': make_mask.py semantics
+    # at frac 0.5 — model = mask as 0/1). Every comparison feeds off the
+    # bit-exact unrolled residual, so no cross-engine boundary risk.
+    return (f"WITH {','.join(ctes)},\n"
+            f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
+            f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
+            f"    SELECT 'clean' AS part, l_idx, m_idx, "
+            f"(ROUND(model, 6) + 0.0) AS model, "
+            f"(ROUND(r, 6) + 0.0) AS residual FROM fin\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'converged', "
+            f"CAST(peak <= {_HB_THR!r} AS INT), {_HB_NITER}, "
+            f"(ROUND(peak, 6) + 0.0), "
+            f"(ROUND(GREATEST({_HB_THR!r}, {_HB_SIDELOBE!r} * peak), 6) + 0.0) "
+            f"FROM pk\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'mask', f.l_idx, f.m_idx, "
+            f"CAST(ABS(f.r) > 5e-1 * p.peak AS INT), 0.0 "
+            f"FROM fin f CROSS JOIN pk p")
 
 
 @register("hogbom_small", _sql_hogbom_small())
@@ -1606,8 +1628,24 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + (F.col("m_idx") - cc) * (F.col("m_idx") - cc)))
     out = deconvolve_point_clean(img, psf, gain=_HB_GAIN, threshold=0.0,
                                  niter=_HB_NITER)
-    return out.select("l_idx", "m_idx", (F.round("model", 6) + F.lit(0.0)).alias("model"),
-                      (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    clean = out.select(
+        F.lit("clean").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    conv = image_is_converged(
+        out, niter_done=_HB_NITER, niter=_HB_NITER + 4,
+        threshold=_HB_THR, psf_sidelobe_level=_HB_SIDELOBE,
+    ).select(
+        F.lit("converged").alias("part"),
+        F.col("converged").cast("int").alias("l_idx"),
+        F.col("niter_done").alias("m_idx"),
+        (F.round("peak_residual", 6) + F.lit(0.0)).alias("model"),
+        (F.round("cyclethreshold", 6) + F.lit(0.0)).alias("residual"))
+    msk = image_make_mask(out, image="residual", frac=0.5).select(
+        F.lit("mask").alias("part"), "l_idx", "m_idx",
+        F.col("mask").cast("int").cast("double").alias("model"),
+        F.lit(0.0).alias("residual"))
+    return clean.unionByName(conv).unionByName(msk)
 
 
 # ---------------------------------------------------------------------------
@@ -1820,68 +1858,126 @@ def image_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# image_smooth_conv: VALUE evidence for the FFT-convolution smooth
-# (smooth.py:97-108 semantics). smooth's plane op is
-#   |fftshift(ifft2(fft2(img)·fft2(beam)))|
-# which for even n equals the centered cyclic convolution
-#   out[l,m] = |sum_{p,q} img[p,q]·beam[(l+c-p) mod n, (m+c-q) mod n]|
-# (identity verified numerically to 1e-14). At 12^2 the oracle can
-# afford the full O(n^4) direct sum; the unity-normalized gaussian
-# beam is replicated at import with the operator's own formula and
-# injected as exact repr literals.
+# image_smooth_conv: VALUE evidence for the three FFT-convolution plane
+# ops — smooth (smooth.py:97-108), feather (feather.py:20-33), and
+# restore_model (restore_model.py:21-48) — as one tagged union.
+# Each plane op is an FFT product that at even n equals a centered
+# cyclic convolution (identities verified numerically to 1e-14):
+#   smooth:  |fftshift(ifft2(fft2(img)·fft2(beam)))|
+#          = |Σ img[p,q]·beam[(l+c-p) mod n, (m+c-q) mod n]|
+#   feather: Re[ifft2(fft2(low) + (1-FT(beam_sum))·fft2(high))]
+#          = low + high − Σ high[p,q]·beam_sum[(l+c-p)%n,(m+c-q)%n]
+#   restore: Re[ifft2(fft2(model)·FT(beam_peak))] + residual
+#          = Σ model[p,q]·beam_peak[(l+c-p)%n,(m+c-q)%n] + residual
+# At 12^2 the oracle can afford the full O(n^4) direct sums; the beams
+# are replicated at import with the operators' own formulas and injected
+# as exact repr literals.
 # ---------------------------------------------------------------------------
 
 from cngi_prototype_spark.imaging.image_ops import beam_abc as _beam_abc  # noqa: E402
+from cngi_prototype_spark.imaging.restore import (  # noqa: E402
+    feather as image_feather,
+    is_converged as image_is_converged,
+    linear_mosaic as image_linear_mosaic,
+    make_mask as image_make_mask,
+    restore_model as image_restore_model,
+)
 
 _SM_N = 12
 _SM_SIZE = (60.0, 45.0, 20.0)
+_FE_SIZE = (90.0, 75.0, 10.0)   # feather low-res beam (sum-normalized)
+_RS_SIZE = (75.0, 50.0, 20.0)   # restoring beam (unit peak)
 
 
-def _sm_beam_vals() -> "np.ndarray":
-    a, b, g = _beam_abc(*_SM_SIZE, _SKY_CELL)
+def _sm_beam_vals(size=_SM_SIZE, norm: str = "sum") -> "np.ndarray":
+    a, b, g = _beam_abc(*size, _SKY_CELL)
     x = (_np.arange(_SM_N) - _SM_N // 2)[:, None]
     y = (_np.arange(_SM_N) - _SM_N // 2)[None, :]
     beam = _np.exp(-(a * x * x + b * x * y + g * y * y))
-    return beam / beam.sum()
+    return beam / beam.sum() if norm == "sum" else beam
 
 
-def _sql_image_smooth_conv() -> str:
+# deterministic pixel lattices (SQL / Spark twin pairs). e-notation
+# literals force DOUBLE arithmetic in BOTH engines — `6.0` parses as
+# DECIMAL in Spark SQL (and DuckDB), whose truncated-scale division
+# diverges from double math (observed: 3.3e-7 on the /6 lattice).
+_SM_IMG = "((l_idx * 7 + m_idx * 3) % 11) / 1e1 - 3e-1"
+_FE_LOW = "((l_idx * 5 + m_idx * 2) % 13) / 6e0 - 1e0"
+_FE_HIGH = "((l_idx * 3 + m_idx * 7) % 11) / 5e0 - 1e0"
+
+
+def _conv_sql(beam: "np.ndarray", src_cte: str, val: str) -> str:
+    """Direct centered cyclic convolution of CTE ``src_cte``(l_idx,
+    m_idx, ``val``) with the injected beam, as (l_idx, m_idx, s)."""
     n, c = _SM_N, _SM_N // 2
-    beam = _sm_beam_vals()
-    # e-notation -> DOUBLE parse (see _sql_dft_image note)
     beam_vals = ", ".join(f"({i}, {j}, {beam[i, j]:.17e})"
                           for i in range(n) for j in range(n))
     return f"""
-    WITH img AS (
-      SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx,
-             ((l.range * 7 + m.range * 3) % 11) / 10.0 - 0.3 AS v
-      FROM range({n}) l, range({n}) m),
-    beam(bi, bj, bv) AS (SELECT * FROM (VALUES {beam_vals})),
-    conv AS (
-      SELECT o.l_idx, o.m_idx,
-             SUM(i.v * b.bv) AS s
-      FROM img o, img i
-      JOIN beam b
+      SELECT o.l_idx, o.m_idx, SUM(i.{val} * b.bv) AS s
+      FROM {src_cte} o, {src_cte} i
+      JOIN (SELECT * FROM (VALUES {beam_vals})) b(bi, bj, bv)
         ON b.bi = ((o.l_idx + {c} - i.l_idx) % {n} + {n}) % {n}
        AND b.bj = ((o.m_idx + {c} - i.m_idx) % {n} + {n}) % {n}
-      GROUP BY 1, 2)
-    SELECT 0 AS chan, 0 AS pol, l_idx, m_idx, (ROUND(ABS(s), 6) + 0.0) AS v
-    FROM conv
+      GROUP BY 1, 2"""
+
+
+def _sql_image_smooth_conv() -> str:
+    n = _SM_N
+    lat = (f"SELECT CAST(l.range AS INT) AS l_idx, "
+           f"CAST(m.range AS INT) AS m_idx FROM range({n}) l, range({n}) m")
+    return f"""
+    WITH lat AS ({lat}),
+    img AS (SELECT l_idx, m_idx, {_SM_IMG} AS v FROM lat),
+    low AS (SELECT l_idx, m_idx, {_FE_LOW} AS v FROM lat),
+    high AS (SELECT l_idx, m_idx, {_FE_HIGH} AS v FROM lat),
+    sm AS ({_conv_sql(_sm_beam_vals(), 'img', 'v')}),
+    fe AS ({_conv_sql(_sm_beam_vals(_FE_SIZE, 'sum'), 'high', 'v')}),
+    rs AS ({_conv_sql(_sm_beam_vals(_RS_SIZE, 'peak'), 'img', 'v')})
+    SELECT 'smooth' AS part, l_idx, m_idx, (ROUND(ABS(s), 6) + 0.0) AS v
+    FROM sm
+    UNION ALL
+    SELECT 'feather', f.l_idx, f.m_idx,
+           (ROUND(l.v + h.v - f.s, 6) + 0.0)
+    FROM fe f
+    JOIN low l ON l.l_idx = f.l_idx AND l.m_idx = f.m_idx
+    JOIN high h ON h.l_idx = f.l_idx AND h.m_idx = f.m_idx
+    UNION ALL
+    SELECT 'restore', r.l_idx, r.m_idx,
+           (ROUND(r.s + h.v, 6) + 0.0)
+    FROM rs r
+    JOIN high h ON h.l_idx = r.l_idx AND h.m_idx = r.m_idx
     """
+
+
+def _sm_lattice(spark: SparkSession, expr: str, dv: str) -> DataFrame:
+    n = _SM_N
+    lat = spark.range(n * n).select(
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("id") / n).cast("int").alias("l_idx"),
+        (F.col("id") % n).cast("int").alias("m_idx"))
+    return lat.withColumn(dv, F.expr(expr))
 
 
 @register("image_smooth_conv", _sql_image_smooth_conv())
 def image_smooth_conv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _SM_N
-    img = spark.range(n * n).select(
-        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
-        (F.col("id") / n).cast("int").alias("l_idx"),
-        (F.col("id") % n).cast("int").alias("m_idx"),
-        (((F.col("id") / n).cast("int") * 7 + (F.col("id") % n) * 3) % 11
-         / F.lit(10.0) - F.lit(0.3)).alias("image"))
-    out = image_smooth(img, _SKY_CELL, image_size=(n, n), size=_SM_SIZE)
-    return out.select("chan", "pol", "l_idx", "m_idx",
-                      (F.round("image", 6) + F.lit(0.0)).alias("v"))
+    img = _sm_lattice(spark, _SM_IMG, "image")
+    low = _sm_lattice(spark, _FE_LOW, "image")
+    high = _sm_lattice(spark, _FE_HIGH, "image")
+    sm = image_smooth(img, _SKY_CELL, image_size=(n, n), size=_SM_SIZE)
+    fe = image_feather(low, high, _SKY_CELL, image_size=(n, n),
+                       low_beam_size=_FE_SIZE)
+    rs = image_restore_model(
+        img.withColumnRenamed("image", "model"),
+        high.withColumnRenamed("image", "residual"),
+        _SKY_CELL, image_size=(n, n), beam_size=_RS_SIZE)
+    rounded = lambda df, c: (F.round(c, 6) + F.lit(0.0)).alias("v")  # noqa: E731
+    return (sm.select(F.lit("smooth").alias("part"), "l_idx", "m_idx",
+                      rounded(sm, "image"))
+            .unionByName(fe.select(F.lit("feather").alias("part"),
+                                   "l_idx", "m_idx", rounded(fe, "image")))
+            .unionByName(rs.select(F.lit("restore").alias("part"),
+                                   "l_idx", "m_idx", rounded(rs, "restored"))))
 
 
 # ---------------------------------------------------------------------------
@@ -2420,6 +2516,21 @@ def mosaic_pb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'mosaic', l_idx, m_idx, -1, 1.0e9, (ROUND(pb_mosaic, 6) + 0.0)
     FROM ({sql_mosaic_pb((48, 48), (1.0e-4, 1.0e-4), _MOS_OFFSETS, 1.0e9)})
+    UNION ALL
+    SELECT 'linmos', l_idx, m_idx, -1, 0.0, (ROUND(s_img / s_pb, 6) + 0.0)
+    FROM (
+      SELECT fl.l + fl.ol AS l_idx, fl.m + fl.om AS m_idx,
+             SUM(fl.pb * fl.sky) AS s_img, SUM(fl.pb) AS s_pb
+      FROM (
+        SELECT f.ol, f.om, CAST(l.range AS INT) AS l, CAST(m.range AS INT) AS m,
+               EXP(0e0 - ((l.range - 8) * (l.range - 8)
+                          + (m.range - 8) * (m.range - 8)) / 4e1) + 1e-1 AS pb,
+               (((l.range + f.ol) * 3 + (m.range + f.om) * 5) % 7) / 7e0
+                 + 5e-1 AS sky
+        FROM range(16) l, range(16) m,
+             (SELECT * FROM (VALUES (0, 0, 0), (1, 5, 3))) f(field, ol, om)
+      ) fl
+      GROUP BY 1, 2)
     """,
 )
 def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2436,7 +2547,31 @@ def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mosaic").alias("part"), "l_idx", "m_idx",
         F.lit(-1).alias("chan"), F.lit(1.0e9).alias("freq"),
         F.col("pb_mosaic").alias("v"))
-    return pb.unionByName(gb).unionByName(mb)
+    # linear_mosaic (linear_mosaic.py spec): two synthetic gaussian-PB
+    # fields, image = pb·sky (flat-noise), offsets (0,0)/(5,3); the
+    # combine recovers Σimg/Σpb on the mosaic grid. ≤2 addends per
+    # pixel, so Spark's partial-sum order can't shift the double sums.
+    fl = spark.range(2 * 16 * 16).select(
+        (F.col("id") / 256).cast("int").alias("field"),
+        ((F.col("id") % 256) / 16).cast("int").alias("l"),
+        (F.col("id") % 16).cast("int").alias("m"))
+    fl = (fl.withColumn("ol", F.col("field") * 5)
+          .withColumn("om", F.col("field") * 3)
+          .withColumn("pb", F.exp(-((F.col("l") - 8) * (F.col("l") - 8)
+                                    + (F.col("m") - 8) * (F.col("m") - 8))
+                                  / F.lit(40.0)) + F.lit(0.1))
+          .withColumn("sky", ((F.col("l") + F.col("ol")) * 3
+                              + (F.col("m") + F.col("om")) * 5) % 7
+                      / F.lit(7.0) + F.lit(0.5))
+          .select("field", F.col("l").alias("l_idx"),
+                  F.col("m").alias("m_idx"),
+                  (F.col("pb") * F.col("sky")).alias("image"), "pb"))
+    lm = image_linear_mosaic(fl, {0: (0, 0), 1: (5, 3)},
+                             pb_limit=1e-6).select(
+        F.lit("linmos").alias("part"), "l_idx", "m_idx",
+        F.lit(-1).alias("chan"), F.lit(0.0).alias("freq"),
+        (F.round("image", 6) + F.lit(0.0)).alias("v"))
+    return pb.unionByName(gb).unionByName(mb).unionByName(lm)
 
 
 @register("mosaic_image", None)  # FFT-built GCF kernels: rows-only
