@@ -1139,6 +1139,48 @@ def _uv_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two variants share one oracle twin under a variant tag.
 _SQL_UV_GRID = sql_grid_visibilities(_GP, _UV_SQL)
 
+# Single-dish tier (make_sd_image / make_sd_psf / make_sd_weight_image
+# reference stubs): pointed samples gridded in the image plane with a
+# continuous gaussian kernel — shares the uv_grid union (same tap-sum
+# gate shape). 'sd' carries image in grid_re and the weight map in
+# grid_im (one aggregation produces both); 'sd_psf' the per-freq beam.
+from cngi_prototype_spark.imaging.sd import (  # noqa: E402
+    make_sd_image,
+    make_sd_psf,
+    make_sd_weight_image,
+    sql_make_sd_image,
+    sql_make_sd_psf,
+)
+
+_SD_N = 24
+_SD_CELL = 1.0e-3
+_SD_SUPPORT = 2
+_SD_SIGMA = 1.2
+_SD_PSF_FREQS = [1.0e9, 1.2e9]
+_SD_SQL = """
+    SELECT ((event_id * 7919) % 20000) / 1e6 - 1e-2 AS l,
+           ((event_id * 104729 + user_id) % 20000) / 1e6 - 1e-2 AS m,
+           CAST(event_id % 3 AS INT) AS chan,
+           CAST(user_id % 2 AS INT) AS pol,
+           value / 1e2 AS data,
+           1e0 + CAST(event_id % 5 AS DOUBLE) AS weight
+    FROM events
+"""
+
+
+def _sd_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (((F.col("event_id") * 7919) % 20000) / F.lit(1.0e6)
+         - F.lit(1.0e-2)).alias("l"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 20000)
+         / F.lit(1.0e6) - F.lit(1.0e-2)).alias("m"),
+        (F.col("event_id") % 3).cast("int").alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(1.0e2)).alias("data"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+
 
 @register(
     "uv_grid",
@@ -1149,6 +1191,15 @@ _SQL_UV_GRID = sql_grid_visibilities(_GP, _UV_SQL)
     UNION ALL
     SELECT 'sumw', chan, pol, -1, -1, sum_weight, 0.0
     FROM ({sql_sum_weight(_GP, _UV_SQL)})
+    UNION ALL
+    SELECT 'sd', chan, pol, l_idx, m_idx,
+           (ROUND(sd_image, 6) + 0.0), (ROUND(sd_weight, 6) + 0.0)
+    FROM ({sql_make_sd_image(_SD_SQL, _SD_N, _SD_N, _SD_CELL, _SD_CELL,
+                             support=_SD_SUPPORT, sigma_px=_SD_SIGMA)})
+    UNION ALL
+    SELECT 'sd_psf', chan, -1, l_idx, m_idx,
+           (ROUND(sd_psf, 6) + 0.0), 0.0
+    FROM ({sql_make_sd_psf(_SD_PSF_FREQS, _SD_N, _SD_N, _SD_CELL, _SD_CELL)})
     """,
 )
 def uv_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,9 +1210,22 @@ def uv_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sumw").alias("variant"), "chan", "pol",
         F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
         F.col("sum_weight").alias("grid_re"), F.lit(0.0).alias("grid_im"))
+    sd = make_sd_image(_sd_vis(spark, sf_dir), _SD_N, _SD_N, _SD_CELL,
+                       _SD_CELL, support=_SD_SUPPORT, sigma_px=_SD_SIGMA,
+                       precise=_precise()).select(
+        F.lit("sd").alias("variant"), "chan", "pol",
+        F.col("l_idx").alias("u_idx"), F.col("m_idx").alias("v_idx"),
+        (F.round("sd_image", 6) + F.lit(0.0)).alias("grid_re"),
+        (F.round("sd_weight", 6) + F.lit(0.0)).alias("grid_im"))
+    sp = make_sd_psf(spark, _SD_PSF_FREQS, _SD_N, _SD_N, _SD_CELL,
+                     _SD_CELL).select(
+        F.lit("sd_psf").alias("variant"), "chan", F.lit(-1).alias("pol"),
+        F.col("l_idx").alias("u_idx"), F.col("m_idx").alias("v_idx"),
+        (F.round("sd_psf", 6) + F.lit(0.0)).alias("grid_re"),
+        F.lit(0.0).alias("grid_im"))
     return (e.select(F.lit("explode").alias("variant"), "*")
             .unionByName(k.select(F.lit("kernel").alias("variant"), "*"))
-            .unionByName(sw))
+            .unionByName(sw).unionByName(sd).unionByName(sp))
 
 
 def uv_grid_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
