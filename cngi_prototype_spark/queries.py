@@ -1621,6 +1621,236 @@ _HB_GAIN = 0.1
 _HB_THR = 0.05       # is_converged absolute threshold
 _HB_SIDELOBE = 0.2   # psf sidelobe level for cyclethreshold
 
+# multi-scale CLEAN twin (deconvolve_multiterm_clean, nterms=1) on the
+# same img/psf lattices: scales [0, 2], fixed iteration count
+_MS_NITER = 4
+_MS_GAIN = 0.1
+_MS_SCALE = 2.0
+_MS_BIAS1 = 1.0 - 0.6 * _MS_SCALE / max(_MS_SCALE, 1.0)
+
+# MT-MFS twin (nterms=2): 3-channel cube with per-chan closed-form
+# img/psf; every iteration is exact scalar arithmetic (no convolutions)
+_MT_NITER = 3
+_MT_GAIN = 0.2
+_MT_FREQS = {0: 0.9e9, 1: 1.0e9, 2: 1.1e9}
+
+from cngi_prototype_spark.imaging.mtclean import (  # noqa: E402
+    deconvolve_multiterm_clean,
+    scale_kernel as _scale_kernel,
+)
+
+
+def _conv8_cte(out: str, src: str, kern: str, val: str = "v") -> str:
+    """Linear (edge-clipped) centered convolution on the 8×8 lattice:
+    out[x,y] = Σ src[p,q]·kern[x+c−p, y+c−q], kernel rows absent
+    outside support (COALESCE → zero-pad)."""
+    c = _HB_N // 2
+    return f"""
+    {out} AS (
+      SELECT t.l_idx, t.m_idx, COALESCE(SUM(a.{val} * k.v), 0.0) AS v
+      FROM ms_lat t
+      LEFT JOIN {src} a ON TRUE
+      LEFT JOIN {kern} k ON k.l_idx = t.l_idx + {c} - a.l_idx
+                        AND k.m_idx = t.m_idx + {c} - a.m_idx
+      GROUP BY 1, 2)"""
+
+
+def _msclean_ctes() -> list[str]:
+    """Unrolled MS-Clean (scales [0, 2], {_MS_NITER} iterations) —
+    mirrors msclean_plane: biased peak pick across scale residuals,
+    alpha = gain·rv / peak(psf⊛S⊛S), cross-scale windowed subtract,
+    final model evaluation m0 + m1⊛S2."""
+    n, c = _HB_N, _HB_N // 2
+    g = f"{_MS_GAIN:.17e}"
+    k = _scale_kernel(n, n, _MS_SCALE)
+    kern_vals = ", ".join(f"({i}, {j}, {k[i, j]:.17e})"
+                          for i in range(n) for j in range(n)
+                          if k[i, j] != 0.0)
+    ctes = [f"""
+    ms_lat AS (SELECT l_idx, m_idx FROM img)""", f"""
+    ms_s2(l_idx, m_idx, v) AS (SELECT * FROM (VALUES {kern_vals}))""",
+        _conv8_cte("ms_ps2", "psf", "ms_s2"),
+        _conv8_cte("ms_p11", "ms_ps2", "ms_s2"),
+        _conv8_cte("ms_r1i", "img", "ms_s2"), f"""
+    ms_aa(s, av) AS (
+      SELECT 0, (SELECT v FROM psf WHERE l_idx = {c} AND m_idx = {c})
+      UNION ALL
+      SELECT 1, (SELECT v FROM ms_p11 WHERE l_idx = {c} AND m_idx = {c}))""",
+        f"""
+    ms_pc AS (
+      SELECT 0 AS sf, 0 AS st, l_idx, m_idx, v FROM psf
+      UNION ALL SELECT 0, 1, l_idx, m_idx, v FROM ms_ps2
+      UNION ALL SELECT 1, 0, l_idx, m_idx, v FROM ms_ps2
+      UNION ALL SELECT 1, 1, l_idx, m_idx, v FROM ms_p11)""", f"""
+    ms_it0 AS (
+      SELECT i.l_idx, i.m_idx, i.v AS r0, rr.v AS r1,
+             0.0 AS m0, 0.0 AS m1
+      FROM img i JOIN ms_r1i rr
+        ON rr.l_idx = i.l_idx AND rr.m_idx = i.m_idx)"""]
+    for ki in range(_MS_NITER):
+        ctes.append(f"""
+    ms_pk{ki} AS (
+      SELECT s, pl, pm, rv FROM (
+        SELECT 0 AS s, l_idx AS pl, m_idx AS pm, r0 AS rv,
+               1e0 * ABS(r0) AS val FROM ms_it{ki}
+        UNION ALL
+        SELECT 1, l_idx, m_idx, r1, {_MS_BIAS1!r} * ABS(r1)
+        FROM ms_it{ki})
+      ORDER BY val DESC, s ASC, pl * {n} + pm ASC LIMIT 1)""")
+        ctes.append(f"""
+    ms_al{ki} AS (
+      SELECT p.s, p.pl, p.pm, {g} * p.rv / a.av AS alpha
+      FROM ms_pk{ki} p JOIN ms_aa a ON a.s = p.s)""")
+        ctes.append(f"""
+    ms_it{ki + 1} AS (
+      SELECT ci.l_idx, ci.m_idx,
+             ci.r0 - al.alpha * COALESCE(p0.v, 0.0) AS r0,
+             ci.r1 - al.alpha * COALESCE(p1.v, 0.0) AS r1,
+             ci.m0 + CASE WHEN al.s = 0 AND ci.l_idx = al.pl
+                          AND ci.m_idx = al.pm
+                          THEN al.alpha ELSE 0.0 END AS m0,
+             ci.m1 + CASE WHEN al.s = 1 AND ci.l_idx = al.pl
+                          AND ci.m_idx = al.pm
+                          THEN al.alpha ELSE 0.0 END AS m1
+      FROM ms_it{ki} ci CROSS JOIN ms_al{ki} al
+      LEFT JOIN ms_pc p0 ON p0.sf = al.s AND p0.st = 0
+                        AND p0.l_idx = {c} + ci.l_idx - al.pl
+                        AND p0.m_idx = {c} + ci.m_idx - al.pm
+      LEFT JOIN ms_pc p1 ON p1.sf = al.s AND p1.st = 1
+                        AND p1.l_idx = {c} + ci.l_idx - al.pl
+                        AND p1.m_idx = {c} + ci.m_idx - al.pm)""")
+    ctes.append(f"""
+    ms_ev AS (
+      SELECT t.l_idx, t.m_idx, COALESCE(SUM(mm.m1 * k.v), 0.0) AS c1
+      FROM ms_lat t
+      LEFT JOIN (SELECT * FROM ms_it{_MS_NITER} WHERE m1 <> 0.0) mm ON TRUE
+      LEFT JOIN ms_s2 k ON k.l_idx = t.l_idx + {c} - mm.l_idx
+                       AND k.m_idx = t.m_idx + {c} - mm.m_idx
+      GROUP BY 1, 2)""")
+    return ctes
+
+
+# per-chan closed forms for the MT-MFS cube (shared Spark/SQL)
+_MT_IMG = "((l_idx * 5 + m_idx * 11 + chan * 3) % 17) / 4e0 - 2e0"
+_MT_PSF = (f"1e0 / (1e0 + ((l_idx - {_HB_N // 2}) * (l_idx - {_HB_N // 2})"
+           f" + (m_idx - {_HB_N // 2}) * (m_idx - {_HB_N // 2}))"
+           f" * (1e0 + chan / 1e1))")
+
+
+def _mtmfs_ctes() -> list[str]:
+    """Unrolled nterms=2 MT-MFS — mirrors mtmfs_cube exactly: Taylor
+    sums in channel order, closed-form 2×2 inverse, principal-map peak,
+    two windowed subtracts per Taylor residual. No convolutions, so the
+    twin is bit-exact (modulo the final ROUND)."""
+    n, c = _HB_N, _HB_N // 2
+    g = f"{_MT_GAIN:.17e}"
+    nu = _np.array([_MT_FREQS[i] for i in sorted(_MT_FREQS)])
+    nu0 = nu.mean()
+    w = (nu - nu0) / nu0
+    w2 = w ** 2
+    wl = [f"{x:.17e}" for x in w]
+    w2l = [f"{x:.17e}" for x in w2]
+
+    def _tsum(col: str, weights: list[str]) -> str:
+        # channel-ascending left-associated weighted sum, as numpy's
+        # ((w*cube).sum(0)) computes it
+        return (f"(({weights[0]} * a.{col} + {weights[1]} * b.{col})"
+                f" + {weights[2]} * d.{col})")
+
+    ones = ["1e0", "1e0", "1e0"]
+    ctes = [f"""
+    mt_cube AS (
+      SELECT CAST(ch.range AS INT) AS chan, t.l_idx, t.m_idx,
+             {_MT_IMG} AS r, {_MT_PSF} AS p
+      FROM ms_lat t, range(3) ch)""", f"""
+    mt_r AS (
+      SELECT a.l_idx, a.m_idx,
+             {_tsum('r', ones)} AS r0, {_tsum('r', wl)} AS r1
+      FROM mt_cube a
+      JOIN mt_cube b ON b.chan = 1 AND b.l_idx = a.l_idx
+                    AND b.m_idx = a.m_idx
+      JOIN mt_cube d ON d.chan = 2 AND d.l_idx = a.l_idx
+                    AND d.m_idx = a.m_idx
+      WHERE a.chan = 0)""", f"""
+    mt_p AS (
+      SELECT 0 AS q, a.l_idx, a.m_idx, {_tsum('p', ones)} AS v
+      FROM mt_cube a
+      JOIN mt_cube b ON b.chan = 1 AND b.l_idx = a.l_idx
+                    AND b.m_idx = a.m_idx
+      JOIN mt_cube d ON d.chan = 2 AND d.l_idx = a.l_idx
+                    AND d.m_idx = a.m_idx
+      WHERE a.chan = 0
+      UNION ALL
+      SELECT 1, a.l_idx, a.m_idx, {_tsum('p', wl)}
+      FROM mt_cube a
+      JOIN mt_cube b ON b.chan = 1 AND b.l_idx = a.l_idx
+                    AND b.m_idx = a.m_idx
+      JOIN mt_cube d ON d.chan = 2 AND d.l_idx = a.l_idx
+                    AND d.m_idx = a.m_idx
+      WHERE a.chan = 0
+      UNION ALL
+      SELECT 2, a.l_idx, a.m_idx, {_tsum('p', w2l)}
+      FROM mt_cube a
+      JOIN mt_cube b ON b.chan = 1 AND b.l_idx = a.l_idx
+                    AND b.m_idx = a.m_idx
+      JOIN mt_cube d ON d.chan = 2 AND d.l_idx = a.l_idx
+                    AND d.m_idx = a.m_idx
+      WHERE a.chan = 0)""", f"""
+    mt_inv AS (
+      SELECT p2.v / det AS i00, (0e0 - p1.v) / det AS i01,
+             p0.v / det AS i11
+      FROM (SELECT v FROM mt_p WHERE q = 0 AND l_idx = {c}
+            AND m_idx = {c}) p0,
+           (SELECT v FROM mt_p WHERE q = 1 AND l_idx = {c}
+            AND m_idx = {c}) p1,
+           (SELECT v FROM mt_p WHERE q = 2 AND l_idx = {c}
+            AND m_idx = {c}) p2,
+           (SELECT (SELECT v FROM mt_p WHERE q = 0 AND l_idx = {c}
+                    AND m_idx = {c})
+                   * (SELECT v FROM mt_p WHERE q = 2 AND l_idx = {c}
+                      AND m_idx = {c})
+                   - (SELECT v FROM mt_p WHERE q = 1 AND l_idx = {c}
+                      AND m_idx = {c})
+                   * (SELECT v FROM mt_p WHERE q = 1 AND l_idx = {c}
+                      AND m_idx = {c}) AS det))""", f"""
+    mt_it0 AS (
+      SELECT l_idx, m_idx, r0, r1, 0.0 AS m0, 0.0 AS m1 FROM mt_r)"""]
+    for ki in range(_MT_NITER):
+        ctes.append(f"""
+    mt_pk{ki} AS (
+      SELECT l_idx AS pl, m_idx AS pm, r0 AS r0p, r1 AS r1p
+      FROM mt_it{ki}, mt_inv
+      ORDER BY ABS(i00 * r0 + i01 * r1) DESC,
+               l_idx * {n} + m_idx ASC LIMIT 1)""")
+        ctes.append(f"""
+    mt_cf{ki} AS (
+      SELECT p.pl, p.pm,
+             {g} * (v.i00 * p.r0p + v.i01 * p.r1p) AS gc0,
+             {g} * (v.i01 * p.r0p + v.i11 * p.r1p) AS gc1
+      FROM mt_pk{ki} p, mt_inv v)""")
+        ctes.append(f"""
+    mt_it{ki + 1} AS (
+      SELECT ci.l_idx, ci.m_idx,
+             ci.r0 - cf.gc0 * COALESCE(pa.v, 0.0)
+                   - cf.gc1 * COALESCE(pb.v, 0.0) AS r0,
+             ci.r1 - cf.gc0 * COALESCE(pb.v, 0.0)
+                   - cf.gc1 * COALESCE(pc.v, 0.0) AS r1,
+             ci.m0 + CASE WHEN ci.l_idx = cf.pl AND ci.m_idx = cf.pm
+                          THEN cf.gc0 ELSE 0.0 END AS m0,
+             ci.m1 + CASE WHEN ci.l_idx = cf.pl AND ci.m_idx = cf.pm
+                          THEN cf.gc1 ELSE 0.0 END AS m1
+      FROM mt_it{ki} ci CROSS JOIN mt_cf{ki} cf
+      LEFT JOIN mt_p pa ON pa.q = 0
+                       AND pa.l_idx = {c} + ci.l_idx - cf.pl
+                       AND pa.m_idx = {c} + ci.m_idx - cf.pm
+      LEFT JOIN mt_p pb ON pb.q = 1
+                       AND pb.l_idx = {c} + ci.l_idx - cf.pl
+                       AND pb.m_idx = {c} + ci.m_idx - cf.pm
+      LEFT JOIN mt_p pc ON pc.q = 2
+                       AND pc.l_idx = {c} + ci.l_idx - cf.pl
+                       AND pc.m_idx = {c} + ci.m_idx - cf.pm)""")
+    return ctes
+
 
 def _sql_hogbom_small() -> str:
     n, c = _HB_N, _HB_N // 2
@@ -1649,13 +1879,18 @@ def _sql_hogbom_small() -> str:
       FROM r{k} c CROSS JOIN p{k} p
       LEFT JOIN psf ps ON ps.l_idx = {c} + c.l_idx - p.pl
                       AND ps.m_idx = {c} + c.m_idx - p.pm)""")
-    # Three parts off the shared final CTE: the CLEAN planes ('clean'),
+    # Parts off the shared final CTE: the CLEAN planes ('clean'),
     # the iteration-controller criteria ('converged': is_converged.py
     # semantics — one row, l_idx = converged flag, m_idx = niter_done,
-    # model = peak residual, residual = cyclethreshold), and the
+    # model = peak residual, residual = cyclethreshold), the
     # auto-threshold deconvolution mask ('mask': make_mask.py semantics
-    # at frac 0.5 — model = mask as 0/1). Every comparison feeds off the
-    # bit-exact unrolled residual, so no cross-engine boundary risk.
+    # at frac 0.5 — model = mask as 0/1), plus the multi-scale
+    # ('msclean') and multi-term ('mt0'/'mt1') CLEAN twins built below.
+    # Every comparison feeds off bit-exact unrolled arithmetic, so no
+    # cross-engine boundary risk (msclean's conv inputs carry ~1e-14
+    # FFT-vs-direct drift, absorbed by the final ROUND 6 like
+    # synthesis_small).
+    ctes += _msclean_ctes() + _mtmfs_ctes()
     return (f"WITH {','.join(ctes)},\n"
             f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
             f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
@@ -1671,7 +1906,20 @@ def _sql_hogbom_small() -> str:
             f"    UNION ALL\n"
             f"    SELECT 'mask', f.l_idx, f.m_idx, "
             f"CAST(ABS(f.r) > 5e-1 * p.peak AS INT), 0.0 "
-            f"FROM fin f CROSS JOIN pk p")
+            f"FROM fin f CROSS JOIN pk p\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'msclean', f.l_idx, f.m_idx, "
+            f"(ROUND(f.m0 + e.c1, 6) + 0.0), (ROUND(f.r0, 6) + 0.0) "
+            f"FROM ms_it{_MS_NITER} f "
+            f"JOIN ms_ev e ON e.l_idx = f.l_idx AND e.m_idx = f.m_idx\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'mt0', l_idx, m_idx, "
+            f"(ROUND(m0, 6) + 0.0), (ROUND(r0, 6) + 0.0) "
+            f"FROM mt_it{_MT_NITER}\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'mt1', l_idx, m_idx, "
+            f"(ROUND(m1, 6) + 0.0), (ROUND(r1, 6) + 0.0) "
+            f"FROM mt_it{_MT_NITER}")
 
 
 @register("hogbom_small", _sql_hogbom_small())
@@ -1709,7 +1957,34 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mask").alias("part"), "l_idx", "m_idx",
         F.col("mask").cast("int").cast("double").alias("model"),
         F.lit(0.0).alias("residual"))
-    return clean.unionByName(conv).unionByName(msk)
+    # multi-scale CLEAN on the same plane (scales [0, 2])
+    ms = deconvolve_multiterm_clean(
+        img, psf, scales=[0.0, _MS_SCALE], gain=_MS_GAIN,
+        threshold=0.0, niter=_MS_NITER).select(
+        F.lit("msclean").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    # MT-MFS on a 3-channel closed-form cube
+    lat3 = spark.range(3 * n * n).select(
+        (F.col("id") / (n * n)).cast("int").alias("chan"),
+        F.lit(0).alias("pol"),
+        ((F.col("id") % (n * n)) / n).cast("int").alias("l_idx"),
+        (F.col("id") % n).cast("int").alias("m_idx"))
+    img3 = lat3.withColumn("image", F.expr(_MT_IMG))
+    psf3 = lat3.withColumn("psf", F.expr(_MT_PSF))
+    mt = deconvolve_multiterm_clean(
+        img3, psf3, nterms=2, freqs=_MT_FREQS, gain=_MT_GAIN,
+        threshold=0.0, niter=_MT_NITER)
+    mt0 = mt.filter(F.col("term") == 0).select(
+        F.lit("mt0").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    mt1 = mt.filter(F.col("term") == 1).select(
+        F.lit("mt1").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    return (clean.unionByName(conv).unionByName(msk)
+            .unionByName(ms).unionByName(mt0).unionByName(mt1))
 
 
 # ---------------------------------------------------------------------------
