@@ -1,0 +1,213 @@
+"""Rotation-measure synthesis + RM-CLEAN.
+
+Reference parity: ``deconvolve_rotation_measure_clean``
+(``/root/reference/ngcasa/deconvolution/deconvolve_rotation_measure_clean.py:21-43``
+— specified stub): "Sky model: per flux component, delta-functions in
+lambda-square space. Step 1: transform the cube to lambda-square space.
+Step 2: construct an RM-synthesis PSF. Step 3: run CLEAN-based
+deconvolution. Step 4: transform back to frequency space."
+
+The algorithm (Brentjens & de Bruyn 2005; Heald 2009 RM-CLEAN):
+``P_c = Q_c + iU_c`` per pixel per channel, ``λ²_c = (c/ν_c)²``,
+``Δ_c = λ²_c − λ²₀`` with λ²₀ the channel mean. The Faraday dispersion
+spectrum on a depth grid φ and its transfer function (RMTF):
+
+    F(φ)   = (1/N) Σ_c P_c · e^(−2iφΔ_c)
+    RMTF(φ)= (1/N) Σ_c       e^(−2iφΔ_c)
+
+CLEAN iterates in φ: pick argmax |F|, move ``gain·F[p]`` into the model
+at p, subtract ``gain·F[p]·RMTF(φ−φ_p)``. The model evaluates back to
+channels as ``P̂_c = Σ_p m(φ_p) · e^(+2iφ_pΔ_c)``.
+
+Spark shape: the λ²→φ transforms (Steps 1-2-4) are pure Catalyst —
+channels cross-joined against a broadcast φ grid, one partial/final
+aggregation per (pixel, φ); trig stays in whole-stage codegen. Only the
+per-pixel 1-D CLEAN loop (Step 3) crosses into Python, grouped by image
+pixel — millions of small independent groups at production scale, ideal
+Arrow batching. The Δ_c weights are computed driver-side from the
+channel map (bounded metadata, broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cngi_prototype_spark.functions.exact import dsum, sql_dsum
+
+C_M_S = 299792458.0
+
+
+def lambda_sq_offsets(freqs: dict[int, float]) -> tuple[np.ndarray, float]:
+    """λ²_c and their mean: Δ_c = λ²_c − λ²₀ drives every phase term."""
+    chans = sorted(freqs)
+    lam2 = np.array([(C_M_S / freqs[c]) ** 2 for c in chans])
+    return lam2, float(lam2.mean())
+
+
+def _chan_phase_df(spark, freqs: dict[int, float]) -> DataFrame:
+    lam2, l20 = lambda_sq_offsets(freqs)
+    rows = [(int(c), float(d)) for c, d in zip(sorted(freqs), lam2 - l20)]
+    return spark.createDataFrame(rows, schema="chan int, dlam2 double")
+
+
+def _phi_df(spark, phi_grid: list[float]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(phi_grid)],
+        schema="phi_idx int, phi double")
+
+
+def faraday_depth_transform(
+    df: DataFrame,
+    freqs: dict[int, float],
+    phi_grid: list[float],
+    *,
+    q: str = "q",
+    u: str = "u",
+    chan: str = "chan",
+    precise: bool = False,
+) -> DataFrame:
+    """Step 1+2's data half: the Faraday dispersion spectrum per image
+    pixel, ``(l_idx, m_idx, phi_idx, phi, f_re, f_im)``. One shuffle:
+    channels × broadcast φ grid → partial/final agg on (pixel, φ)."""
+    spark = df.sparkSession
+    n = len(freqs)
+    taps = (df.join(F.broadcast(_chan_phase_df(spark, freqs)), on=chan)
+            .crossJoin(F.broadcast(_phi_df(spark, phi_grid))))
+    ang = 2.0 * F.col("phi") * F.col("dlam2")
+    re_t = F.col(q) * F.cos(ang) + F.col(u) * F.sin(ang)
+    im_t = F.col(u) * F.cos(ang) - F.col(q) * F.sin(ang)
+    s = (lambda c: dsum(c)) if precise else (lambda c: F.sum(c))
+    return (taps.groupBy("l_idx", "m_idx", "phi_idx", "phi")
+            .agg((s(re_t) / n).alias("f_re"), (s(im_t) / n).alias("f_im")))
+
+
+def rmtf_values(freqs: dict[int, float],
+                phi_grid: np.ndarray) -> np.ndarray:
+    """RMTF sampled on a φ-offset grid (complex)."""
+    lam2, l20 = lambda_sq_offsets(freqs)
+    d = lam2 - l20
+    ang = -2.0 * np.asarray(phi_grid)[:, None] * d[None, :]
+    return (np.exp(1j * ang)).mean(axis=1)
+
+
+def rm_clean_pixel(f: np.ndarray, rmtf_mat: np.ndarray, *,
+                   gain: float, threshold: float,
+                   niter: int) -> tuple[np.ndarray, np.ndarray]:
+    """1-D complex Hogbom in Faraday depth: ``rmtf_mat[i, j] =
+    RMTF(φ_i − φ_j)``. Returns (model components, residual spectrum)."""
+    resid = f.astype(np.complex128).copy()
+    model = np.zeros_like(resid)
+    peak0 = float(np.abs(resid).max())
+    if not np.isfinite(peak0) or peak0 == 0.0:
+        return model, resid
+    stop = threshold * peak0
+    for _ in range(niter):
+        p = int(np.argmax(np.abs(resid)))
+        fp = resid[p]
+        if abs(fp) <= stop:
+            break
+        model[p] += gain * fp
+        resid -= gain * fp * rmtf_mat[:, p]
+    return model, resid
+
+
+def deconvolve_rotation_measure_clean(
+    df: DataFrame,
+    freqs: dict[int, float],
+    phi_grid: list[float],
+    *,
+    gain: float = 0.1,
+    threshold: float = 0.0,
+    niter: int = 20,
+    q: str = "q",
+    u: str = "u",
+    chan: str = "chan",
+) -> DataFrame:
+    """Full RM-CLEAN: Faraday transform → per-pixel 1-D CLEAN →
+    ``(l_idx, m_idx, phi_idx, phi, model_re, model_im, resid_re,
+    resid_im)``. Use :func:`evaluate_rm_model_to_cube` for Step 4."""
+    spec = faraday_depth_transform(df, freqs, phi_grid, q=q, u=u, chan=chan)
+    phi = np.asarray(phi_grid, dtype=float)
+    # rmtf on the offset lattice φ_i − φ_j (small: nφ², broadcast in
+    # the task closure — bounded by the φ grid, not the data)
+    mat = np.empty((phi.size, phi.size), np.complex128)
+    for j in range(phi.size):
+        mat[:, j] = rmtf_values(freqs, phi - phi[j])
+
+    schema = T.StructType([
+        T.StructField("l_idx", T.IntegerType()),
+        T.StructField("m_idx", T.IntegerType()),
+        T.StructField("phi_idx", T.IntegerType()),
+        T.StructField("phi", T.DoubleType()),
+        T.StructField("model_re", T.DoubleType()),
+        T.StructField("model_im", T.DoubleType()),
+        T.StructField("resid_re", T.DoubleType()),
+        T.StructField("resid_im", T.DoubleType()),
+    ])
+
+    def pixel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("phi_idx")
+        f = pdf["f_re"].to_numpy() + 1j * pdf["f_im"].to_numpy()
+        model, resid = rm_clean_pixel(f, mat, gain=gain,
+                                      threshold=threshold, niter=niter)
+        return pd.DataFrame({
+            "l_idx": np.full(f.size, key[0], np.int32),
+            "m_idx": np.full(f.size, key[1], np.int32),
+            "phi_idx": pdf["phi_idx"].to_numpy(np.int32),
+            "phi": pdf["phi"].to_numpy(),
+            "model_re": model.real, "model_im": model.imag,
+            "resid_re": resid.real, "resid_im": resid.imag,
+        })
+
+    return spec.groupBy("l_idx", "m_idx").applyInPandas(pixel, schema)
+
+
+def evaluate_rm_model_to_cube(
+    model_df: DataFrame,
+    freqs: dict[int, float],
+    *,
+    precise: bool = False,
+) -> DataFrame:
+    """Step 4: evaluate φ-space model components back to channel space,
+    ``P̂_c = Σ_p m_p · e^(+2iφ_pΔ_c)`` → (l_idx, m_idx, chan, q, u).
+    Catalyst-only: components × broadcast channel map, one agg."""
+    spark = model_df.sparkSession
+    taps = (model_df.filter((F.col("model_re") != 0.0)
+                            | (F.col("model_im") != 0.0))
+            .crossJoin(F.broadcast(_chan_phase_df(spark, freqs))))
+    ang = 2.0 * F.col("phi") * F.col("dlam2")
+    q_t = F.col("model_re") * F.cos(ang) - F.col("model_im") * F.sin(ang)
+    u_t = F.col("model_im") * F.cos(ang) + F.col("model_re") * F.sin(ang)
+    s = (lambda c: dsum(c)) if precise else (lambda c: F.sum(c))
+    return (taps.groupBy("l_idx", "m_idx", "chan")
+            .agg(s(q_t).alias("q"), s(u_t).alias("u")))
+
+
+# --- SQL-text twin for the Faraday transform -------------------------------
+
+def sql_faraday_depth_transform(
+    src_sql: str,
+    freqs: dict[int, float],
+    phi_grid: list[float],
+) -> str:
+    """DuckDB twin of :func:`faraday_depth_transform` (precise mode):
+    same Δ_c / φ literals, same trig expressions, DECIMAL-exact sums."""
+    lam2, l20 = lambda_sq_offsets(freqs)
+    n = len(freqs)
+    dl = ", ".join(f"({int(c)}, {float(d)!r})"
+                   for c, d in zip(sorted(freqs), lam2 - l20))
+    ph = ", ".join(f"({i}, {float(p)!r})" for i, p in enumerate(phi_grid))
+    re_t = "(s.q * COS(2e0 * p.phi * d.dlam2) + s.u * SIN(2e0 * p.phi * d.dlam2))"
+    im_t = "(s.u * COS(2e0 * p.phi * d.dlam2) - s.q * SIN(2e0 * p.phi * d.dlam2))"
+    return f"""
+      SELECT s.l_idx, s.m_idx, p.phi_idx, p.phi,
+             ({sql_dsum(re_t)} / {n}) AS f_re,
+             ({sql_dsum(im_t)} / {n}) AS f_im
+      FROM ({src_sql}) s
+      JOIN (SELECT * FROM (VALUES {dl})) d(chan, dlam2) ON d.chan = s.chan
+      CROSS JOIN (SELECT * FROM (VALUES {ph})) p(phi_idx, phi)
+      GROUP BY 1, 2, 3, 4"""

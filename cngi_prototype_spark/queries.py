@@ -68,7 +68,7 @@ _ROWS_ONLY_PRIORITY = [
     "synthesis_imaging_cube", "mosaic_image", "hogbom_clean",
     "dirty_image", "psf_image", "predict_modelvis", "self_cal_gains",
     "image_smooth", "spec_fit", "media_pixel_features",
-    "media_frame_sample",
+    "media_frame_sample", "rm_clean",
 ]
 
 
@@ -1554,6 +1554,39 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> st
     """
 
 
+# Faraday-depth transform (deconvolve_rotation_measure_clean Steps 1-2:
+# the λ²-space transform is the RM tier's Catalyst core) rides in this
+# union as 'rm_re'/'rm_im' parts with chan carrying phi_idx. The
+# per-pixel 1-D CLEAN loop is covered by rm_clean (rows-only) + truth
+# -recovery tests (tests/test_rmclean.py).
+from cngi_prototype_spark.imaging.rmclean import (  # noqa: E402
+    deconvolve_rotation_measure_clean,
+    faraday_depth_transform,
+    sql_faraday_depth_transform,
+)
+
+_RM_FREQS = {c: 1.0e9 + c * 5.0e7 for c in range(4)}
+_RM_PHI = [float(p) for p in _np.linspace(-30.0, 30.0, 9)]
+_RM_SQL = """
+    SELECT CAST(event_id % 6 AS INT) AS l_idx,
+           CAST(user_id % 4 AS INT) AS m_idx,
+           CAST(event_id % 4 AS INT) AS chan,
+           value / 1e2 AS q, 0e0 - value / 3e2 AS u
+    FROM events WHERE event_id < 8000
+"""
+
+
+def _rm_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 8000)
+    return ev.select(
+        (F.col("event_id") % 6).cast("int").alias("l_idx"),
+        (F.col("user_id") % 4).cast("int").alias("m_idx"),
+        (F.col("event_id") % 4).cast("int").alias("chan"),
+        (F.col("value") / F.lit(1.0e2)).alias("q"),
+        (F.lit(0.0) - F.col("value") / F.lit(3.0e2)).alias("u"),
+    )
+
+
 @register(
     "imaging_fft",
     f"""
@@ -1568,6 +1601,12 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> st
     FROM ({_sql_dft_image(
         sql_grid_visibilities(_FGP, _fft_vis_sql("1.0", "0.0")),
         sql_sum_weight(_FGP, _fft_vis_sql("1.0", "0.0")))})
+    UNION ALL
+    SELECT 'rm_re', phi_idx, -1, l_idx, m_idx, (ROUND(f_re, 6) + 0.0)
+    FROM ({sql_faraday_depth_transform(_RM_SQL, _RM_FREQS, _RM_PHI)})
+    UNION ALL
+    SELECT 'rm_im', phi_idx, -1, l_idx, m_idx, (ROUND(f_im, 6) + 0.0)
+    FROM ({sql_faraday_depth_transform(_RM_SQL, _RM_FREQS, _RM_PHI)})
     """,
 )
 def imaging_fft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1622,24 @@ def imaging_fft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "l_idx", "m_idx", (F.round("v", 6) + F.lit(0.0)).alias("v"))
     p = psf.select(F.lit("psf").alias("part"), "chan", "pol",
                    "l_idx", "m_idx", (F.round("v", 6) + F.lit(0.0)).alias("v"))
-    return d.unionByName(p)
+    spec = faraday_depth_transform(_rm_vis(spark, sf_dir), _RM_FREQS,
+                                   _RM_PHI, precise=_precise())
+    rm_re = spec.select(F.lit("rm_re").alias("part"),
+                        F.col("phi_idx").alias("chan"),
+                        F.lit(-1).alias("pol"), "l_idx", "m_idx",
+                        (F.round("f_re", 6) + F.lit(0.0)).alias("v"))
+    rm_im = spec.select(F.lit("rm_im").alias("part"),
+                        F.col("phi_idx").alias("chan"),
+                        F.lit(-1).alias("pol"), "l_idx", "m_idx",
+                        (F.round("f_im", 6) + F.lit(0.0)).alias("v"))
+    return d.unionByName(p).unionByName(rm_re).unionByName(rm_im)
+
+
+@register("rm_clean", None)  # per-pixel iterative 1-D CLEAN: rows-only
+def rm_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = deconvolve_rotation_measure_clean(
+        _rm_vis(spark, sf_dir), _RM_FREQS, _RM_PHI, gain=0.2, niter=30)
+    return out.filter((F.col("model_re") != 0.0) | (F.col("phi_idx") % 2 == 0))
 
 
 # ---------------------------------------------------------------------------
