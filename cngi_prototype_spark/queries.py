@@ -1690,10 +1690,106 @@ _MT_NITER = 3
 _MT_GAIN = 0.2
 _MT_FREQS = {0: 0.9e9, 1: 1.0e9, 2: 1.1e9}
 
+from cngi_prototype_spark.imaging.asp import (  # noqa: E402
+    deconvolve_adaptive_scale_pixel,
+    gaussian_atom as _gaussian_atom,
+)
 from cngi_prototype_spark.imaging.mtclean import (  # noqa: E402
+    _lin_conv as _np_lin_conv,
     deconvolve_multiterm_clean,
     scale_kernel as _scale_kernel,
 )
+
+# Asp twin (deconvolve_adaptive_scale_pixel): widths [1, 2], 3
+# iterations on the hogbom img/psf lattices
+_ASP_NITER = 3
+_ASP_GAIN = 0.5
+_ASP_WIDTHS = [1.0, 2.0]
+
+
+def _asp_tables() -> tuple["_np.ndarray", list, list]:
+    """The atom (G_w) and dirty-atom (B_w = psf ⊛ G_w) tables, computed
+    by the operator's own builders over the same closed-form psf the
+    Spark task reconstructs — injected literals are therefore
+    bit-identical to the task-side arrays."""
+    n, c = _HB_N, _HB_N // 2
+    l = _np.arange(n)[:, None]
+    m = _np.arange(n)[None, :]
+    psf = 1.0 / (1.0 + (l - c) ** 2 + (m - c) ** 2)
+    atoms = [_gaussian_atom(n, n, w) for w in _ASP_WIDTHS]
+    batoms = [_np_lin_conv(psf, a) for a in atoms]
+    return psf, atoms, batoms
+
+
+def _asp_ctes() -> list[str]:
+    """Unrolled Asp — mirrors asp_plane: residual peak, closed-form
+    amplitude per width over the edge-clipped overlap (inner joins
+    clip), χ²-reduction subspace pick, windowed subtract of gain·amp·B,
+    final model = Σ atom spikes ⊛ G_w."""
+    n, c = _HB_N, _HB_N // 2
+    g = f"{_ASP_GAIN:.17e}"
+    _, atoms, batoms = _asp_tables()
+    gv = ", ".join(f"({w}, {i}, {j}, {atoms[w][i, j]:.17e})"
+                   for w in range(len(_ASP_WIDTHS))
+                   for i in range(n) for j in range(n))
+    bv = ", ".join(f"({w}, {i}, {j}, {batoms[w][i, j]:.17e})"
+                   for w in range(len(_ASP_WIDTHS))
+                   for i in range(n) for j in range(n))
+    ctes = [f"""
+    asp_g(w, l_idx, m_idx, v) AS (SELECT * FROM (VALUES {gv}))""", f"""
+    asp_b(w, l_idx, m_idx, v) AS (SELECT * FROM (VALUES {bv}))""", f"""
+    asp_it0 AS (SELECT l_idx, m_idx, v AS r, 0.0 AS ma, 0.0 AS mb
+                FROM img)"""]
+    for ki in range(_ASP_NITER):
+        ctes.append(f"""
+    asp_pk{ki} AS (
+      SELECT l_idx AS pl, m_idx AS pm FROM asp_it{ki}
+      ORDER BY ABS(r) DESC, l_idx * {n} + m_idx ASC LIMIT 1)""")
+        ctes.append(f"""
+    asp_fit{ki} AS (
+      SELECT b.w,
+             SUM(ci.r * b.v) AS num, SUM(b.v * b.v) AS den
+      FROM asp_it{ki} ci CROSS JOIN asp_pk{ki} p
+      JOIN asp_b b ON b.l_idx = {c} + ci.l_idx - p.pl
+                  AND b.m_idx = {c} + ci.m_idx - p.pm
+      GROUP BY 1)""")
+        ctes.append(f"""
+    asp_ch{ki} AS (
+      SELECT f.w, p.pl, p.pm, {g} * (f.num / f.den) AS ga
+      FROM asp_fit{ki} f CROSS JOIN asp_pk{ki} p
+      ORDER BY (f.num / f.den) * f.num DESC, f.w ASC LIMIT 1)""")
+        ctes.append(f"""
+    asp_it{ki + 1} AS (
+      SELECT ci.l_idx, ci.m_idx,
+             ci.r - ch.ga * COALESCE(b.v, 0.0) AS r,
+             ci.ma + CASE WHEN ch.w = 0 AND ci.l_idx = ch.pl
+                          AND ci.m_idx = ch.pm
+                          THEN ch.ga ELSE 0.0 END AS ma,
+             ci.mb + CASE WHEN ch.w = 1 AND ci.l_idx = ch.pl
+                          AND ci.m_idx = ch.pm
+                          THEN ch.ga ELSE 0.0 END AS mb
+      FROM asp_it{ki} ci CROSS JOIN asp_ch{ki} ch
+      LEFT JOIN asp_b b ON b.w = ch.w
+                       AND b.l_idx = {c} + ci.l_idx - ch.pl
+                       AND b.m_idx = {c} + ci.m_idx - ch.pm)""")
+    ctes.append(f"""
+    asp_ev AS (
+      SELECT t.l_idx, t.m_idx,
+             COALESCE(SUM(CASE WHEN mm.ma <> 0.0
+                               THEN mm.ma * ka.v END), 0.0)
+             + COALESCE(SUM(CASE WHEN mm.mb <> 0.0
+                                 THEN mm.mb * kb.v END), 0.0) AS mv
+      FROM ms_lat t
+      LEFT JOIN (SELECT * FROM asp_it{_ASP_NITER}
+                 WHERE ma <> 0.0 OR mb <> 0.0) mm ON TRUE
+      LEFT JOIN asp_g ka ON ka.w = 0
+                        AND ka.l_idx = {c} + t.l_idx - mm.l_idx
+                        AND ka.m_idx = {c} + t.m_idx - mm.m_idx
+      LEFT JOIN asp_g kb ON kb.w = 1
+                        AND kb.l_idx = {c} + t.l_idx - mm.l_idx
+                        AND kb.m_idx = {c} + t.m_idx - mm.m_idx
+      GROUP BY 1, 2)""")
+    return ctes
 
 
 def _conv8_cte(out: str, src: str, kern: str, val: str = "v") -> str:
@@ -1946,7 +2042,7 @@ def _sql_hogbom_small() -> str:
     # cross-engine boundary risk (msclean's conv inputs carry ~1e-14
     # FFT-vs-direct drift, absorbed by the final ROUND 6 like
     # synthesis_small).
-    ctes += _msclean_ctes() + _mtmfs_ctes()
+    ctes += _msclean_ctes() + _mtmfs_ctes() + _asp_ctes()
     return (f"WITH {','.join(ctes)},\n"
             f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
             f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
@@ -1975,7 +2071,12 @@ def _sql_hogbom_small() -> str:
             f"    UNION ALL\n"
             f"    SELECT 'mt1', l_idx, m_idx, "
             f"(ROUND(m1, 6) + 0.0), (ROUND(r1, 6) + 0.0) "
-            f"FROM mt_it{_MT_NITER}")
+            f"FROM mt_it{_MT_NITER}\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'asp', f.l_idx, f.m_idx, "
+            f"(ROUND(e.mv, 6) + 0.0), (ROUND(f.r, 6) + 0.0) "
+            f"FROM asp_it{_ASP_NITER} f "
+            f"JOIN asp_ev e ON e.l_idx = f.l_idx AND e.m_idx = f.m_idx")
 
 
 @register("hogbom_small", _sql_hogbom_small())
@@ -2039,8 +2140,16 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mt1").alias("part"), "l_idx", "m_idx",
         (F.round("model", 6) + F.lit(0.0)).alias("model"),
         (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    # adaptive-scale-pixel on the same plane
+    asp = deconvolve_adaptive_scale_pixel(
+        img, psf, widths=_ASP_WIDTHS, gain=_ASP_GAIN,
+        threshold=0.0, niter=_ASP_NITER).select(
+        F.lit("asp").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
     return (clean.unionByName(conv).unionByName(msk)
-            .unionByName(ms).unionByName(mt0).unionByName(mt1))
+            .unionByName(ms).unionByName(mt0).unionByName(mt1)
+            .unionByName(asp))
 
 
 # ---------------------------------------------------------------------------
