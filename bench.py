@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "predict_component",
     "mosaic_image",
     "synthesis_imaging_cube",
+    # deconvolution + single-dish tier (round 5)
+    "msclean_cube",
+    "rm_clean",
+    "sd_image",
     # training-data pipeline tier
     "text_features",
     "minhash_lsh_candidates",
@@ -214,6 +218,7 @@ def main() -> None:
         "uv_degrid": Q.uv_degrid_taps_q,       # taps-only (no image part)
         "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
         "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
+        "rm_clean": Q.rm_clean_bench_q,        # production 48² × 8-chan shape
     }
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)

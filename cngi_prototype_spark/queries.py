@@ -1234,6 +1234,25 @@ def uv_grid_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid
 
 
+def sd_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape single-dish image (bench entry): 192² grid,
+    support 3 (49 taps/sample), pointings spread over the full grid.
+    Value-gated at 24² via the 'sd' part of the uv_grid union."""
+    ev = _t(spark, sf_dir, "events")
+    vis = ev.select(
+        (((F.col("event_id") * 7919) % 190000) / F.lit(1.0e6)
+         - F.lit(9.5e-2)).alias("l"),
+        (((F.col("event_id") * 104729 + F.col("user_id")) % 190000)
+         / F.lit(1.0e6) - F.lit(9.5e-2)).alias("m"),
+        (F.col("event_id") % 4).cast("int").alias("chan"),
+        (F.col("user_id") % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(1.0e2)).alias("data"),
+        (F.lit(1.0) + (F.col("event_id") % 5).cast("double")).alias("weight"),
+    )
+    return make_sd_image(vis, 192, 192, 1.0e-3, 1.0e-3, support=3,
+                         sigma_px=1.3)
+
+
 # sum-of-weights merged into the uv_grid union above (slot economy)
 def uv_grid_sum_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, sumw = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
@@ -1642,6 +1661,24 @@ def rm_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter((F.col("model_re") != 0.0) | (F.col("phi_idx") % 2 == 0))
 
 
+def rm_clean_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape RM-CLEAN (bench entry): 48×48 pixels × 8
+    channels × 41-point φ grid, 30 iterations per pixel — 2304
+    independent 1-D CLEAN groups."""
+    freqs = {c: 1.0e9 + c * 5.0e7 for c in range(8)}
+    phi = [float(p) for p in _np.linspace(-40.0, 40.0, 41)]
+    ev = _t(spark, sf_dir, "events")
+    vis = ev.select(
+        (F.col("event_id") % 48).cast("int").alias("l_idx"),
+        (F.col("user_id") % 48).cast("int").alias("m_idx"),
+        (F.col("event_id") % 8).cast("int").alias("chan"),
+        (F.col("value") / F.lit(1.0e2)).alias("q"),
+        (F.lit(0.0) - F.col("value") / F.lit(3.0e2)).alias("u"),
+    )
+    return deconvolve_rotation_measure_clean(vis, freqs, phi, gain=0.2,
+                                             niter=30)
+
+
 # ---------------------------------------------------------------------------
 # Deconvolution + full imaging pipeline composition (reference
 # synthesis_imaging_cube.py / deconvolve_point_clean.py): rows-only —
@@ -1658,6 +1695,17 @@ def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
     out = deconvolve_point_clean(img, psf, gain=0.1, threshold=0.05, niter=50)
     return out.filter((F.col("model") != 0) | (F.col("l_idx") % 8 == 0))
+
+
+def msclean_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape multi-scale CLEAN (bench entry): same 48² cube
+    as hogbom_clean, 3 scales, value-gated at small size via the
+    'msclean' part of hogbom_small."""
+    vis = _uv_vis(spark, sf_dir)
+    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
+    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
+    return deconvolve_multiterm_clean(img, psf, scales=[0.0, 2.0, 4.0],
+                                      gain=0.1, threshold=0.05, niter=30)
 
 
 # ---------------------------------------------------------------------------
