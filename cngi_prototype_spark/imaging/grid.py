@@ -245,9 +245,15 @@ def grid_visibilities(
         return grid, sum_weight
 
     if variant == "kernel":
+        # dense fast path: fuse sum-of-weights into the scatter shuffle
+        # (the wn expression reuses the codegen norm LUT above); the
+        # standalone sum_weight branch stays lazily available for
+        # callers that want it, but make_image's planes path normalizes
+        # from the embedded per-slab sums and never executes it.
+        wn = F.col(weight) * (nu * nv) if (dense_planes and not precise) else None
         grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol,
                                precise=precise, n_planes=n_planes,
-                               dense_planes=dense_planes)
+                               dense_planes=dense_planes, wn_col=wn)
         return grid, sum_weight
 
     raise ValueError(f"unknown gridder variant: {variant}")
@@ -271,7 +277,8 @@ def _pack_bits(gp: GridParms) -> tuple[int, int] | None:
 
 def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                         *, chan: str, pol: str,
-                        n_planes: int | None) -> DataFrame:
+                        n_planes: int | None,
+                        wn_col: Column | None = None) -> DataFrame:
     """Dense-planes scatter, cut for throughput (the CHILES tier):
 
     - the six small integers (chan, pol, u_c, v_c, du, dv) are packed
@@ -328,8 +335,18 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
          .bitwiseOR(F.shiftleft(F.col("_v_c").cast("long"), 16))
          .bitwiseOR(F.shiftleft((F.col("_du") + F.lit(128)).cast("long"), 8))
          .bitwiseOR((F.col("_dv") + F.lit(128)).cast("long")))
-    src = prepared.select(k.alias("_k"), F.col("_wd_re").alias("_wr"),
-                          F.col("_wd_im").alias("_wi"))
+    # Fused sum-of-weights (wn_col = weight·norm_u·norm_v, the codegen
+    # LUT expression from grid_visibilities): summed map-side inside the
+    # SAME groupBy that builds the fat rows, so the separate full-scan
+    # sum_weight pass (measured ~2 s of the CHILES tier: it re-ran the
+    # geometry exprs over 25.6M persisted rows) disappears. The struct
+    # shipped through the shuffle is unchanged — only tiny per-group
+    # partial sums ride along.
+    sel = [k.alias("_k"), F.col("_wd_re").alias("_wr"),
+           F.col("_wd_im").alias("_wi")]
+    if wn_col is not None:
+        sel.append(wn_col.alias("_wn"))
+    src = prepared.select(*sel)
     # one fat row per (chan, pol, u-slab): the groupBy IS the
     # repartition (same shuffle keys), and collect_list(struct) keeps
     # k/wr/wi index-aligned through partial-buffer merges.
@@ -346,8 +363,10 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     gkey = F.shiftrightunsigned(F.col("_k"), shift_group)
     if nsub > 1:
         gkey = gkey * F.lit(nsub) + F.pmod(F.xxhash64("_k"), F.lit(nsub))
-    src = (src.groupBy(gkey.alias("_g"))
-           .agg(F.collect_list(F.struct("_k", "_wr", "_wi")).alias("_rows")))
+    aggs = [F.collect_list(F.struct("_k", "_wr", "_wi")).alias("_rows")]
+    if wn_col is not None:
+        aggs.append(F.sum("_wn").alias("_wn"))
+    src = src.groupBy(gkey.alias("_g")).agg(*aggs)
 
     # (256, support) LUT over the packed du byte; indices past the
     # half-kernel table are unreachable for valid data — zero them
@@ -358,21 +377,31 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     off = (ius[:, None] * n_v + ius[None, :]).ravel().astype(np.int32)
     h = slab_w + 2 * half
     m = h * n_v
-    arrow_schema = pa.schema([
+    fields = [
         pa.field(chan, pa.int32()), pa.field(pol, pa.int32()),
         pa.field("u0", pa.int32()),
         pa.field("grid_re", pa.list_(pa.float64())),
         pa.field("grid_im", pa.list_(pa.float64())),
-    ])
+    ]
+    if wn_col is not None:
+        fields.append(pa.field("sum_w_norm", pa.float64()))
+    arrow_schema = pa.schema(fields)
+    with_wn = wn_col is not None
     chunk = 1024
 
     def grid_arrow(batches):
-        cur_b = np.empty((chunk, support))
-        cui_b = np.empty((chunk, support))
-        vr_b = np.empty((chunk, support, support))
-        vi_b = np.empty((chunk, support, support))
+        # ONE complex128 add.at instead of two float64 ones: the re/im
+        # component adds land in the same order with the same operands
+        # (complex multiply by a real factor is componentwise), so the
+        # result is BIT-IDENTICAL to the split form, and the single
+        # indexed pass runs ~1.55x faster (175 vs 113 Mtaps/s
+        # single-thread on this box) because the index decode + gather
+        # loop is paid once for both components.
+        cw_b = np.empty((chunk, support), np.complex128)
+        vz_b = np.empty((chunk, support, support), np.complex128)
         idx_b = np.empty((chunk, support * support), np.int32)
         out_ch, out_po, out_u0, res, ims = [], [], [], [], []
+        out_wn = []
         for b in batches:
             for ri in range(b.num_rows):
                 rows = b.column(1)[ri].values    # struct children, zero-copy
@@ -383,7 +412,8 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     continue
                 # cell-major order keeps the add.at working set compact
                 order = np.argsort(kseg, kind="stable")
-                kseg, wre, wim = kseg[order], wre[order], wim[order]
+                kseg = kseg[order]
+                w = wre[order] + 1j * wim[order]
                 duix = (kseg >> 8) & 255
                 dvix = kseg & 255
                 v_c = (kseg >> 16) & ((1 << bv) - 1)
@@ -392,57 +422,59 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                 sl = g & ((1 << (bu - slab_log)) - 1) if bu > slab_log else 0
                 u0 = sl * slab_w - half
                 base = ((u_c - u0) * n_v + v_c).astype(np.int32)
-                fre = np.zeros(m)
-                fim = np.zeros(m)
+                fg = np.zeros(m, np.complex128)
                 cu = lut[duix]          # (n, support)
                 cv = lut[dvix]
                 for c0 in range(0, len(kseg), chunk):
                     c1 = min(c0 + chunk, len(kseg))
                     nc = c1 - c0
-                    cur = np.multiply(cu[c0:c1], wre[c0:c1, None],
-                                      out=cur_b[:nc])
-                    cui = np.multiply(cu[c0:c1], wim[c0:c1, None],
-                                      out=cui_b[:nc])
-                    vr = np.multiply(cur[:, :, None], cv[c0:c1, None, :],
-                                     out=vr_b[:nc])
-                    vi = np.multiply(cui[:, :, None], cv[c0:c1, None, :],
-                                     out=vi_b[:nc])
+                    cw = np.multiply(cu[c0:c1], w[c0:c1, None],
+                                     out=cw_b[:nc])
+                    vz = np.multiply(cw[:, :, None], cv[c0:c1, None, :],
+                                     out=vz_b[:nc])
                     idx = np.add(base[c0:c1, None], off[None, :],
                                  out=idx_b[:nc])
-                    np.add.at(fre, idx.reshape(-1), vr.reshape(-1))
-                    np.add.at(fim, idx.reshape(-1), vi.reshape(-1))
+                    np.add.at(fg, idx.reshape(-1), vz.reshape(-1))
                 out_ch.append(np.int32((kseg[0] >> (4 + bu + bv + 16))))
                 out_po.append(np.int32((kseg[0] >> (bu + bv + 16)) & 15))
                 out_u0.append(np.int32(u0))
-                res.append(fre)
-                ims.append(fim)
+                res.append(np.ascontiguousarray(fg.real))
+                ims.append(np.ascontiguousarray(fg.imag))
+                if with_wn:
+                    out_wn.append(b.column(2)[ri].as_py() or 0.0)
         if not res:
             return
         offs = pa.array(np.arange(len(res) + 1, dtype=np.int32) * m)
-        yield pa.RecordBatch.from_arrays([
+        arrays = [
             pa.array(np.asarray(out_ch, np.int32)),
             pa.array(np.asarray(out_po, np.int32)),
             pa.array(np.asarray(out_u0, np.int32)),
             pa.ListArray.from_arrays(offs, pa.array(np.concatenate(res))),
             pa.ListArray.from_arrays(offs, pa.array(np.concatenate(ims))),
-        ], schema=arrow_schema)
+        ]
+        if with_wn:
+            arrays.append(pa.array(np.asarray(out_wn, np.float64)))
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     import pyspark.sql.types as T
 
-    dense_schema = T.StructType([
+    dense_fields = [
         T.StructField(chan, T.IntegerType()),
         T.StructField(pol, T.IntegerType()),
         T.StructField("u0", T.IntegerType()),
         T.StructField("grid_re", T.ArrayType(T.DoubleType())),
         T.StructField("grid_im", T.ArrayType(T.DoubleType())),
-    ])
-    return src.mapInArrow(grid_arrow, dense_schema)
+    ]
+    if wn_col is not None:
+        dense_fields.append(T.StructField("sum_w_norm", T.DoubleType()))
+    return src.mapInArrow(grid_arrow, T.StructType(dense_fields))
 
 
 def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     *, chan: str, pol: str, precise: bool = False,
                     n_planes: int | None = None,
-                    dense_planes: bool = False) -> DataFrame:
+                    dense_planes: bool = False,
+                    wn_col: Column | None = None) -> DataFrame:
     """Partial dense grid per partition via vectorized numpy scatter-add;
     sparse nonzero cells out, final combine by groupBy sum — the
     reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
@@ -616,7 +648,8 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     if dense_planes and _pack_bits(gp) is not None:
         # packed-key + mapInArrow fast path (same partials contract)
         return _dense_planes_arrow(prepared, gp, cgk_arr,
-                                   chan=chan, pol=pol, n_planes=n_planes)
+                                   chan=chan, pol=pol, n_planes=n_planes,
+                                   wn_col=wn_col)
     if dense_planes:
         import pyspark.sql.types as T
 

@@ -116,7 +116,16 @@ def image_planes_from_dense(
         T.StructField(pol, T.IntegerType()),
         T.StructField(out, T.ArrayType(T.DoubleType())),
     ])
-    joined = partials_df.join(F.broadcast(sumw_df), on=[chan, pol], how="left")
+    # dense fast path: partials that carry per-slab sum_w_norm (the
+    # gridder's fused sum-of-weights) normalize from their own rows —
+    # no broadcast join, and the standalone sum_weight branch never
+    # executes (it would re-scan the visibilities)
+    embedded_sw = "sum_w_norm" in partials_df.columns
+    if embedded_sw:
+        joined = partials_df
+    else:
+        joined = partials_df.join(F.broadcast(sumw_df), on=[chan, pol],
+                                  how="left")
 
     if correct_pswf:
         cu_full = pswf((np.arange(n_u) - n_u // 2) / (n_u // 2))[0]
@@ -136,7 +145,10 @@ def image_planes_from_dense(
         img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
         lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
         img = img[lo_u:lo_u + crop[0], lo_v:lo_v + crop[1]].real * (n_u * n_v)
-        sw = pdf["sum_weight"].iloc[0]
+        if embedded_sw:
+            sw = pdf["sum_w_norm"].sum()
+        else:
+            sw = pdf["sum_weight"].iloc[0]
         if sw is None or pd.isna(sw) or sw == 0:
             sw = 1.0
         img = img / sw
