@@ -71,16 +71,27 @@ def faraday_depth_transform(
     precise: bool = False,
 ) -> DataFrame:
     """Step 1+2's data half: the Faraday dispersion spectrum per image
-    pixel, ``(l_idx, m_idx, phi_idx, phi, f_re, f_im)``. One shuffle:
-    channels × broadcast φ grid → partial/final agg on (pixel, φ)."""
+    pixel, ``(l_idx, m_idx, phi_idx, phi, f_re, f_im)``.
+
+    The transform is linear in Q/U, so input rows are FIRST reduced to
+    one (pixel, chan) Q/U pair (a plain partial/final agg over the data
+    — the only pass that touches every row), and only that bounded
+    (pixels × chans) relation is expanded against the broadcast φ grid.
+    The φ blow-up therefore scales with image size, never with data
+    volume — at 100 TB the expansion input is metadata-sized. The
+    oracle twin mirrors the same two-stage form (both stages
+    DECIMAL-exact in precise mode)."""
     spark = df.sparkSession
     n = len(freqs)
-    taps = (df.join(F.broadcast(_chan_phase_df(spark, freqs)), on=chan)
+    s = (lambda c: dsum(c)) if precise else (lambda c: F.sum(c))
+    per_chan = (df.groupBy("l_idx", "m_idx", chan)
+                .agg(s(F.col(q)).alias("_q"), s(F.col(u)).alias("_u")))
+    taps = (per_chan
+            .join(F.broadcast(_chan_phase_df(spark, freqs)), on=chan)
             .crossJoin(F.broadcast(_phi_df(spark, phi_grid))))
     ang = 2.0 * F.col("phi") * F.col("dlam2")
-    re_t = F.col(q) * F.cos(ang) + F.col(u) * F.sin(ang)
-    im_t = F.col(u) * F.cos(ang) - F.col(q) * F.sin(ang)
-    s = (lambda c: dsum(c)) if precise else (lambda c: F.sum(c))
+    re_t = F.col("_q") * F.cos(ang) + F.col("_u") * F.sin(ang)
+    im_t = F.col("_u") * F.cos(ang) - F.col("_q") * F.sin(ang)
     return (taps.groupBy("l_idx", "m_idx", "phi_idx", "phi")
             .agg((s(re_t) / n).alias("f_re"), (s(im_t) / n).alias("f_im")))
 
@@ -115,6 +126,39 @@ def rm_clean_pixel(f: np.ndarray, rmtf_mat: np.ndarray, *,
     return model, resid
 
 
+def rm_clean_block(f: np.ndarray, rmtf_mat: np.ndarray, *,
+                   gain: float, threshold: float,
+                   niter: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-across-pixels form of :func:`rm_clean_pixel` over a
+    (npix, nφ) block. Each pixel executes the identical per-iteration
+    arithmetic (same argmax tie-break, same scalar·column subtract), so
+    results are bit-identical to the scalar loop (tested); pixels that
+    hit their stopping rule simply deactivate. One block per Arrow
+    group amortizes the per-group pandas overhead that dominated the
+    per-pixel grouping (~2300 tiny groups cost ~4 s; ~36 blocks don't).
+    """
+    resid = f.astype(np.complex128).copy()
+    model = np.zeros_like(resid)
+    npix = resid.shape[0]
+    peak0 = np.abs(resid).max(axis=1)
+    active = np.isfinite(peak0) & (peak0 > 0.0)
+    stop = threshold * peak0
+    rows = np.arange(npix)
+    for _ in range(niter):
+        if not active.any():
+            break
+        p = np.argmax(np.abs(resid), axis=1)
+        fp = resid[rows, p]
+        active &= np.abs(fp) > stop
+        if not active.any():
+            break
+        idx = np.where(active)[0]
+        gfp = gain * fp[idx]
+        model[idx, p[idx]] += gfp
+        resid[idx] -= gfp[:, None] * rmtf_mat[:, p[idx]].T
+    return model, resid
+
+
 def deconvolve_rotation_measure_clean(
     df: DataFrame,
     freqs: dict[int, float],
@@ -132,10 +176,11 @@ def deconvolve_rotation_measure_clean(
     resid_im)``. Use :func:`evaluate_rm_model_to_cube` for Step 4."""
     spec = faraday_depth_transform(df, freqs, phi_grid, q=q, u=u, chan=chan)
     phi = np.asarray(phi_grid, dtype=float)
+    nphi = phi.size
     # rmtf on the offset lattice φ_i − φ_j (small: nφ², broadcast in
     # the task closure — bounded by the φ grid, not the data)
-    mat = np.empty((phi.size, phi.size), np.complex128)
-    for j in range(phi.size):
+    mat = np.empty((nphi, nphi), np.complex128)
+    for j in range(nphi):
         mat[:, j] = rmtf_values(freqs, phi - phi[j])
 
     schema = T.StructType([
@@ -149,21 +194,31 @@ def deconvolve_rotation_measure_clean(
         T.StructField("resid_im", T.DoubleType()),
     ])
 
-    def pixel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("phi_idx")
-        f = pdf["f_re"].to_numpy() + 1j * pdf["f_im"].to_numpy()
-        model, resid = rm_clean_pixel(f, mat, gain=gain,
+    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_idx", "m_idx", "phi_idx"])
+        npix = len(pdf) // nphi
+        f = (pdf["f_re"].to_numpy()
+             + 1j * pdf["f_im"].to_numpy()).reshape(npix, nphi)
+        model, resid = rm_clean_block(f, mat, gain=gain,
                                       threshold=threshold, niter=niter)
         return pd.DataFrame({
-            "l_idx": np.full(f.size, key[0], np.int32),
-            "m_idx": np.full(f.size, key[1], np.int32),
+            "l_idx": pdf["l_idx"].to_numpy(np.int32),
+            "m_idx": pdf["m_idx"].to_numpy(np.int32),
             "phi_idx": pdf["phi_idx"].to_numpy(np.int32),
             "phi": pdf["phi"].to_numpy(),
-            "model_re": model.real, "model_im": model.imag,
-            "resid_re": resid.real, "resid_im": resid.imag,
+            "model_re": model.reshape(-1).real,
+            "model_im": model.reshape(-1).imag,
+            "resid_re": resid.reshape(-1).real,
+            "resid_im": resid.reshape(-1).imag,
         })
 
-    return spec.groupBy("l_idx", "m_idx").applyInPandas(pixel, schema)
+    # pixel blocks (not single pixels) per group: the CLEAN loop is
+    # vectorized across the block's pixels bit-identically, and the
+    # group count tracks cores, not image size
+    blocked = (spec.withColumn("_bl", (F.col("l_idx") / 8).cast("int"))
+               .withColumn("_bm", (F.col("m_idx") / 8).cast("int")))
+    return (blocked.groupBy("_bl", "_bm")
+            .applyInPandas(block, schema))
 
 
 def evaluate_rm_model_to_cube(
@@ -195,19 +250,25 @@ def sql_faraday_depth_transform(
     phi_grid: list[float],
 ) -> str:
     """DuckDB twin of :func:`faraday_depth_transform` (precise mode):
-    same Δ_c / φ literals, same trig expressions, DECIMAL-exact sums."""
+    the same two-stage form — per-(pixel, chan) DECIMAL-exact Q/U
+    reduction first, then the φ expansion over the bounded relation
+    with the same Δ_c / φ literals and trig expressions."""
     lam2, l20 = lambda_sq_offsets(freqs)
     n = len(freqs)
     dl = ", ".join(f"({int(c)}, {float(d)!r})"
                    for c, d in zip(sorted(freqs), lam2 - l20))
     ph = ", ".join(f"({i}, {float(p)!r})" for i, p in enumerate(phi_grid))
-    re_t = "(s.q * COS(2e0 * p.phi * d.dlam2) + s.u * SIN(2e0 * p.phi * d.dlam2))"
-    im_t = "(s.u * COS(2e0 * p.phi * d.dlam2) - s.q * SIN(2e0 * p.phi * d.dlam2))"
+    re_t = "(s._q * COS(2e0 * p.phi * d.dlam2) + s._u * SIN(2e0 * p.phi * d.dlam2))"
+    im_t = "(s._u * COS(2e0 * p.phi * d.dlam2) - s._q * SIN(2e0 * p.phi * d.dlam2))"
     return f"""
       SELECT s.l_idx, s.m_idx, p.phi_idx, p.phi,
              ({sql_dsum(re_t)} / {n}) AS f_re,
              ({sql_dsum(im_t)} / {n}) AS f_im
-      FROM ({src_sql}) s
+      FROM (
+        SELECT l_idx, m_idx, chan,
+               {sql_dsum('q')} AS _q, {sql_dsum('u')} AS _u
+        FROM ({src_sql})
+        GROUP BY 1, 2, 3) s
       JOIN (SELECT * FROM (VALUES {dl})) d(chan, dlam2) ON d.chan = s.chan
       CROSS JOIN (SELECT * FROM (VALUES {ph})) p(phi_idx, phi)
       GROUP BY 1, 2, 3, 4"""

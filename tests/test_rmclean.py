@@ -11,6 +11,7 @@ from cngi_prototype_spark.imaging.rmclean import (
     evaluate_rm_model_to_cube,
     faraday_depth_transform,
     lambda_sq_offsets,
+    rm_clean_block,
     rm_clean_pixel,
     rmtf_values,
 )
@@ -75,6 +76,27 @@ def test_rm_clean_pixel_recovers_single_component():
     assert abs(flux - p0) < 0.05 * abs(p0)
     assert np.abs(resid).max() < 0.05 * abs(p0)
     assert np.argmax(np.abs(model)) == phi0_idx
+
+
+def test_rm_clean_block_bit_identical_to_scalar():
+    # the vectorized block loop must reproduce the scalar per-pixel
+    # loop exactly (same argmax, same subtract order) — incl. pixels
+    # that stop early under a nonzero threshold
+    phi = np.asarray(PHI)
+    rng = np.random.default_rng(11)
+    npix = 7
+    f = rng.normal(size=(npix, phi.size)) + 1j * rng.normal(size=(npix, phi.size))
+    f[3] *= 1e-3  # early-stopper under the shared absolute iterations
+    mat = np.empty((phi.size, phi.size), np.complex128)
+    for j in range(phi.size):
+        mat[:, j] = rmtf_values(FREQS, phi - phi[j])
+    for thr in (0.0, 0.3):
+        mb, rb = rm_clean_block(f, mat, gain=0.25, threshold=thr, niter=40)
+        for i in range(npix):
+            mp, rp = rm_clean_pixel(f[i], mat, gain=0.25, threshold=thr,
+                                    niter=40)
+            np.testing.assert_array_equal(mb[i], mp)
+            np.testing.assert_array_equal(rb[i], rp)
 
 
 def test_spark_rm_clean_and_back_evaluation(spark):
