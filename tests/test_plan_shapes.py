@@ -131,3 +131,70 @@ def test_dense_planes_gridder_plan_shape(spark):
     assert "collect_list" in plan
     from cngi_prototype_spark.plans import count_exchanges
     assert count_exchanges(g) == 1
+
+
+def test_faraday_transform_preaggregates_before_phi_expansion(spark):
+    """The RM transform's scale contract: the only pass that touches
+    every input row is the per-(pixel, chan) Q/U reduction; the phi
+    grid expands the bounded reduced relation, never the data. Plan
+    evidence: a partial aggregation BELOW the (broadcast) phi join,
+    and the final agg keyed on the already-reduced rows."""
+    from cngi_prototype_spark.imaging.rmclean import faraday_depth_transform
+    from cngi_prototype_spark.plans import explain_formatted
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    vis = ev.select(
+        (F.col("event_id") % 8).cast("int").alias("l_idx"),
+        (F.col("user_id") % 8).cast("int").alias("m_idx"),
+        (F.col("event_id") % 4).cast("int").alias("chan"),
+        (F.col("value") / 100.0).alias("q"),
+        (-F.col("value") / 300.0).alias("u"))
+    spec = faraday_depth_transform(
+        vis, {c: 1.0e9 + c * 5.0e7 for c in range(4)},
+        [float(p) for p in range(-20, 21, 5)])
+    plan = explain_formatted(spec)
+    assert has_partial_aggregation(spec)
+    # the expansion is a broadcast join (phi grid + chan map are tiny)
+    assert has_broadcast_join(spec)
+    # two aggregation stages (per-chan reduce of the raw rows, then the
+    # per-phi combine of the reduced relation): 2 partial+final pairs
+    assert plan.count("HashAggregate") >= 4
+    # and exactly one exchange per aggregation — the phi expansion
+    # itself must not introduce a shuffle
+    assert count_exchanges(spec) == 2
+
+
+def test_sd_gridder_single_shuffle_no_python(spark):
+    """make_sd_image: one partial/final agg on the grid cell, no
+    Python/Arrow nodes anywhere (the kernel is codegen exp)."""
+    from cngi_prototype_spark.imaging.sd import make_sd_image
+    from cngi_prototype_spark.plans import explain_formatted
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    vis = ev.select(
+        ((F.col("event_id") % 100) / 1.0e4 - 5.0e-3).alias("l"),
+        ((F.col("user_id") % 100) / 1.0e4 - 5.0e-3).alias("m"),
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("value") / 100.0).alias("data"),
+        F.lit(1.0).alias("weight"))
+    img = make_sd_image(vis, 24, 24, 1.0e-3, 1.0e-3, support=2,
+                        sigma_px=1.2)
+    plan = explain_formatted(img)
+    assert has_partial_aggregation(img)
+    assert count_exchanges(img) == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_linear_mosaic_broadcasts_offsets_single_shuffle(spark):
+    from cngi_prototype_spark.imaging.restore import linear_mosaic
+
+    df = spark.createDataFrame(
+        [(f, l, m, 0.5, 1.0) for f in (0, 1) for l in range(4)
+         for m in range(4)],
+        schema="field int, l_idx int, m_idx int, image double, pb double")
+    out = linear_mosaic(df, {0: (0, 0), 1: (2, 1)})
+    assert has_broadcast_join(out)
+    assert has_partial_aggregation(out)
+    assert count_exchanges(out) == 1
