@@ -410,10 +410,14 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                 wim = rows.field(2).to_numpy(zero_copy_only=False)
                 if not len(kseg):
                     continue
-                # cell-major order keeps the add.at working set compact
-                order = np.argsort(kseg, kind="stable")
-                kseg = kseg[order]
-                w = wre[order] + 1j * wim[order]
+                # No cell-sort: the scatter target is one slab
+                # (~0.8 MB complex), cache-resident regardless of
+                # arrival order, and the 800k-row argsort + 3-array
+                # gather measured SLOWER than the locality it bought
+                # (1.67 s vs 1.48 s single-thread on the tier's slab
+                # shape). add.at accumulation order changes, which is
+                # fine on this production (tolerance-parity) path.
+                w = wre + 1j * wim
                 duix = (kseg >> 8) & 255
                 dvix = kseg & 255
                 v_c = (kseg >> 16) & ((1 << bv) - 1)
