@@ -3764,12 +3764,23 @@ _RF_DOY = 123.0
 _RF = dict(f0=1.0e9, df_hz=1.0e6, out_f0=1.0001e9, out_df=9.9e5,
            out_nchan=30, n_in=32)
 
+# dense (bl, chan) lattice LEFT JOINed with the events aggregate: the
+# interpolation twin assumes every input channel exists, which sparse
+# small-sf events can't guarantee (at sf0.001 holes made the gate
+# diverge) — missing cells take a deterministic closed-form fill
 _RF_SRC_SQL = """
-    SELECT CAST(user_id % 16 AS INT) AS bl,
-           CAST(user_id % 16 AS INT) % 3 AS field_id,
-           CAST(event_id % 32 AS INT) AS chan,
-           MAX(value) / 100.0 AS data_re
-    FROM events GROUP BY 1, 2, 3
+    SELECT CAST(l.range // 32 AS INT) AS bl,
+           CAST(l.range // 32 AS INT) % 3 AS field_id,
+           CAST(l.range % 32 AS INT) AS chan,
+           COALESCE(e.mv / 100.0,
+                    (l.range // 32) / 16e0 + (l.range % 32) / 64e0) AS data_re
+    FROM range(512) l
+    LEFT JOIN (
+      SELECT CAST(user_id % 16 AS INT) AS bl,
+             CAST(event_id % 32 AS INT) AS chan, MAX(value) AS mv
+      FROM events GROUP BY 1, 2) e
+      ON e.bl = CAST(l.range // 32 AS INT)
+     AND e.chan = CAST(l.range % 32 AS INT)
 """
 
 
@@ -3789,11 +3800,20 @@ def _rf_vel_case() -> str:
     """,
 )
 def reframe_vis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = (_t(spark, sf_dir, "events")
+    agg = (_t(spark, sf_dir, "events")
            .groupBy((F.col("user_id") % 16).cast("int").alias("bl"),
-                    ((F.col("user_id") % 16).cast("int") % 3).alias("field_id"),
                     (F.col("event_id") % 32).cast("int").alias("chan"))
-           .agg((F.max("value") / F.lit(100.0)).alias("data_re")))
+           .agg(F.max("value").alias("mv")))
+    lat = spark.range(512).select(
+        (F.col("id") / 32).cast("int").alias("bl"),
+        ((F.col("id") / 32).cast("int") % 3).alias("field_id"),
+        (F.col("id") % 32).cast("int").alias("chan"))
+    src = (lat.join(agg, on=["bl", "chan"], how="left")
+           .select("bl", "field_id", "chan",
+                   F.coalesce(F.col("mv") / F.lit(100.0),
+                              F.col("bl") / F.lit(16.0)
+                              + F.col("chan") / F.lit(64.0))
+                   .alias("data_re")))
     out = reframe_vis(
         src, _RF_FIELDS, day_of_year=_RF_DOY, field="field_id",
         keys=("bl",), values=("data_re",), **_RF)
