@@ -204,7 +204,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = initialize_framework(cores=cpus, app_name="bench", shuffle_partitions=cpus)
+    # -Xlog:disable keeps JVM unified-logging (gc,alloc warnings under
+    # memory pressure) off stdout — the driver contract is ONE JSON
+    # line, and a GC warning printed after it breaks naive tail-parsing
+    gc_quiet = {"spark.driver.extraJavaOptions": "-Xlog:disable"}
+    spark = initialize_framework(cores=cpus, app_name="bench",
+                                 shuffle_partitions=cpus,
+                                 extra_conf=gc_quiet)
     qs = Q.queries()
 
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost
@@ -238,7 +244,8 @@ def main() -> None:
     # reflect the engine, not session history
     spark.stop()
     spark = initialize_framework(cores=cpus, app_name="bench_chiles",
-                                 shuffle_partitions=cpus)
+                                 shuffle_partitions=cpus,
+                                 extra_conf=gc_quiet)
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
     img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
     # ONE untimed priming run first: the first execution of this plan
