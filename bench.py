@@ -253,13 +253,13 @@ def main() -> None:
     # fork+import (measured ~2x the steady-state time). The reference
     # baseline (45 min / 128 cores) amortizes its numba-jit warmup to
     # ~nothing at full scale; at our 0.06% fraction it would dominate,
-    # so the steady-state regime is the comparable one. Then min of 3:
+    # so the steady-state regime is the comparable one. Then min of 4:
     # this box shows bursty hypervisor CPU steal (~15% avg, far higher
     # in bursts); the min is the engine's throughput, the max is the
     # host's mood.
     _run(img)
     chiles_sec = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         _run(img)
         el = round(time.time() - t0, 3)
@@ -273,7 +273,7 @@ def main() -> None:
     img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
     _run(img_s)
     skew_sec = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         _run(img_s)
         el = round(time.time() - t0, 3)
