@@ -340,15 +340,19 @@ def duplicate_clusters(
     component — the standard final step of corpus dedup (cluster the
     near-dup graph, keep one canonical document per cluster).
 
-    Spark shape: iterative min-label propagation. Each sweep joins the
-    symmetric edge list against current labels and takes the min label
-    over each node's neighborhood (one shuffle per sweep, partial aggs
-    map-side); the driver loop stops at a fixpoint (count of changed
-    labels = 0) or ``max_iter``. Near-dup clusters are shallow (most
-    are pairs/triangles), so sweeps ≈ graph diameter stays small; each
-    sweep is a plain shuffle join, so the algorithm scales with the
-    pair count, not the corpus. Labels are checkpointed via persist per
-    sweep to keep lineage flat.
+    Spark shape: iterative min-label propagation with POINTER JUMPING —
+    each sweep takes the neighborhood min (one shuffle join, partial
+    aggs map-side) and then shortcuts each node's label to its label's
+    label, halving remaining path lengths, so convergence is
+    O(log diameter): a 2^max_iter-long chain still converges within
+    ``max_iter`` sweeps. The driver loop stops at the fixpoint (count
+    of changed labels = 0); exhausting ``max_iter`` without one RAISES
+    rather than silently returning split components. Each sweep scales
+    with the pair count, not the corpus; labels are localCheckpoint-ed
+    per sweep — the jump's self-join DOUBLES the logical plan each
+    iteration, so persist alone (which caches data but keeps the full
+    lineage for planning) blows the driver heap by ~sweep 7; truncating
+    the lineage is mandatory, not an optimization.
     """
     edges = (pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs_df.select(F.col(id_b).alias("src"),
@@ -356,24 +360,38 @@ def duplicate_clusters(
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.node)
                  .groupBy("src").agg(F.min("label").alias("_nl")))
-        new_labels = (labels.join(neigh, labels.node == neigh.src, "left")
+        stepped = (labels.join(neigh, labels.node == neigh.src, "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("_nl"),
+                                              F.col("label")))
+                           .alias("label")))
+        # pointer jump: label <- min(label, label[label])
+        lab2 = stepped.select(F.col("node").alias("_jn"),
+                              F.col("label").alias("_jl"))
+        new_labels = (stepped.join(lab2, stepped.label == lab2._jn, "left")
                       .select(F.col("node"),
                               F.least(F.col("label"),
-                                      F.coalesce(F.col("_nl"),
+                                      F.coalesce(F.col("_jl"),
                                                  F.col("label")))
                               .alias("label")))
-        new_labels = new_labels.persist()
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not reach a fixpoint in {max_iter} "
+            f"sweeps (component diameter > 2^{max_iter}?) — raise max_iter")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("canonical_id"))
 

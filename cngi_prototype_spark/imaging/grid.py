@@ -329,12 +329,25 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     slab_w = 1 << slab_log
     shift_group = 16 + bv + slab_log  # (chan, pol, u_slab) id
 
+    # fail fast on ids the bit layout can't hold: pol has 4 bits, chan
+    # the remaining high bits; out-of-range (or negative) ids would
+    # silently bleed into the neighboring field and scatter data into
+    # the wrong plane (the explode/pandas paths have no such limit).
+    # _u_c/_v_c are bounded by the in-bounds filter; du/dv by the
+    # oversampling<=254 precondition of _pack_bits.
+    chan_bits = 64 - (4 + bu + bv + 16) - 1  # keep the sign bit clear
+    chan_max = (1 << min(chan_bits, 31)) - 1
+    ids_ok = ((F.col(pol) >= 0) & (F.col(pol) < 16)
+              & (F.col(chan) >= 0) & (F.col(chan) <= chan_max))
     k = (F.shiftleft(F.col(chan).cast("long"), 4 + bu + bv + 16)
          .bitwiseOR(F.shiftleft(F.col(pol).cast("long"), bu + bv + 16))
          .bitwiseOR(F.shiftleft(F.col("_u_c").cast("long"), bv + 16))
          .bitwiseOR(F.shiftleft(F.col("_v_c").cast("long"), 16))
          .bitwiseOR(F.shiftleft((F.col("_du") + F.lit(128)).cast("long"), 8))
          .bitwiseOR((F.col("_dv") + F.lit(128)).cast("long")))
+    k = F.when(ids_ok, k).otherwise(F.raise_error(F.lit(
+        f"dense gridder packed key overflow: need 0 <= pol < 16 and "
+        f"0 <= chan <= {chan_max}")))
     # Fused sum-of-weights (wn_col = weight·norm_u·norm_v, the codegen
     # LUT expression from grid_visibilities): summed map-side inside the
     # SAME groupBy that builds the fat rows, so the separate full-scan

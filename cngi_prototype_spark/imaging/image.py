@@ -119,11 +119,17 @@ def image_planes_from_dense(
     # dense fast path: partials that carry per-slab sum_w_norm (the
     # gridder's fused sum-of-weights) normalize from their own rows —
     # no broadcast join, and the standalone sum_weight branch never
-    # executes (it would re-scan the visibilities)
-    embedded_sw = "sum_w_norm" in partials_df.columns
+    # executes (it would re-scan the visibilities). An explicitly
+    # supplied sumw_df always wins: callers normalizing by a different
+    # weighting scheme pass one; make_image's planes path passes None.
+    embedded_sw = sumw_df is None and "sum_w_norm" in partials_df.columns
     if embedded_sw:
         joined = partials_df
     else:
+        if sumw_df is None:
+            raise ValueError(
+                "image_planes_from_dense needs either a sumw_df or "
+                "partials carrying the fused sum_w_norm column")
         joined = partials_df.join(F.broadcast(sumw_df), on=[chan, pol],
                                   how="left")
 
@@ -176,7 +182,11 @@ def make_image(vis_df: DataFrame, gp: GridParms, *,
         partials, sumw = grid_visibilities(vis_df, gp, weight=weight,
                                            variant=variant,
                                            dense_planes=True, **cols)
-        return image_planes_from_dense(partials, sumw, gp,
+        # None → normalize from the fused per-slab sums when the dense
+        # path embedded them (single pass); the non-packed fallback has
+        # no embedded column, so hand it the standalone branch
+        sumw_arg = None if "sum_w_norm" in partials.columns else sumw
+        return image_planes_from_dense(partials, sumw_arg, gp,
                                        image_size=image_size, out="image")
     grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
                                    variant=variant, **cols)

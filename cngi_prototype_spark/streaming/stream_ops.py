@@ -152,25 +152,14 @@ def stream_grid_accumulate(
     that bounds the batch shuffle. A downstream FFT consumer can image
     any snapshot of the sink table.
     """
-    from cngi_prototype_spark.imaging.grid import _cgk_at, _scaled_pos
+    # the batch gridder's _prepare IS streaming-safe (pure row-local
+    # exprs + filters) — reuse it so the geometry, in-bounds rule, and
+    # the weight-null / zero-data row filter can never drift from the
+    # batch contract (a hand-copied version here had already dropped
+    # the zero-data filter)
+    from cngi_prototype_spark.imaging.grid import _cgk_at, _prepare
 
-    u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
-    geom = (stream_df
-            .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
-            .withColumn("_v_c", F.floor(v_pos + F.lit(0.5)).cast("int"))
-            .withColumn("_du", F.floor((F.col("_u_c") - u_pos)
-                                       * F.lit(float(gp.oversampling))
-                                       + F.lit(0.5)).cast("int"))
-            .withColumn("_dv", F.floor((F.col("_v_c") - v_pos)
-                                       * F.lit(float(gp.oversampling))
-                                       + F.lit(0.5)).cast("int")))
-    half = gp.half
-    geom = geom.filter(
-        (F.col("_u_c") + half < gp.n_u) & (F.col("_u_c") - half >= 0)
-        & (F.col("_v_c") + half < gp.n_v) & (F.col("_v_c") - half >= 0)
-        & F.col(re).isNotNull() & F.col(im).isNotNull())
-    geom = geom.withColumn("_wd_re", F.col(re) * F.col(weight)).withColumn(
-        "_wd_im", F.col(im) * F.col(weight))
+    geom = _prepare(stream_df, gp, u, v, freq, weight, re, im)
     cgk_lit = F.array(*[F.lit(float(x)) for x in gp.kernel_1d()])
     taps = F.array(*[F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
                      for iu, iv in gp.taps()])

@@ -128,3 +128,15 @@ def test_duplicate_clusters_components(spark):
     out = duplicate_clusters(pairs).toPandas().sort_values("doc_id")
     got = dict(zip(out.doc_id, out.canonical_id))
     assert got == {10: 10, 20: 10, 30: 10, 31: 10, 40: 40, 50: 40}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 40-node chain has diameter 39: one-hop propagation would need
+    # 39 sweeps, pointer jumping must converge within the default 20
+    from cngi_prototype_spark.dedup.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], schema="id_a long, id_b long")
+    out = duplicate_clusters(pairs).toPandas()
+    assert (out["canonical_id"] == 0).all()
+    assert len(out) == 40

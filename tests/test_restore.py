@@ -168,3 +168,25 @@ def test_is_converged_respects_mask(spark):
     want = np.abs(res.ravel()[::2]).max()
     assert abs(row["peak_residual"] - want) < 1e-14
     assert row["n_pix"] == N * N // 2
+
+
+def test_linear_mosaic_keeps_cube_planes_separate(spark):
+    # cube inputs must combine per (chan, pol) plane, not collapse
+    rows = []
+    for ch in (0, 1):
+        for f, (ol, om) in ((0, (0, 0)), (1, (1, 0))):
+            for l in range(2):
+                for m in range(2):
+                    rows.append((ch, 0, f, l, m, float(ch + 1), 1.0))
+    df = spark.createDataFrame(
+        rows, schema="chan int, pol int, field int, l_idx int, m_idx int, "
+                     "image double, pb double")
+    out = linear_mosaic(df, {0: (0, 0), 1: (1, 0)}).toPandas()
+    assert set(out["chan"]) == {0, 1}
+    for ch in (0, 1):
+        vals = out[out.chan == ch]["image"]
+        assert (abs(vals - (ch + 1)) < 1e-12).all()
+    # explicit plane_keys=() collapses on purpose
+    merged = linear_mosaic(df, {0: (0, 0), 1: (1, 0)},
+                           plane_keys=()).toPandas()
+    assert "chan" not in merged.columns
