@@ -117,7 +117,8 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     """CHILES-shaped major cycle at a declared fraction of the 2.5 TB
     workload: standard gridder, support 17 (289 taps/vis), padded grid
     1024x1024, image 1000x1000, 8 chans x 2 pols; the events table
-    supplies the visibility rows. Returns (dataframe, n_vis) — the
+    supplies the visibility rows. Returns (dataframe, n_vis,
+    materialize_sec) — the
     caller times a full noop-write execution and converts to
     vis.taps/s/core for comparison against the 45-min/128-core figure.
 

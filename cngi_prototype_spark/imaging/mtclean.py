@@ -78,6 +78,22 @@ def _lin_conv(a: np.ndarray, k: np.ndarray) -> np.ndarray:
     return full[cx:cx + n_x, cy:cy + n_y]
 
 
+def _shift_window(shape: tuple[int, int], px: int, py: int
+                  ) -> tuple[slice, slice, slice, slice]:
+    """Index pairs (target slices, kernel slices) for the edge-clipped
+    overlap of a same-shape centered kernel recentred at (px, py) — the
+    single source of truth for the clip geometry shared by the
+    subtract side below and Asp's amp-fit read side (the χ²-optimal
+    ``amp = ⟨R,B⟩/⟨B,B⟩`` only holds when both use the SAME window)."""
+    n_x, n_y = shape
+    cx, cy = n_x // 2, n_y // 2
+    x0, x1 = max(px - cx, 0), min(px + (n_x - cx), n_x)
+    y0, y1 = max(py - cy, 0), min(py + (n_y - cy), n_y)
+    return (slice(x0, x1), slice(y0, y1),
+            slice(cx - (px - x0), cx + (x1 - px)),
+            slice(cy - (py - y0), cy + (y1 - py)))
+
+
 def _window_subtract(target: np.ndarray, kern: np.ndarray,
                      px: int, py: int, amp: float) -> None:
     """``target -= amp · kern`` recentered at (px, py), edge-clipped —
@@ -157,10 +173,10 @@ def mtmfs_cube(res_cube: np.ndarray, psf_cube: np.ndarray,
     # operation in the same order
     p0, p1, p2 = P[0, cx, cy], P[1, cx, cy], P[2, cx, cy]
     det = p0 * p2 - p1 * p1
-    i00, i01, i11 = p2 / det, -p1 / det, p0 / det
     models = np.zeros_like(R)
-    if det == 0.0:
-        return models, R
+    if det == 0.0:  # degenerate Hessian (e.g. all channels equal) —
+        return models, R  # guard BEFORE the divides
+    i00, i01, i11 = p2 / det, -p1 / det, p0 / det
 
     princ = i00 * R[0] + i01 * R[1]
     peak0 = float(np.abs(princ).max())
@@ -310,9 +326,11 @@ def evaluate_taylor_to_cube(taylor_df: DataFrame, freqs: dict[int, float],
     """Evaluate Taylor coefficient maps to a cube model:
     ``model_c = m₀ + ω_c · m₁`` (reference Step 3, mfs_to_cube)."""
     spark = taylor_df.sparkSession
-    nu0 = float(np.mean(list(freqs.values())))
+    # channel-sorted mean, matching mtmfs_cube's nu0 bit-for-bit (dict
+    # insertion order would shift the sum by an ulp)
+    nu0 = float(np.array([freqs[c] for c in sorted(freqs)]).mean())
     chans = spark.createDataFrame(
-        [(int(c), (float(f) - nu0) / nu0) for c, f in freqs.items()],
+        [(int(c), (float(f) - nu0) / nu0) for c, f in sorted(freqs.items())],
         schema="chan int, omega double")
     t0 = (taylor_df.filter(F.col("term") == 0)
           .select(pol, "l_idx", "m_idx", F.col("model").alias("_m0")))

@@ -1609,6 +1609,8 @@ def _rm_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "imaging_fft",
     f"""
+    WITH fdspec AS ({sql_faraday_depth_transform(_RM_SQL, _RM_FREQS,
+                                                 _RM_PHI)})
     SELECT 'dirty' AS part, chan, pol, l_idx, m_idx, v
     FROM ({_sql_dft_image(
         sql_grid_visibilities(_FGP, _fft_vis_sql("value / 100.0",
@@ -1622,10 +1624,10 @@ def _rm_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_sum_weight(_FGP, _fft_vis_sql("1.0", "0.0")))})
     UNION ALL
     SELECT 'rm_re', phi_idx, -1, l_idx, m_idx, (ROUND(f_re, 6) + 0.0)
-    FROM ({sql_faraday_depth_transform(_RM_SQL, _RM_FREQS, _RM_PHI)})
+    FROM fdspec
     UNION ALL
     SELECT 'rm_im', phi_idx, -1, l_idx, m_idx, (ROUND(f_im, 6) + 0.0)
-    FROM ({sql_faraday_depth_transform(_RM_SQL, _RM_FREQS, _RM_PHI)})
+    FROM fdspec
     """,
 )
 def imaging_fft_q(spark: SparkSession, sf_dir: str) -> DataFrame:
