@@ -189,3 +189,94 @@ def test_stream_running_mean_matches_batch_anywhere(spark, keys_seq):
             assert abs(g.data_re - r.wr / r.w) < 1e-9
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- round-5 operator invariants -------------------------------------------
+
+beam_strategy = st.tuples(st.floats(30.0, 120.0), st.floats(30.0, 120.0),
+                          st.floats(0.0, 180.0))
+
+
+@settings(max_examples=8, deadline=None)
+@given(beam_strategy, st.integers(0, 2**31 - 1))
+def test_feather_identity_when_high_is_zero(beam, seed):
+    # numpy-level invariant of the feather formula: FT identity means
+    # high == 0 returns the low map exactly (any beam, any data)
+    import numpy as np
+
+    from cngi_prototype_spark.imaging.restore import (
+        _beam_transfer, _gaussian_beam_array)
+    n = 12
+    low = np.random.default_rng(seed).normal(size=(n, n))
+    fb = _beam_transfer(_gaussian_beam_array(n, n, beam, (1e-4, 1e-4), "sum"))
+    out = np.real(np.fft.ifft2(np.fft.fft2(low) + (1.0 - fb) * np.fft.fft2(np.zeros((n, n)))))
+    np.testing.assert_allclose(out, low, atol=1e-12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.floats(0.05, 0.45))
+def test_msclean_scale0_equals_hogbom_property(seed, gain):
+    # the reference-declared degeneracy holds for ANY plane and gain
+    import numpy as np
+
+    from cngi_prototype_spark.imaging.deconvolve import hogbom_clean_plane
+    from cngi_prototype_spark.imaging.mtclean import msclean_plane
+    n = 16
+    rng = np.random.default_rng(seed)
+    dirty = rng.normal(size=(n, n))
+    x = (np.arange(n) - n // 2)[:, None]
+    y = (np.arange(n) - n // 2)[None, :]
+    psf = np.exp(-(x * x + y * y) / 4.0)
+    m1, r1 = msclean_plane(dirty, psf, scales=[0.0], gain=gain,
+                           threshold=0.0, niter=8)
+    m2, r2 = hogbom_clean_plane(dirty, psf, gain=gain, threshold=0.0,
+                                niter=8)
+    np.testing.assert_allclose(m1, m2, atol=1e-9)
+    np.testing.assert_allclose(r1, r2, atol=1e-9)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60))
+def test_rm_clean_block_equals_scalar_property(seed, niter):
+    import numpy as np
+
+    from cngi_prototype_spark.imaging.rmclean import (
+        rm_clean_block, rm_clean_pixel, rmtf_values)
+    freqs = {c: 1.0e9 + c * 4.0e7 for c in range(6)}
+    phi = np.linspace(-25.0, 25.0, 15)
+    rng = np.random.default_rng(seed)
+    f = rng.normal(size=(5, phi.size)) + 1j * rng.normal(size=(5, phi.size))
+    mat = np.empty((phi.size, phi.size), np.complex128)
+    for j in range(phi.size):
+        mat[:, j] = rmtf_values(freqs, phi - phi[j])
+    mb, rb = rm_clean_block(f, mat, gain=0.2, threshold=0.1, niter=niter)
+    for i in range(f.shape[0]):
+        mp, rp = rm_clean_pixel(f[i], mat, gain=0.2, threshold=0.1,
+                                niter=niter)
+        np.testing.assert_array_equal(mb[i], mp)
+        np.testing.assert_array_equal(rb[i], rp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_sd_weight_flux_conservation_interior(seed):
+    # pointings whose full kernel footprint is in-bounds contribute
+    # exactly w * sum(K) to the weight map (flux conservation)
+    import numpy as np
+    n = 20
+    support, sigma = 2, 1.1
+    rng = np.random.default_rng(seed)
+    # interior pointing in pixel units
+    xl = rng.uniform(support + 1.0, n - support - 2.0)
+    xm = rng.uniform(support + 1.0, n - support - 2.0)
+    w = rng.uniform(0.5, 2.0)
+    bl, bm = int(np.floor(xl + 0.5)), int(np.floor(xm + 0.5))
+    total = 0.0
+    ksum = 0.0
+    for di in range(-support, support + 1):
+        for dj in range(-support, support + 1):
+            k = np.exp(-(((bl + di) - xl) ** 2 + ((bm + dj) - xm) ** 2)
+                       / (2 * sigma ** 2))
+            ksum += k
+            total += w * k
+    assert abs(total - w * ksum) < 1e-12 * max(1.0, abs(total))
