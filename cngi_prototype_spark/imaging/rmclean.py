@@ -170,11 +170,15 @@ def deconvolve_rotation_measure_clean(
     q: str = "q",
     u: str = "u",
     chan: str = "chan",
+    precise: bool = False,
 ) -> DataFrame:
     """Full RM-CLEAN: Faraday transform → per-pixel 1-D CLEAN →
     ``(l_idx, m_idx, phi_idx, phi, model_re, model_im, resid_re,
-    resid_im)``. Use :func:`evaluate_rm_model_to_cube` for Step 4."""
-    spec = faraday_depth_transform(df, freqs, phi_grid, q=q, u=u, chan=chan)
+    resid_im)``. Use :func:`evaluate_rm_model_to_cube` for Step 4.
+    ``precise`` routes the transform's sums through the DECIMAL-exact
+    accumulator so an oracle twin can consume bit-identical spectra."""
+    spec = faraday_depth_transform(df, freqs, phi_grid, q=q, u=u,
+                                   chan=chan, precise=precise)
     phi = np.asarray(phi_grid, dtype=float)
     nphi = phi.size
     # rmtf on the offset lattice φ_i − φ_j (small: nφ², broadcast in

@@ -1740,6 +1740,63 @@ _MT_NITER = 3
 _MT_GAIN = 0.2
 _MT_FREQS = {0: 0.9e9, 1: 1.0e9, 2: 1.1e9}
 
+# RM-CLEAN twin: single-pixel 4-channel closed-form Q/U spectrum,
+# 7-point Faraday grid, 3 unrolled complex CLEAN iterations (the only
+# iterative path that was still rows-only)
+_RC_NITER = 3
+_RC_GAIN = 0.3
+_RC_FREQS = {c: 1.0e9 + c * 6.0e7 for c in range(4)}
+_RC_PHI = [float(p) for p in _np.linspace(-18.0, 18.0, 7)]
+_RC_SRC_SQL = """
+    SELECT 0 AS l_idx, 0 AS m_idx, CAST(c.range AS INT) AS chan,
+           1e0 + c.range / 4e0 AS q, 5e-1 - c.range / 8e0 AS u
+    FROM range(4) c
+"""
+
+
+def _rmclean_ctes() -> list[str]:
+    """Unrolled single-pixel complex RM-CLEAN — mirrors rm_clean_block
+    exactly on the DECIMAL-exact Faraday spectrum: peak pick by squared
+    magnitude (monotone twin of numpy's |z| argmax, same row-major
+    tie-break), componentwise complex subtract of gain·F[p]·RMTF(φ−φp)
+    in numpy's (ac−bd, ad+bc) association. The RMTF offset matrix is
+    injected from the operator's own rmtf_values — bit-identical to the
+    task-side closure array."""
+    from cngi_prototype_spark.imaging.rmclean import (
+        rmtf_values,
+        sql_faraday_depth_transform,
+    )
+    g = f"{_RC_GAIN:.17e}"
+    phi = _np.asarray(_RC_PHI)
+    mat_vals = []
+    for j in range(phi.size):
+        col = rmtf_values(_RC_FREQS, phi - phi[j])
+        mat_vals += [f"({i}, {j}, {col[i].real:.17e}, {col[i].imag:.17e})"
+                     for i in range(phi.size)]
+    ctes = [f"""
+    rc_f AS ({sql_faraday_depth_transform(_RC_SRC_SQL, _RC_FREQS,
+                                          _RC_PHI)})""", f"""
+    rc_mat(i, j, re, im) AS (SELECT * FROM (VALUES {', '.join(mat_vals)}))""",
+        """
+    rc_it0 AS (SELECT phi_idx, f_re AS rr, f_im AS ri,
+                      0.0 AS mr, 0.0 AS mi FROM rc_f)"""]
+    for ki in range(_RC_NITER):
+        ctes.append(f"""
+    rc_pk{ki} AS (
+      SELECT phi_idx AS p, {g} * rr AS gr, {g} * ri AS gi
+      FROM rc_it{ki}
+      ORDER BY rr * rr + ri * ri DESC, phi_idx ASC LIMIT 1)""")
+        ctes.append(f"""
+    rc_it{ki + 1} AS (
+      SELECT c.phi_idx,
+             c.rr - (a.gr * m.re - a.gi * m.im) AS rr,
+             c.ri - (a.gr * m.im + a.gi * m.re) AS ri,
+             c.mr + CASE WHEN c.phi_idx = a.p THEN a.gr ELSE 0.0 END AS mr,
+             c.mi + CASE WHEN c.phi_idx = a.p THEN a.gi ELSE 0.0 END AS mi
+      FROM rc_it{ki} c CROSS JOIN rc_pk{ki} a
+      JOIN rc_mat m ON m.i = c.phi_idx AND m.j = a.p)""")
+    return ctes
+
 from cngi_prototype_spark.imaging.asp import (  # noqa: E402
     deconvolve_adaptive_scale_pixel,
     gaussian_atom as _gaussian_atom,
@@ -2092,7 +2149,7 @@ def _sql_hogbom_small() -> str:
     # cross-engine boundary risk (msclean's conv inputs carry ~1e-14
     # FFT-vs-direct drift, absorbed by the final ROUND 6 like
     # synthesis_small).
-    ctes += _msclean_ctes() + _mtmfs_ctes() + _asp_ctes()
+    ctes += _msclean_ctes() + _mtmfs_ctes() + _asp_ctes() + _rmclean_ctes()
     return (f"WITH {','.join(ctes)},\n"
             f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
             f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
@@ -2126,7 +2183,15 @@ def _sql_hogbom_small() -> str:
             f"    SELECT 'asp', f.l_idx, f.m_idx, "
             f"(ROUND(e.mv, 6) + 0.0), (ROUND(f.r, 6) + 0.0) "
             f"FROM asp_it{_ASP_NITER} f "
-            f"JOIN asp_ev e ON e.l_idx = f.l_idx AND e.m_idx = f.m_idx")
+            f"JOIN asp_ev e ON e.l_idx = f.l_idx AND e.m_idx = f.m_idx\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'rmc_re', phi_idx, -1, "
+            f"(ROUND(mr, 6) + 0.0), (ROUND(rr, 6) + 0.0) "
+            f"FROM rc_it{_RC_NITER}\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'rmc_im', phi_idx, -1, "
+            f"(ROUND(mi, 6) + 0.0), (ROUND(ri, 6) + 0.0) "
+            f"FROM rc_it{_RC_NITER}")
 
 
 @register("hogbom_small", _sql_hogbom_small())
@@ -2197,9 +2262,30 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("asp").alias("part"), "l_idx", "m_idx",
         (F.round("model", 6) + F.lit(0.0)).alias("model"),
         (F.round("residual", 6) + F.lit(0.0)).alias("residual"))
+    # single-pixel complex RM-CLEAN (precise transform feeds bit-exact
+    # spectra into the per-pixel loop; twin unrolls the same 3
+    # iterations)
+    rc_src = spark.range(4).select(
+        F.lit(0).alias("l_idx"), F.lit(0).alias("m_idx"),
+        F.col("id").cast("int").alias("chan"),
+        (F.lit(1.0) + F.col("id") / F.lit(4.0)).alias("q"),
+        (F.lit(0.5) - F.col("id") / F.lit(8.0)).alias("u"))
+    rc = deconvolve_rotation_measure_clean(
+        rc_src, _RC_FREQS, _RC_PHI, gain=_RC_GAIN, threshold=0.0,
+        niter=_RC_NITER, precise=True)
+    rc_re = rc.select(F.lit("rmc_re").alias("part"),
+                      F.col("phi_idx").alias("l_idx"),
+                      F.lit(-1).alias("m_idx"),
+                      (F.round("model_re", 6) + F.lit(0.0)).alias("model"),
+                      (F.round("resid_re", 6) + F.lit(0.0)).alias("residual"))
+    rc_im = rc.select(F.lit("rmc_im").alias("part"),
+                      F.col("phi_idx").alias("l_idx"),
+                      F.lit(-1).alias("m_idx"),
+                      (F.round("model_im", 6) + F.lit(0.0)).alias("model"),
+                      (F.round("resid_im", 6) + F.lit(0.0)).alias("residual"))
     return (clean.unionByName(conv).unionByName(msk)
             .unionByName(ms).unionByName(mt0).unionByName(mt1)
-            .unionByName(asp))
+            .unionByName(asp).unionByName(rc_re).unionByName(rc_im))
 
 
 # ---------------------------------------------------------------------------
