@@ -46,10 +46,11 @@ BENCH_QUERIES = [
     "predict_component",
     "mosaic_image",
     "synthesis_imaging_cube",
-    # deconvolution + single-dish tier (round 5)
+    # deconvolution + single-dish tier (rounds 5-6)
     "msclean_cube",
     "rm_clean",
     "sd_image",
+    "fast_resolve",
     # training-data pipeline tier
     "text_features",
     "minhash_lsh_candidates",
@@ -227,17 +228,42 @@ def main() -> None:
         "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
         "rm_clean": Q.rm_clean_bench_q,        # production 48² × 8-chan shape
     }
+    # Per-query noise insurance (round-5 finding: single-shot timings in
+    # the shared session are host-steal-dominated — four queries recorded
+    # 1.5-2.2x "regressions" with zero code changes, while fresh min-of-3
+    # measured 2-6x FASTER than either recorded number). Record min-of-N
+    # per query (N=2 default: first run pays codegen JIT, min reports
+    # steady state), same honesty the CHILES tier already has.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    def _timed_min(fn, *args) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            _run(fn(*args))
+            el = round(time.time() - t0, 3)
+            best = el if best is None else min(best, el)
+        return best
+
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)
         if fn is None:
             continue
-        t0 = time.time()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = _timed_min(fn, spark, sf_dir)
 
+    timings["imaging_major_cycle"] = _timed_min(major_cycle, spark, sf_dir)
+
+    # noise indicator: q1 re-measured cold-cache at the END of the
+    # shared session; drift >> 1 means the session/host degraded while
+    # the tier ran and the per-query numbers should be read accordingly
     t0 = time.time()
-    _run(major_cycle(spark, sf_dir))
-    timings["imaging_major_cycle"] = round(time.time() - t0, 3)
+    _run(qs["q1_pricing_summary"](spark, sf_dir))
+    q1_end = round(time.time() - t0, 3)
+    noise = {
+        "q1_rerun_end_sec": q1_end,
+        "q1_drift": round(q1_end / timings["q1_pricing_summary"], 3),
+        "runs_per_query": runs,
+    }
 
     # the baseline-comparison tier gets a FRESH session: ~30 heavy
     # queries leave JVM/GC + python-worker pressure that inflates
@@ -306,6 +332,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "noise": noise,
         "chiles": chiles,
         "sf": sf,
         "cpus": cpus,

@@ -35,10 +35,18 @@ keeping the O(n⁴) direct-sum oracle twin free of modular indexing.
 
 Spark shape: MS-Clean iterates within one (chan, pol) plane → one
 ``applyInPandas`` group per plane (the deconvolve_point_clean rule).
-MT-MFS couples channels by construction, so its group key is ``pol``
-and one task holds one pol's cube — the reference has the same
-constraint (Taylor sums run over the full channel axis). Planes/pols
-run in parallel across executors.
+MT-MFS couples channels only through the Taylor-weighted reductions
+``R_t = Σ_c ω_c^t r_c`` and ``P_q = Σ_c ω_c^q psf_c`` — LINEAR in the
+channel axis — so those run as a Catalyst partial/final
+``groupBy(pol, l_idx, m_idx)`` aggregation BEFORE any Python boundary
+(map-side combine; the shuffle moves 2·nterms+1 doubles per pixel, not
+the channel cube). The per-pol ``applyInPandas`` group then holds only
+the 2·nterms+1 = 5 maps (bounded by image size, like every other
+deconvolver here), never the nchan cube. In ``precise`` mode the
+channel reduction is a channel-ascending left-associated fold over a
+sorted ``collect_list`` — bit-identical to numpy's
+``((ω**t)[:,None,None] * cube).sum(0)`` regardless of partitioning; the
+production path uses plain SUM (order-free doubles, map-side partials).
 """
 
 from __future__ import annotations
@@ -159,13 +167,25 @@ def mtmfs_cube(res_cube: np.ndarray, psf_cube: np.ndarray,
                freqs: np.ndarray, *, gain: float, threshold: float,
                niter: int) -> tuple[np.ndarray, np.ndarray]:
     """nterms=2 MT-MFS over one (chan, l, m) cube → (models[2],
-    taylor_residuals[2])."""
+    taylor_residuals[2]). Reduces the Taylor sums in-process, then
+    defers to :func:`mtmfs_maps` — the distributed path computes the
+    same reductions in Catalyst and never holds this cube."""
     nu0 = float(freqs.mean())
     w = (freqs - nu0) / nu0
     R = np.stack([((w ** t)[:, None, None] * res_cube).sum(0)
                   for t in range(2)])
     P = np.stack([((w ** q)[:, None, None] * psf_cube).sum(0)
                   for q in range(3)])
+    return mtmfs_maps(R, P, gain=gain, threshold=threshold, niter=niter)
+
+
+def mtmfs_maps(R: np.ndarray, P: np.ndarray, *, gain: float,
+               threshold: float, niter: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """nterms=2 MT-MFS iteration over pre-reduced Taylor residual maps
+    ``R[2, nx, ny]`` and psf moment maps ``P[3, nx, ny]`` → (models[2],
+    taylor_residuals[2]). ``R``/``P`` are mutated in place (``R`` is
+    the returned residual)."""
     n_x, n_y = R.shape[1:]
     cx, cy = n_x // 2, n_y // 2
     # closed-form 2x2 inverse with explicit scalar arithmetic (no
@@ -215,6 +235,7 @@ def deconvolve_multiterm_clean(
     pol: str = "pol",
     image: str = "image",
     psf: str = "psf",
+    precise: bool = True,
 ) -> DataFrame:
     """MS-Clean (``nterms=1``; per-(chan, pol)-plane groups) or MT-MFS
     (``nterms=2``; per-pol cube groups, ``freqs`` maps chan → ν).
@@ -223,6 +244,8 @@ def deconvolve_multiterm_clean(
     ``model`` the evaluated (scale-convolved) model image.
     nterms=2 → ``(term, pol, l_idx, m_idx, model, residual)`` Taylor
     coefficient + Taylor residual maps (term 0 intensity, term 1 I·α).
+    ``precise`` (nterms=2 only) picks the deterministic sorted-fold
+    channel reduction (gate/oracle mode) over plain partial/final SUM.
     """
     scales = scales if scales is not None else [0.0, 2.0, 4.0]
 
@@ -266,8 +289,49 @@ def deconvolve_multiterm_clean(
     if freqs is None:
         raise ValueError("MT-MFS needs freqs={chan: nu_hz}")
     freq_items = sorted(freqs.items())
-    chan_order = [c for c, _ in freq_items]
     nu = np.array([f for _, f in freq_items])
+    nu0 = float(nu.mean())
+
+    # Taylor-weighted channel reductions R_t = Σ_c ω_c^t r_c and psf
+    # moments P_q = Σ_c ω_c^q psf_c are LINEAR in the channel axis, so
+    # they run as a Catalyst groupBy(pol, l, m) aggregation — the
+    # shuffle carries 5 doubles per pixel instead of the nchan cube,
+    # and no task ever materializes more than 5 image planes.
+    spark = image_df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(c), (float(f) - nu0) / nu0) for c, f in freq_items],
+        schema=f"{chan} int, _w double")
+    j = both.join(F.broadcast(wdf), on=chan)
+    key = [pol, "l_idx", "m_idx"]
+    if precise:
+        # channel-ascending left-associated fold over the sorted
+        # per-pixel channel list: bit-identical to numpy's
+        # ((w**t)[:,None,None] * cube).sum(0) regardless of
+        # partitioning (sort_array orders struct rows by chan first)
+        xs = j.groupBy(*key).agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col(chan).alias("c"), F.col(image).alias("r"),
+                F.col(psf).alias("p"), F.col("_w").alias("w"),
+            ))).alias("xs"))
+
+        def _fold(term):
+            return F.aggregate("xs", F.lit(0.0),
+                               lambda acc, x: acc + term(x))
+
+        agg = xs.select(
+            *key,
+            _fold(lambda x: x["r"]).alias("r0"),
+            _fold(lambda x: x["w"] * x["r"]).alias("r1"),
+            _fold(lambda x: x["p"]).alias("p0"),
+            _fold(lambda x: x["w"] * x["p"]).alias("p1"),
+            _fold(lambda x: x["w"] * x["w"] * x["p"]).alias("p2"))
+    else:
+        agg = j.groupBy(*key).agg(
+            F.sum(F.col(image)).alias("r0"),
+            F.sum(F.col("_w") * F.col(image)).alias("r1"),
+            F.sum(F.col(psf)).alias("p0"),
+            F.sum(F.col("_w") * F.col(psf)).alias("p1"),
+            F.sum(F.col("_w") * F.col("_w") * F.col(psf)).alias("p2"))
 
     schema = T.StructType([
         T.StructField("term", T.IntegerType()),
@@ -278,33 +342,34 @@ def deconvolve_multiterm_clean(
         T.StructField("residual", T.DoubleType()),
     ])
 
-    def cube(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def maps(key_, pdf: pd.DataFrame) -> pd.DataFrame:
         n_x = int(pdf["l_idx"].max()) + 1
         n_y = int(pdf["m_idx"].max()) + 1
-        res = np.zeros((len(chan_order), n_x, n_y))
-        psf_c = np.zeros((len(chan_order), n_x, n_y))
-        cpos = {c: i for i, c in enumerate(chan_order)}
-        ci = pdf[chan].map(cpos).to_numpy(int)
         li = pdf["l_idx"].to_numpy(int)
         mi = pdf["m_idx"].to_numpy(int)
-        res[ci, li, mi] = pdf[image].to_numpy(float)
-        psf_c[ci, li, mi] = pdf[psf].to_numpy(float)
-        models, R = mtmfs_cube(res, psf_c, nu, gain=gain,
-                               threshold=threshold, niter=niter)
+        R = np.zeros((2, n_x, n_y))
+        P = np.zeros((3, n_x, n_y))
+        R[0, li, mi] = pdf["r0"].to_numpy(float)
+        R[1, li, mi] = pdf["r1"].to_numpy(float)
+        P[0, li, mi] = pdf["p0"].to_numpy(float)
+        P[1, li, mi] = pdf["p1"].to_numpy(float)
+        P[2, li, mi] = pdf["p2"].to_numpy(float)
+        models, R = mtmfs_maps(R, P, gain=gain, threshold=threshold,
+                               niter=niter)
         lat_l = np.repeat(np.arange(n_x, dtype=np.int32), n_y)
         lat_m = np.tile(np.arange(n_y, dtype=np.int32), n_x)
         frames = []
         for t in range(2):
             frames.append(pd.DataFrame({
                 "term": np.full(lat_l.size, t, np.int32),
-                pol: np.full(lat_l.size, key[0], np.int32),
+                pol: np.full(lat_l.size, key_[0], np.int32),
                 "l_idx": lat_l, "m_idx": lat_m,
                 "model": models[t, lat_l, lat_m],
                 "residual": R[t, lat_l, lat_m],
             }))
         return pd.concat(frames, ignore_index=True)
 
-    return both.groupBy(pol).applyInPandas(cube, schema)
+    return agg.groupBy(pol).applyInPandas(maps, schema)
 
 
 def spectral_index_map(taylor_df: DataFrame, *, pol: str = "pol",

@@ -68,7 +68,7 @@ _ROWS_ONLY_PRIORITY = [
     "synthesis_imaging_cube", "mosaic_image", "hogbom_clean",
     "dirty_image", "psf_image", "predict_modelvis", "self_cal_gains",
     "image_smooth", "spec_fit", "media_pixel_features",
-    "media_frame_sample", "rm_clean",
+    "media_frame_sample", "rm_clean", "fast_resolve",
 ]
 
 
@@ -1699,6 +1699,19 @@ def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter((F.col("model") != 0) | (F.col("l_idx") % 8 == 0))
 
 
+@register("fast_resolve", None)  # FFT Wiener solve: rows-only at
+def fast_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape Wiener MAP deconvolution (same 48² planes as
+    hogbom_clean); value-gated at small size via the 'fastres' part of
+    hogbom_small."""
+    from cngi_prototype_spark.imaging.fastresolve import (
+        deconvolve_fast_resolve as _dfr)
+    vis = _uv_vis(spark, sf_dir)
+    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
+    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
+    return _dfr(img, psf, noise_var=0.25, prior_power=2.5)
+
+
 def msclean_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape multi-scale CLEAN (bench entry): same 48² cube
     as hogbom_clean, 3 scales, value-gated at small size via the
@@ -1800,6 +1813,9 @@ def _rmclean_ctes() -> list[str]:
 from cngi_prototype_spark.imaging.asp import (  # noqa: E402
     deconvolve_adaptive_scale_pixel,
     gaussian_atom as _gaussian_atom,
+)
+from cngi_prototype_spark.imaging.fastresolve import (  # noqa: E402
+    deconvolve_fast_resolve,
 )
 from cngi_prototype_spark.imaging.mtclean import (  # noqa: E402
     _lin_conv as _np_lin_conv,
@@ -2122,6 +2138,63 @@ def _mtmfs_ctes() -> list[str]:
     return ctes
 
 
+# fast-resolve twin (deconvolve_fast_resolve): Wiener MAP solve on the
+# same img/psf lattices — closed-form, no iteration
+_FR_NVAR = 0.25   # image-plane noise variance sigma^2
+_FR_PRIOR = 2.5   # flat prior power s; eps = sigma^2/s = 0.1
+
+
+def _fastresolve_ctes() -> list[str]:
+    """Wiener MAP twin (deconvolve_fast_resolve): full 8×8 DFTs of the
+    dirty image and the origin-rolled psf, per-mode
+    conj(P)·D/(|P|²+ε) with ε = σ²/s injected as an exact literal,
+    inverse DFT for the model, and Σ_k σ²/(|P|²+ε)/N² for the
+    stationary posterior variance. The Spark side runs numpy FFTs on
+    bit-equal inputs; the only cross-engine drift is FFT-vs-DFT
+    accumulation order (~1e-13), absorbed by the final ROUND 6 exactly
+    like the imaging_fft 'dirty'/'psf' parts."""
+    n, c = _HB_N, _HB_N // 2
+    eps = f"{_FR_NVAR / _FR_PRIOR:.17e}"
+    nv = f"{_FR_NVAR:.17e}"
+
+    def _dft(src: str) -> str:
+        ph = (f"2 * PI() * (mo.j * i.l_idx + mo.k * i.m_idx)"
+              f" / {float(n)!r}")
+        return f"""(
+      SELECT mo.j, mo.k,
+             SUM(i.v * COS({ph})) AS re,
+             0e0 - SUM(i.v * SIN({ph})) AS im
+      FROM fr_mo mo, {src} i GROUP BY 1, 2)"""
+
+    iph = (f"2 * PI() * (m.j * t.l_idx + m.k * t.m_idx)"
+           f" / {float(n)!r}")
+    return [f"""
+    fr_mo AS (SELECT CAST(j.range AS INT) AS j, CAST(k.range AS INT) AS k
+              FROM range({n}) j, range({n}) k)""", f"""
+    fr_ker AS (
+      SELECT t.l_idx, t.m_idx, p.v
+      FROM ms_lat t JOIN psf p ON p.l_idx = (t.l_idx + {c}) % {n}
+                              AND p.m_idx = (t.m_idx + {c}) % {n})""",
+        f"""
+    fr_d AS {_dft('img')}""", f"""
+    fr_p AS {_dft('fr_ker')}""", f"""
+    fr_m AS (
+      SELECT d.j, d.k,
+             p.re * p.re + p.im * p.im + {eps} AS den,
+             (p.re * d.re + p.im * d.im)
+               / (p.re * p.re + p.im * p.im + {eps}) AS re,
+             (p.re * d.im - p.im * d.re)
+               / (p.re * p.re + p.im * p.im + {eps}) AS im
+      FROM fr_d d JOIN fr_p p ON p.j = d.j AND p.k = d.k)""", f"""
+    fr_out AS (
+      SELECT t.l_idx, t.m_idx,
+             SUM(m.re * COS({iph}) - m.im * SIN({iph}))
+               / {float(n * n)!r} AS v
+      FROM ms_lat t, fr_m m GROUP BY 1, 2)""", f"""
+    fr_err AS (SELECT SUM({nv} / den) / {float(n * n)!r} AS e
+               FROM fr_m)"""]
+
+
 def _sql_hogbom_small() -> str:
     n, c = _HB_N, _HB_N // 2
     g = f"{_HB_GAIN:.17e}"
@@ -2160,7 +2233,8 @@ def _sql_hogbom_small() -> str:
     # cross-engine boundary risk (msclean's conv inputs carry ~1e-14
     # FFT-vs-direct drift, absorbed by the final ROUND 6 like
     # synthesis_small).
-    ctes += _msclean_ctes() + _mtmfs_ctes() + _asp_ctes() + _rmclean_ctes()
+    ctes += (_msclean_ctes() + _mtmfs_ctes() + _asp_ctes()
+             + _rmclean_ctes() + _fastresolve_ctes())
     return (f"WITH {','.join(ctes)},\n"
             f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
             f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
@@ -2202,7 +2276,11 @@ def _sql_hogbom_small() -> str:
             f"    UNION ALL\n"
             f"    SELECT 'rmc_im', phi_idx, -1, "
             f"(ROUND(mi, 6) + 0.0), (ROUND(ri, 6) + 0.0) "
-            f"FROM rc_it{_RC_NITER}")
+            f"FROM rc_it{_RC_NITER}\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'fastres', f.l_idx, f.m_idx, "
+            f"(ROUND(f.v, 6) + 0.0), (ROUND(e.e, 6) + 0.0) "
+            f"FROM fr_out f CROSS JOIN fr_err e")
 
 
 @register("hogbom_small", _materialize_ctes(_sql_hogbom_small()))
@@ -2294,9 +2372,16 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(-1).alias("m_idx"),
                       (F.round("model_im", 6) + F.lit(0.0)).alias("model"),
                       (F.round("resid_im", 6) + F.lit(0.0)).alias("residual"))
+    # Wiener MAP (deconvolve_fast_resolve) on the same plane
+    fres = deconvolve_fast_resolve(
+        img, psf, noise_var=_FR_NVAR, prior_power=_FR_PRIOR).select(
+        F.lit("fastres").alias("part"), "l_idx", "m_idx",
+        (F.round("model", 6) + F.lit(0.0)).alias("model"),
+        (F.round("error", 6) + F.lit(0.0)).alias("residual"))
     return (clean.unionByName(conv).unionByName(msk)
             .unionByName(ms).unionByName(mt0).unionByName(mt1)
-            .unionByName(asp).unionByName(rc_re).unionByName(rc_im))
+            .unionByName(asp).unionByName(rc_re).unionByName(rc_im)
+            .unionByName(fres))
 
 
 # ---------------------------------------------------------------------------

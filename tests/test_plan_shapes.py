@@ -4,6 +4,8 @@ headline queries' physical plans."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import cngi_prototype_spark.queries as Q
@@ -198,3 +200,44 @@ def test_linear_mosaic_broadcasts_offsets_single_shuffle(spark):
     assert has_broadcast_join(out)
     assert has_partial_aggregation(out)
     assert count_exchanges(out) == 1
+
+
+def test_mtmfs_pre_reduces_taylor_maps_before_python(spark):
+    # MT-MFS must never ship the channel cube into a Python task: the
+    # Taylor/psf-moment reductions run as a Catalyst partial/final
+    # aggregate BEFORE the per-pol UDF, whose input carries exactly the
+    # 2*nterms+1 = 5 map columns (r0, r1, p0, p1, p2) — bounded by
+    # image size, not nchan.
+    import numpy as np
+    import pandas as pd
+    from cngi_prototype_spark.imaging.mtclean import (
+        deconvolve_multiterm_clean)
+    from cngi_prototype_spark.plans import explain_formatted
+    n = 4
+    li, mi = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    frames = [pd.DataFrame({
+        "chan": np.full(n * n, c, np.int32),
+        "pol": np.zeros(n * n, np.int32),
+        "l_idx": li.ravel().astype(np.int32),
+        "m_idx": mi.ravel().astype(np.int32),
+        "image": np.ones(n * n), "psf": np.ones(n * n),
+    }) for c in range(3)]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    for precise in (True, False):
+        out = deconvolve_multiterm_clean(
+            df.select("chan", "pol", "l_idx", "m_idx", "image"),
+            df.select("chan", "pol", "l_idx", "m_idx", "psf"),
+            nterms=2, freqs={0: 0.9e9, 1: 1.0e9, 2: 1.1e9},
+            precise=precise)
+        plan = explain_formatted(out)
+        # the python operator's input schema is the 5 reduced maps
+        m = re.search(
+            r"\(\d+\) FlatMapGroupsInPandas\nInput \[\d+\]: \[([^\]]*)\]",
+            plan)
+        assert m, plan
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        assert {"r0", "r1", "p0", "p1", "p2"} <= cols
+        assert "image" not in cols and "psf" not in cols
+        if not precise:
+            # production path: map-side combine on the channel sums
+            assert has_partial_aggregation(out)

@@ -199,3 +199,153 @@ def test_hogbom_production_parity(spark):
     got_r = _collect_planes(out, "residual")[(0, 0)]
     assert np.abs(got_m - model).max() < 1e-8
     assert np.abs(got_r - r).max() < 1e-8
+
+
+# ---- round-5 deconvolvers at mid-size vs the in-process numpy forms
+# (the unrolled-CTE twins pin 8x8 shapes; these protect the production
+# path between those shapes and the rows-only registrations) ----
+
+M = 48
+
+
+def _mid_psf(n=M, width=1.8):
+    x = (np.arange(n) - n // 2)[:, None]
+    y = (np.arange(n) - n // 2)[None, :]
+    p = np.exp(-(x * x + y * y) / (2 * width ** 2))
+    p[n // 2, n // 2] = 1.0
+    return p
+
+
+def _plane_rows(spark, planes):
+    """planes: {(chan, pol): (img, psf)} -> one DataFrame with both."""
+    frames = []
+    for (c, p), (img, psf) in planes.items():
+        li, mi = np.meshgrid(np.arange(img.shape[0]),
+                             np.arange(img.shape[1]), indexing="ij")
+        frames.append(pd.DataFrame({
+            "chan": np.full(img.size, c, np.int32),
+            "pol": np.full(img.size, p, np.int32),
+            "l_idx": li.ravel().astype(np.int32),
+            "m_idx": mi.ravel().astype(np.int32),
+            "image": img.ravel(), "psf": psf.ravel()}))
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def test_msclean_production_parity(spark):
+    from cngi_prototype_spark.imaging.mtclean import (
+        deconvolve_multiterm_clean, msclean_plane)
+    rng = np.random.default_rng(21)
+    psf = _mid_psf()
+    planes = {(c, 0): (rng.normal(size=(M, M)), psf) for c in range(2)}
+    df = _plane_rows(spark, planes)
+    out = deconvolve_multiterm_clean(
+        df.select("chan", "pol", "l_idx", "m_idx", "image"),
+        df.select("chan", "pol", "l_idx", "m_idx", "psf"),
+        scales=[0.0, 2.0, 4.0], gain=0.15, niter=15).toPandas()
+    for c in range(2):
+        want_m, want_r = msclean_plane(
+            planes[(c, 0)][0], psf, scales=[0.0, 2.0, 4.0], gain=0.15,
+            threshold=0.0, niter=15)
+        sel = out[out.chan == c]
+        got_m = np.zeros((M, M))
+        got_r = np.zeros((M, M))
+        got_m[sel.l_idx, sel.m_idx] = sel["model"]
+        got_r[sel.l_idx, sel.m_idx] = sel["residual"]
+        assert np.abs(got_m - want_m).max() < 1e-8
+        assert np.abs(got_r - want_r).max() < 1e-8
+
+
+@pytest.mark.parametrize("precise", [True, False])
+def test_mtmfs_production_parity_64chan(spark, precise):
+    # 64 chans x 48^2: the cube never reaches Python — the Catalyst
+    # pre-reduction must reproduce the in-process Taylor sums. precise
+    # (sorted fold) is bit-comparable; the production SUM path is
+    # order-free doubles, compared at the reference's 1e-8.
+    from cngi_prototype_spark.imaging.mtclean import (
+        deconvolve_multiterm_clean, mtmfs_cube)
+    nchan = 64
+    freqs = {c: 0.9e9 + c * 4.0e6 for c in range(nchan)}
+    nu = np.array([freqs[c] for c in sorted(freqs)])
+    rng = np.random.default_rng(22)
+    psf = _mid_psf()
+    res = rng.normal(size=(nchan, M, M))
+    planes = {(c, 0): (res[c], psf) for c in range(nchan)}
+    df = _plane_rows(spark, planes).repartition(16)
+    out = deconvolve_multiterm_clean(
+        df.select("chan", "pol", "l_idx", "m_idx", "image"),
+        df.select("chan", "pol", "l_idx", "m_idx", "psf"),
+        nterms=2, freqs=freqs, gain=0.2, niter=10,
+        precise=precise).toPandas()
+    models, R = mtmfs_cube(res, np.stack([psf] * nchan), nu, gain=0.2,
+                           threshold=0.0, niter=10)
+    tol = 1e-12 if precise else 1e-8
+    for t in range(2):
+        sel = out[out.term == t]
+        got_m = np.zeros((M, M))
+        got_r = np.zeros((M, M))
+        got_m[sel.l_idx, sel.m_idx] = sel["model"]
+        got_r[sel.l_idx, sel.m_idx] = sel["residual"]
+        assert np.abs(got_m - models[t]).max() < tol
+        assert np.abs(got_r - R[t]).max() < tol
+
+
+def test_asp_production_parity(spark):
+    from cngi_prototype_spark.imaging.asp import (
+        asp_plane, deconvolve_adaptive_scale_pixel)
+    rng = np.random.default_rng(23)
+    psf = _mid_psf()
+    dirty = rng.normal(size=(M, M))
+    df = _plane_rows(spark, {(0, 0): (dirty, psf)})
+    out = deconvolve_adaptive_scale_pixel(
+        df.select("chan", "pol", "l_idx", "m_idx", "image"),
+        df.select("chan", "pol", "l_idx", "m_idx", "psf"),
+        widths=[1.0, 2.0, 4.0], gain=0.5, niter=12).toPandas()
+    model, resid, _ = asp_plane(dirty, psf, widths=[1.0, 2.0, 4.0],
+                                gain=0.5, threshold=0.0, niter=12)
+    got_m = np.zeros((M, M))
+    got_r = np.zeros((M, M))
+    got_m[out.l_idx, out.m_idx] = out["model"]
+    got_r[out.l_idx, out.m_idx] = out["residual"]
+    assert np.abs(got_m - model).max() < 1e-8
+    assert np.abs(got_r - resid).max() < 1e-8
+
+
+def test_rmclean_production_parity(spark):
+    # 8x8 pixels x 16 chans x 25 phi, production (double) transform,
+    # vs the numpy transform + scalar per-pixel CLEAN
+    from cngi_prototype_spark.imaging.rmclean import (
+        deconvolve_rotation_measure_clean, lambda_sq_offsets,
+        rm_clean_pixel, rmtf_values)
+    freqs = {c: 1.0e9 + c * 3.0e7 for c in range(16)}
+    phi_grid = [float(p) for p in np.linspace(-50.0, 50.0, 25)]
+    phi = np.asarray(phi_grid)
+    lam2, l20 = lambda_sq_offsets(freqs)
+    d = lam2 - l20
+    rng = np.random.default_rng(24)
+    npx = 8
+    qv = rng.normal(size=(npx * npx, 16))
+    uv = rng.normal(size=(npx * npx, 16))
+    rows = []
+    for pix in range(npx * npx):
+        for ci, c in enumerate(sorted(freqs)):
+            rows.append((pix // npx, pix % npx, c,
+                         float(qv[pix, ci]), float(uv[pix, ci])))
+    df = spark.createDataFrame(
+        rows, schema="l_idx int, m_idx int, chan int, q double, u double")
+    out = deconvolve_rotation_measure_clean(
+        df, freqs, phi_grid, gain=0.25, niter=25,
+        precise=False).toPandas()
+    mat = np.empty((phi.size, phi.size), np.complex128)
+    for j in range(phi.size):
+        mat[:, j] = rmtf_values(freqs, phi - phi[j])
+    for pix in (0, 27, 63):
+        p = qv[pix] + 1j * uv[pix]
+        f = np.array([(p * np.exp(-2j * ph * d)).mean() for ph in phi])
+        want_m, want_r = rm_clean_pixel(f, mat, gain=0.25, threshold=0.0,
+                                        niter=25)
+        sel = out[(out.l_idx == pix // npx)
+                  & (out.m_idx == pix % npx)].sort_values("phi_idx")
+        assert np.abs(sel["model_re"].to_numpy() - want_m.real).max() < 1e-8
+        assert np.abs(sel["model_im"].to_numpy() - want_m.imag).max() < 1e-8
+        assert np.abs(sel["resid_re"].to_numpy() - want_r.real).max() < 1e-8
+        assert np.abs(sel["resid_im"].to_numpy() - want_r.imag).max() < 1e-8
