@@ -196,8 +196,12 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     vis = vis.persist()
     vis.count()
     mat_sec = round(time.time() - t0, 3)
+    # salt_probe: one counting pass over the (persisted) rows at plan
+    # build sub-salts heavy (plane, u-slab) groups so centrally-
+    # condensed coverage can't make one task the stage straggler
     img = make_image(vis, gp, image_size=(1000, 1000), weight="weight",
-                     variant="kernel", n_planes=16, output="planes")
+                     variant="kernel", n_planes=16, output="planes",
+                     salt_probe=True)
     return img, n_vis, mat_sec
 
 

@@ -143,6 +143,7 @@ def grid_visibilities(
     precise: bool = False,
     n_planes: int | None = None,
     dense_planes: bool = False,
+    salt_probe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid visibilities → ``(grid_df, sum_weight_df)``.
 
@@ -254,7 +255,8 @@ def grid_visibilities(
         wn = F.col(weight) * (nu * nv) if (dense_planes and not precise) else None
         grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol,
                                precise=precise, n_planes=n_planes,
-                               dense_planes=dense_planes, wn_col=wn)
+                               dense_planes=dense_planes, wn_col=wn,
+                               salt_probe=salt_probe)
         return grid, sum_weight
 
     raise ValueError(f"unknown gridder variant: {variant}")
@@ -279,7 +281,8 @@ def _pack_bits(gp: GridParms) -> tuple[int, int] | None:
 def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                         *, chan: str, pol: str,
                         n_planes: int | None,
-                        wn_col: Column | None = None) -> DataFrame:
+                        wn_col: Column | None = None,
+                        salt_probe: bool = False) -> DataFrame:
     """Dense-planes scatter, cut for throughput (the CHILES tier):
 
     - the six small integers (chan, pol, u_c, v_c, du, dv) are packed
@@ -375,7 +378,41 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     npart = src.rdd.getNumPartitions()
     nsub = max(1, npart // (2 * n_groups))
     gkey = F.shiftrightunsigned(F.col("_k"), shift_group)
-    if nsub > 1:
+    # Skew insurance (opt-in: one counting pass over the input at plan
+    # build — cheap when the caller has the rows persisted, a full
+    # recompute otherwise, hence not the default). Centrally-condensed
+    # uv coverage concentrates taps in few (plane, u-slab) groups;
+    # each group is one task's serial unit, so the heaviest group sets
+    # the stage's wall-clock. Probe the per-group row counts and
+    # sub-salt only the heavy ones (count > 1.5x mean) proportionally
+    # to their weight — the consumer already sums multiple partials
+    # per slab, so extra fat rows only cost their emission. This is
+    # stats-driven re-planning in the AQE spirit, done where AQE can't
+    # see (skew inside a single aggregate's groups).
+    hot: dict[int, int] = {}
+    if salt_probe and n_groups <= 65536:
+        cnts = src.groupBy(gkey.alias("_g")).count().collect()
+        if cnts:
+            mean = sum(r["count"] for r in cnts) / len(cnts)
+            hot = {int(r["_g"]): min(npart, int(np.ceil(r["count"] / mean)))
+                   for r in cnts if r["count"] > 1.5 * mean}
+    if hot:
+        # per-group salt factor via a BROADCAST join, never an inline
+        # CASE chain: a 100+-branch conditional on the key expression
+        # falls out of whole-stage codegen into interpreted eval
+        # (measured 6x slower on the skewed CHILES tier — the exact
+        # cliff this valve exists to prevent)
+        hot_df = spark.createDataFrame(
+            [(int(g), int(max(s, nsub))) for g, s in hot.items()],
+            schema="_hg bigint, _hsub int")
+        mult = max(max(hot.values()), nsub)
+        src = (src.withColumn("_g0", gkey)
+               .join(F.broadcast(hot_df),
+                     F.col("_g0") == F.col("_hg"), "left"))
+        gkey = (F.col("_g0") * F.lit(mult)
+                + F.pmod(F.xxhash64("_k"),
+                         F.coalesce(F.col("_hsub"), F.lit(nsub))))
+    elif nsub > 1:
         gkey = gkey * F.lit(nsub) + F.pmod(F.xxhash64("_k"), F.lit(nsub))
     aggs = [F.collect_list(F.struct("_k", "_wr", "_wi")).alias("_rows")]
     if wn_col is not None:
@@ -492,7 +529,8 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     *, chan: str, pol: str, precise: bool = False,
                     n_planes: int | None = None,
                     dense_planes: bool = False,
-                    wn_col: Column | None = None) -> DataFrame:
+                    wn_col: Column | None = None,
+                    salt_probe: bool = False) -> DataFrame:
     """Partial dense grid per partition via vectorized numpy scatter-add;
     sparse nonzero cells out, final combine by groupBy sum — the
     reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
@@ -667,7 +705,7 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         # packed-key + mapInArrow fast path (same partials contract)
         return _dense_planes_arrow(prepared, gp, cgk_arr,
                                    chan=chan, pol=pol, n_planes=n_planes,
-                                   wn_col=wn_col)
+                                   wn_col=wn_col, salt_probe=salt_probe)
     if dense_planes:
         import pyspark.sql.types as T
 

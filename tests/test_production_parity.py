@@ -349,3 +349,35 @@ def test_rmclean_production_parity(spark):
         assert np.abs(sel["model_im"].to_numpy() - want_m.imag).max() < 1e-8
         assert np.abs(sel["resid_re"].to_numpy() - want_r.real).max() < 1e-8
         assert np.abs(sel["resid_im"].to_numpy() - want_r.imag).max() < 1e-8
+
+
+def test_dense_gridder_salt_probe_parity(spark):
+    # centrally-condensed uv (triggers the hot-group probe) gridded
+    # with and without stats-driven sub-salting must agree at the
+    # reference tolerance — salting only changes partial-row
+    # boundaries, never the accumulated planes
+    from cngi_prototype_spark.imaging.image import make_image as mi
+    rng = np.random.default_rng(41)
+    n = 6000
+    uu = rng.uniform(-9000, 9000, (4, n)).mean(0)
+    vv = rng.uniform(-9000, 9000, (4, n)).mean(0)
+    pdf = pd.DataFrame({
+        "u": uu, "v": vv, "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32),
+        "pol": rng.integers(0, 2, n).astype(np.int32),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "weight": rng.uniform(0.5, 2.0, n),
+    })
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    kw = dict(image_size=(N, N), weight="weight", variant="kernel",
+              n_planes=2, output="planes")
+    plain = mi(df, GP, **kw).toPandas()
+    salted = mi(df, GP, salt_probe=True, **kw).toPandas()
+    df.unpersist()
+    assert len(plain) == len(salted)
+    pm = {(r.chan, r.pol): np.asarray(r.image) for r in plain.itertuples()}
+    sm = {(r.chan, r.pol): np.asarray(r.image) for r in salted.itertuples()}
+    assert set(pm) == set(sm)
+    for k in pm:
+        assert np.abs(pm[k] - sm[k]).max() < 1e-8

@@ -280,3 +280,78 @@ def test_sd_weight_flux_conservation_interior(seed):
             ksum += k
             total += w * k
     assert abs(total - w * ksum) < 1e-12 * max(1.0, abs(total))
+
+
+def test_stream_grid_accumulate_matches_dense_gridder_skewed_triggers(spark):
+    """Three triggers of centrally-condensed (skewed) micro-batches
+    accumulated through the streaming state store must reproduce the
+    DENSE fast-path gridder on the union of rows — including its fused
+    sum-of-weights — so the production scatter tier stays covered under
+    incremental state, not just the explode path."""
+    import shutil
+    import tempfile
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_grid_accumulate)
+
+    gp = GridParms(n_u=32, n_v=32, cell_u=2e-5, cell_v=2e-5,
+                   support=5, oversampling=100)
+    rng = np.random.default_rng(61)
+
+    def mk(n, sigma):
+        # Bates-like central condensation: mean of 4 uniforms
+        uu = rng.uniform(-4000 * sigma, 4000 * sigma, (4, n)).mean(0)
+        vv = rng.uniform(-4000 * sigma, 4000 * sigma, (4, n)).mean(0)
+        return pd.DataFrame({
+            "u": uu, "v": vv, "freq": np.full(n, 1.0e9),
+            "chan": (np.arange(n) % 2).astype(np.int32),
+            "pol": np.zeros(n, np.int32),
+            "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+            "weight": rng.uniform(0.5, 2.0, n),
+        })
+
+    batches = [mk(250, 1.0), mk(150, 0.4), mk(200, 0.15)]
+    tmp = tempfile.mkdtemp()
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b).write.parquet(f"{tmp}/in/f{i}")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+        q = (stream_grid_accumulate(stream, gp)
+             .writeStream.format("memory").queryName("sgrid_skew")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sgrid_skew").toPandas()
+
+        both = pd.concat(batches, ignore_index=True)
+        dense, _ = grid_visibilities(
+            spark.createDataFrame(both).repartition(6), gp,
+            variant="kernel", dense_planes=True, n_planes=2)
+        # place the partial u-slabs exactly like image_planes_from_dense
+        grids = {}
+        sumw = {}
+        for r in dense.toPandas().itertuples():
+            g = grids.setdefault((r.chan, r.pol),
+                                 np.zeros((gp.n_u, gp.n_v), np.complex128))
+            arr = (np.asarray(r.grid_re)
+                   + 1j * np.asarray(r.grid_im)).reshape(-1, gp.n_v)
+            u0 = int(r.u0)
+            a0, a1 = max(0, -u0), min(len(arr), gp.n_u - u0)
+            g[u0 + a0:u0 + a1] += arr[a0:a1]
+            sumw[(r.chan, r.pol)] = (sumw.get((r.chan, r.pol), 0.0)
+                                     + r.sum_w_norm)
+        for (c, p), g in grids.items():
+            sub = got[(got.chan == c) & (got.pol == p)]
+            sg = np.zeros((gp.n_u, gp.n_v), complex)
+            sg[sub.u_idx, sub.v_idx] = (sub.grid_re.to_numpy()
+                                        + 1j * sub.grid_im.to_numpy())
+            np.testing.assert_allclose(sg.real, g.real, atol=1e-10)
+            np.testing.assert_allclose(sg.imag, g.imag, atol=1e-10)
+        # fused sum-of-weights equals the standalone branch
+        _, sw_ref = grid_visibilities(spark.createDataFrame(both), gp,
+                                      variant="explode")
+        for r in sw_ref.toPandas().itertuples():
+            assert abs(sumw[(r.chan, r.pol)] - r.sum_weight) < 1e-9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
