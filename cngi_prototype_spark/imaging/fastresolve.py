@@ -31,10 +31,11 @@ stationary Gaussian prior on the sky:
   emitted as a per-pixel ``error`` column (uniform within a plane —
   the honest closed-form answer, not a per-pixel approximation).
 
-The stub's "wideband support" (spectral index map) is served by
-composing with the existing MT-MFS surface: run this per channel and
-feed the per-plane models to ``mtclean.spectral_index_map`` semantics,
-or deconvolve the Taylor maps directly with MT-MFS.
+The stub's "wideband support" (spectral index map) is
+:func:`fit_spectral_index`: run the Wiener solve per channel, then a
+per-pixel power-law least-squares fit over the channel models — pure
+Catalyst (one broadcast chan → ln ν table + one partial/final groupBy),
+so the cube never crosses into Python at all for the wideband step.
 
 Spark shape: the solve is closed-form per plane (two FFTs + a
 pointwise divide), so one ``applyInPandas`` group per (chan, pol)
@@ -45,10 +46,15 @@ driver loop, no cube ever crosses into one task.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cngi_prototype_spark.functions.exact import dsum
 
 
 def fast_resolve_plane(dirty: np.ndarray, psf: np.ndarray, *,
@@ -122,3 +128,51 @@ def deconvolve_fast_resolve(
         })
 
     return both.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
+def fit_spectral_index(
+    model_df: DataFrame,
+    freqs: dict[int, float],
+    *,
+    chan: str = "chan",
+    pol: str = "pol",
+    model: str = "model",
+    eps: float = 1e-12,
+    precise: bool = False,
+) -> DataFrame:
+    """Per-pixel power-law fit over a cube of channel models:
+    ``ln|m_c| = ln_flux + alpha * ln(nu_c)`` least-squares →
+    ``(pol, l_idx, m_idx, alpha, ln_flux)``.
+
+    The wideband companion to :func:`deconvolve_fast_resolve` — the
+    reference stub names "Error map (Spectral index map)" as the
+    output; run the Wiener solve per channel, then fit alpha here (the
+    same composition MT-MFS uses for its "Spectral Index + Evaluation"
+    step). Pure Catalyst: one broadcast of the chan → ln(nu) table and
+    one partial/final groupBy over pixels — the cube never leaves the
+    JVM, so the fit scales with image size x channels like any
+    aggregate. Channels with ``|m_c| <= eps`` are excluded per pixel
+    (log-domain guard); pixels left with <2 channels, or with a
+    singular normal matrix, are dropped. ``precise`` routes the four
+    sums through the DECIMAL-exact accumulator for the oracle twin.
+    """
+    spark = model_df.sparkSession
+    xdf = spark.createDataFrame(
+        [(int(c), math.log(float(f))) for c, f in sorted(freqs.items())],
+        schema=f"{chan} int, _x double")
+    j = (model_df.join(F.broadcast(xdf), on=chan)
+         .filter(F.abs(F.col(model)) > F.lit(eps))
+         .withColumn("_y", F.log(F.abs(F.col(model)))))
+    s = dsum if precise else F.sum
+    g = j.groupBy(pol, "l_idx", "m_idx").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        s(F.col("_x")).alias("_sx"), s(F.col("_y")).alias("_sy"),
+        s(F.col("_x") * F.col("_y")).alias("_sxy"),
+        s(F.col("_x") * F.col("_x")).alias("_sxx"))
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    alpha = (F.col("_n") * F.col("_sxy")
+             - F.col("_sx") * F.col("_sy")) / den
+    return (g.filter((F.col("_n") >= 2) & (den != 0))
+            .select(pol, "l_idx", "m_idx", alpha.alias("alpha"),
+                    ((F.col("_sy") - alpha * F.col("_sx")) / F.col("_n"))
+                    .alias("ln_flux")))

@@ -1816,6 +1816,7 @@ from cngi_prototype_spark.imaging.asp import (  # noqa: E402
 )
 from cngi_prototype_spark.imaging.fastresolve import (  # noqa: E402
     deconvolve_fast_resolve,
+    fit_spectral_index,
 )
 from cngi_prototype_spark.imaging.mtclean import (  # noqa: E402
     _lin_conv as _np_lin_conv,
@@ -2143,6 +2144,49 @@ def _mtmfs_ctes() -> list[str]:
 _FR_NVAR = 0.25   # image-plane noise variance sigma^2
 _FR_PRIOR = 2.5   # flat prior power s; eps = sigma^2/s = 0.1
 
+# wideband spectral-index fit twin (fit_spectral_index): positive
+# closed-form 3-chan cube on the MT lattice/frequencies
+_FRA_MODEL = ("25e-1 + (((l_idx * 5 + m_idx * 11 + chan * 3) % 17)"
+              " / 4e0 - 2e0) / 4e0")
+
+
+def _fit_alpha_ctes() -> list[str]:
+    """Per-pixel power-law LS over the closed-form cube — mirrors
+    fit_spectral_index(precise=True) in lockstep: identical injected
+    ln(nu) literals, DECIMAL-exact sums (sql_dsum), the same
+    (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) arithmetic. The only cross-engine
+    drift is LN of the model values (≤1 ulp), truncated at the
+    decimal quantum and absorbed by the final ROUND 6."""
+    from cngi_prototype_spark.functions.exact import sql_dsum
+    import math as _math
+    xv = ", ".join(
+        f"({c}, {_math.log(float(f)):.17e})"
+        for c, f in sorted(_MT_FREQS.items()))
+    return [f"""
+    fra_x(chan, x) AS (SELECT * FROM (VALUES {xv}))""", f"""
+    fra_y AS (
+      SELECT t.l_idx, t.m_idx, x.x,
+             LN(ABS({_FRA_MODEL.replace('chan', 'CAST(ch.range AS INT)')
+                     .replace('l_idx', 't.l_idx')
+                     .replace('m_idx', 't.m_idx')})) AS y
+      FROM ms_lat t, range(3) ch
+      JOIN fra_x x ON x.chan = CAST(ch.range AS INT)
+      WHERE ABS({_FRA_MODEL.replace('chan', 'CAST(ch.range AS INT)')
+                 .replace('l_idx', 't.l_idx')
+                 .replace('m_idx', 't.m_idx')}) > 1e-12)""", f"""
+    fra_s AS (
+      SELECT l_idx, m_idx, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx
+      FROM fra_y GROUP BY 1, 2)""", """
+    fra_o AS (
+      SELECT l_idx, m_idx,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS alpha,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS ln_flux
+      FROM fra_s
+      WHERE n >= 2 AND (n * sxx - sx * sx) <> 0)"""]
+
 
 def _fastresolve_ctes() -> list[str]:
     """Wiener MAP twin (deconvolve_fast_resolve): full 8×8 DFTs of the
@@ -2234,7 +2278,7 @@ def _sql_hogbom_small() -> str:
     # FFT-vs-direct drift, absorbed by the final ROUND 6 like
     # synthesis_small).
     ctes += (_msclean_ctes() + _mtmfs_ctes() + _asp_ctes()
-             + _rmclean_ctes() + _fastresolve_ctes())
+             + _rmclean_ctes() + _fastresolve_ctes() + _fit_alpha_ctes())
     return (f"WITH {','.join(ctes)},\n"
             f"    fin AS (SELECT * FROM r{_HB_NITER}),\n"
             f"    pk AS (SELECT MAX(ABS(r)) AS peak FROM fin)\n"
@@ -2280,7 +2324,11 @@ def _sql_hogbom_small() -> str:
             f"    UNION ALL\n"
             f"    SELECT 'fastres', f.l_idx, f.m_idx, "
             f"(ROUND(f.v, 6) + 0.0), (ROUND(e.e, 6) + 0.0) "
-            f"FROM fr_out f CROSS JOIN fr_err e")
+            f"FROM fr_out f CROSS JOIN fr_err e\n"
+            f"    UNION ALL\n"
+            f"    SELECT 'fr_alpha', l_idx, m_idx, "
+            f"(ROUND(alpha, 6) + 0.0), (ROUND(ln_flux, 6) + 0.0) "
+            f"FROM fra_o")
 
 
 @register("hogbom_small", _materialize_ctes(_sql_hogbom_small()))
@@ -2378,10 +2426,17 @@ def hogbom_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fastres").alias("part"), "l_idx", "m_idx",
         (F.round("model", 6) + F.lit(0.0)).alias("model"),
         (F.round("error", 6) + F.lit(0.0)).alias("residual"))
+    # wideband spectral-index fit over the closed-form 3-chan cube
+    fra = fit_spectral_index(
+        lat3.withColumn("model", F.expr(_FRA_MODEL)), _MT_FREQS,
+        precise=True).select(
+        F.lit("fr_alpha").alias("part"), "l_idx", "m_idx",
+        (F.round("alpha", 6) + F.lit(0.0)).alias("model"),
+        (F.round("ln_flux", 6) + F.lit(0.0)).alias("residual"))
     return (clean.unionByName(conv).unionByName(msk)
             .unionByName(ms).unionByName(mt0).unionByName(mt1)
             .unionByName(asp).unionByName(rc_re).unionByName(rc_im)
-            .unionByName(fres))
+            .unionByName(fres).unionByName(fra))
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,41 @@ def test_spark_matches_local(spark):
         got_m[sel.l_idx, sel.m_idx] = sel["model"]
         np.testing.assert_allclose(got_m, want_m, atol=1e-12)
         assert np.allclose(sel["error"], want_e)
+
+
+def test_fit_spectral_index_recovers_power_law(spark):
+    from cngi_prototype_spark.imaging.fastresolve import fit_spectral_index
+    freqs = {c: 0.8e9 * 1.3 ** c for c in range(4)}
+    alpha_true, flux = -0.7, 2.5
+    rows = []
+    for c, f in freqs.items():
+        for l in range(3):
+            for m in range(3):
+                a = alpha_true + 0.1 * l - 0.05 * m
+                rows.append((int(c), 0, l, m,
+                             float(flux * (f / 1.0e9) ** a)))
+    df = spark.createDataFrame(
+        rows, schema="chan int, pol int, l_idx int, m_idx int, model double")
+    for precise in (False, True):
+        out = fit_spectral_index(df, freqs, precise=precise).toPandas()
+        assert len(out) == 9
+        for r in out.itertuples():
+            want = alpha_true + 0.1 * r.l_idx - 0.05 * r.m_idx
+            assert abs(r.alpha - want) < 1e-9
+            # ln_flux is the intercept at ln(nu)=0; recover flux at 1 GHz
+            got_flux = np.exp(r.ln_flux + r.alpha * np.log(1.0e9))
+            assert abs(got_flux - flux) < 1e-6
+
+
+def test_fit_spectral_index_drops_singular_and_sparse_pixels(spark):
+    from cngi_prototype_spark.imaging.fastresolve import fit_spectral_index
+    freqs = {0: 1.0e9, 1: 1.2e9}
+    rows = [
+        (0, 0, 0, 0, 2.0), (1, 0, 0, 0, 1.8),   # fine: 2 chans
+        (0, 0, 1, 1, 2.0),                       # only 1 chan -> dropped
+        (0, 0, 2, 2, 0.0), (1, 0, 2, 2, 0.0),    # zero models -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, schema="chan int, pol int, l_idx int, m_idx int, model double")
+    out = fit_spectral_index(df, freqs).toPandas()
+    assert len(out) == 1 and out.l_idx.iloc[0] == 0
