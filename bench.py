@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_features",
     "minhash_lsh_candidates",
     "ngram_jaccard",
+    "decontaminate",
     "dedup_minhash_verified",
     "simhash",
     "ann_cosine_topk",
@@ -231,6 +232,7 @@ def main() -> None:
         "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
         "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
         "rm_clean": Q.rm_clean_bench_q,        # production 48² × 8-chan shape
+        "ngram_jaccard": Q.ngram_jaccard_bench_q,  # pairs-only (no contam part)
     }
     # Per-query noise insurance (round-5 finding: single-shot timings in
     # the shared session are host-steal-dominated — four queries recorded

@@ -414,3 +414,79 @@ def sql_duplicate_clusters(pairs_sql: str) -> str:
     SELECT node AS doc_id, MIN(r) AS canonical_id
     FROM reach GROUP BY node
     """
+
+
+# --- Benchmark decontamination ---------------------------------------------
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share word
+    n-grams with a held-out benchmark/eval set, and how much →
+    ``(doc_id, bench_id, n_overlap, doc_ngrams, overlap_frac)``.
+
+    The standard training-data hygiene pass (the GPT-3 appendix-C /
+    PaLM-style 13-gram decontamination, here parameterized by
+    ``shingle_n``): a corpus doc is flagged when at least
+    ``min_overlap`` of its distinct n-grams appear in a benchmark doc.
+
+    Scale shape: the benchmark side is small by construction, so its
+    exploded gram set BROADCASTS and the probe over the corpus grams is
+    a map-side hash join — no corpus shuffle until the bounded
+    (doc, bench) pair aggregation. The corpus side is a pure
+    projection + explode; ``doc_ngrams`` rides the exploded rows so no
+    second pass over the corpus is needed. ``overlap_frac`` is an
+    integer ratio (bit-identical across engines, like jaccard).
+    ``exclude_self`` drops same-id pairs so a benchmark stored inside
+    the corpus doesn't flag itself.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    shingles(F.col(text_col), shingle_n).alias("__sh"))
+    dg = d.select("doc_id", F.size("__sh").alias("doc_ngrams"),
+                  F.explode("__sh").alias("gram"))
+    bg = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(shingles(F.col(bench_text_col), shingle_n)).alias("gram"))
+    ov = dg.join(F.broadcast(bg), "gram")
+    if exclude_self:
+        ov = ov.filter(F.col("doc_id") != F.col("bench_id"))
+    return (ov.groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"),
+                 F.min("doc_ngrams").alias("doc_ngrams"))
+            .filter(F.col("n_overlap") >= min_overlap)
+            .withColumn("overlap_frac",
+                        F.col("n_overlap").cast("double")
+                        / F.col("doc_ngrams").cast("double")))
+
+
+def sql_ngram_contamination(shingle_n: int = 8, min_overlap: int = 1,
+                            bench_pred: str = "doc_id % 13 = 0") -> str:
+    """Oracle twin: the benchmark set is the ``bench_pred`` subset of
+    the documents table (the gate's stand-in for a separate eval
+    table)."""
+    sh = sql_shingles("text", shingle_n)
+    return f"""
+    WITH cd AS (SELECT doc_id, {sh} AS sh FROM documents),
+    cdg AS (SELECT doc_id, len(sh) AS doc_ngrams, UNNEST(sh) AS gram
+            FROM cd),
+    cbg AS (SELECT doc_id AS bench_id, UNNEST(sh) AS gram
+            FROM cd WHERE {bench_pred})
+    SELECT g.doc_id, b.bench_id,
+           COUNT(*) AS n_overlap, MIN(g.doc_ngrams) AS doc_ngrams,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MIN(g.doc_ngrams) AS DOUBLE)
+             AS overlap_frac
+    FROM cdg g JOIN cbg b ON b.gram = g.gram
+    WHERE g.doc_id <> b.bench_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_overlap}
+    """

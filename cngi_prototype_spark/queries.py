@@ -805,12 +805,14 @@ from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
     minhash_lsh_candidates,
     duplicate_clusters,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     sql_dedup_minhash_verified,
     sql_duplicate_clusters,
     sql_minhash_lsh_candidates,
     sql_minhash_signatures,
+    sql_ngram_contamination,
     sql_ngram_jaccard_pairs,
     sql_simhash_fingerprints,
 )
@@ -884,10 +886,46 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   num_hashes=8, bands=4, shingle_n=3)
 
 
-@register("ngram_jaccard", sql_ngram_jaccard_pairs(3, 0.05))
+@register(
+    "ngram_jaccard",
+    f"""
+    SELECT 'jac' AS part, id_a, id_b, jaccard
+    FROM ({sql_ngram_jaccard_pairs(3, 0.05)})
+    UNION ALL
+    -- benchmark decontamination (gram-set overlap vs the doc_id%13
+    -- held-out subset): integer-ratio overlap_frac, bit-exact
+    SELECT 'contam', doc_id, bench_id, overlap_frac
+    FROM ({sql_ngram_contamination(3, 2)})
+    """,
+)
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    jac = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05).select(
+        F.lit("jac").alias("part"), "id_a", "id_b", "jaccard")
+    contam = ngram_contamination(
+        docs, docs.filter(F.col("doc_id") % 13 == 0),
+        shingle_n=3, min_overlap=2).select(
+        F.lit("contam").alias("part"), F.col("doc_id").alias("id_a"),
+        F.col("bench_id").alias("id_b"),
+        F.col("overlap_frac").alias("jaccard"))
+    return jac.unionByName(contam)
+
+
+def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: the original pairs-only scope (round-over-round
+    comparability; the gate gained a 'contam' union part)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir),
                                shingle_n=3, threshold=0.05)
+
+
+@register("decontaminate", None)  # production 8-gram shape: rows-only
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape benchmark decontamination: 8-gram overlap of
+    the full corpus against the doc_id%13 held-out subset (value-gated
+    at 3-gram via the 'contam' part of ngram_jaccard)."""
+    docs = _docs(spark, sf_dir)
+    return ngram_contamination(docs, docs.filter(F.col("doc_id") % 13 == 0),
+                               shingle_n=8, min_overlap=1)
 
 
 @register(

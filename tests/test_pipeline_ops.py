@@ -140,3 +140,40 @@ def test_duplicate_clusters_long_chain_converges(spark):
     out = duplicate_clusters(pairs).toPandas()
     assert (out["canonical_id"] == 0).all()
     assert len(out) == 40
+
+
+def test_ngram_contamination_flags_overlap_and_skips_self(spark):
+    from cngi_prototype_spark.dedup.dedup import ngram_contamination
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence with no overlap here at all"),
+        (3, "quick brown fox jumps over something else entirely today"),
+        (100, "the quick brown fox jumps over the lazy dog"),  # benchmark
+    ], ["doc_id", "text"])
+    bench = docs.filter("doc_id >= 100")
+    out = ngram_contamination(docs, bench, shingle_n=3,
+                              min_overlap=1).toPandas()
+    got = {(r.doc_id, r.bench_id): (r.n_overlap, r.doc_ngrams)
+           for r in out.itertuples()}
+    # doc 1 is an exact copy of the benchmark: all 7 trigrams overlap
+    assert got[(1, 100)] == (7, 7)
+    # doc 3 shares 'quick brown fox','brown fox jumps','fox jumps over'
+    assert got[(3, 100)][0] == 3
+    # doc 2 shares nothing; the benchmark doc never flags itself
+    assert (2, 100) not in got and (100, 100) not in got
+    fr = out.set_index(["doc_id", "bench_id"]).overlap_frac
+    assert abs(fr[(1, 100)] - 1.0) < 1e-15
+    assert abs(fr[(3, 100)] - 3.0 / 7.0) < 1e-15
+
+
+def test_ngram_contamination_min_overlap_threshold(spark):
+    from cngi_prototype_spark.dedup.dedup import ngram_contamination
+    docs = spark.createDataFrame([
+        (1, "one two three four five six"),
+        (100, "one two three apple banana cherry"),
+    ], ["doc_id", "text"])
+    bench = docs.filter("doc_id >= 100")
+    assert ngram_contamination(docs, bench, shingle_n=3,
+                               min_overlap=1).count() == 1
+    assert ngram_contamination(docs, bench, shingle_n=3,
+                               min_overlap=2).count() == 0

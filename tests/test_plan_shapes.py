@@ -241,3 +241,13 @@ def test_mtmfs_pre_reduces_taylor_maps_before_python(spark):
         if not precise:
             # production path: map-side combine on the channel sums
             assert has_partial_aggregation(out)
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    # the benchmark gram set must broadcast (map-side probe over the
+    # corpus), and the (doc, bench) pair aggregation must reuse the
+    # corpus's doc_id partitioning — the only exchanges in the plan are
+    # the two input repartitions, none for the join or the aggregate
+    df = Q.queries()["decontaminate"](spark, SF)
+    assert broadcast_hint_count(df) == 1
+    assert count_exchanges(df) == 2
