@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "fast_resolve",
     # training-data pipeline tier
     "text_features",
+    "chunk_documents",
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "decontaminate",

@@ -829,6 +829,8 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     sql_lsh_topk,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
+    chunk_documents,
+    sql_chunk_documents,
     sql_doc_fingerprint,
     sql_language_id,
     sql_quality_score,
@@ -896,6 +898,12 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- held-out subset): integer-ratio overlap_frac, bit-exact
     SELECT 'contam', doc_id, bench_id, overlap_frac
     FROM ({sql_ngram_contamination(3, 2)})
+    UNION ALL
+    -- document chunking boundaries (5-token chunks, overlap 2):
+    -- exact integer token counts per (doc, chunk)
+    SELECT 'chunk', doc_id, chunk_id,
+           CAST(n_chunk_tokens AS DOUBLE)
+    FROM ({sql_chunk_documents(5, 2)})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,7 +916,11 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("contam").alias("part"), F.col("doc_id").alias("id_a"),
         F.col("bench_id").alias("id_b"),
         F.col("overlap_frac").alias("jaccard"))
-    return jac.unionByName(contam)
+    chunk = chunk_documents(docs, chunk_tokens=5, overlap=2).select(
+        F.lit("chunk").alias("part"), F.col("doc_id").alias("id_a"),
+        F.col("chunk_id").cast("long").alias("id_b"),
+        F.col("n_chunk_tokens").cast("double").alias("jaccard"))
+    return jac.unionByName(contam).unionByName(chunk)
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +928,15 @@ def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparability; the gate gained a 'contam' union part)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir),
                                shingle_n=3, threshold=0.05)
+
+
+@register("chunk_documents", None)  # projection-only: rows-only
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape document chunking (128-token chunks, 16-token
+    overlap; value-gated at 5/2 via the 'chunk' part of
+    ngram_jaccard)."""
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_tokens=128, overlap=16)
 
 
 @register("decontaminate", None)  # production 8-gram shape: rows-only

@@ -253,3 +253,70 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(F.lower(F.trim("_text"))).alias("md5_norm"),
         F.array_min(F.transform("_sh", lambda s: F.md5(s))).alias("minhash1"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks (with optional
+    token overlap between consecutive chunks) →
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    The pre-tokenization sharding pass of a training pipeline: long
+    documents become bounded units so downstream per-row work (BPE,
+    embedding, dedup) has bounded memory and skew. Pure Catalyst —
+    tokenize once, then one ``transform(sequence(...))`` over chunk
+    starts and an ``explode``; a projection with no shuffle and no
+    Python, so it composes with any scan at 100 TB. Chunk ``i`` covers
+    tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk may be short
+    but is never empty. NULL docs yield no rows; an empty/whitespace
+    doc tokenizes to a single empty token (the tokenizer's convention,
+    shared with token_stats and both engines' split semantics) and so
+    yields one empty-text chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: ceil((n - overlap) / stride), at least 1 when
+    # the doc has any token at all
+    n_chunks = F.when(n > 0, F.ceil((n - F.lit(overlap))
+                                    / F.lit(float(stride))).cast("int"))
+    d = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks"),
+        F.explode(
+            F.when(n > 0,
+                   F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
+            .otherwise(F.array().cast("array<int>"))).alias("chunk_id"))
+    sl = F.slice("__toks", F.col("chunk_id") * stride + 1, chunk_tokens)
+    return d.select(
+        "doc_id", "chunk_id", F.size(sl).alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"))
+
+
+def sql_chunk_documents(chunk_tokens: int = 128, overlap: int = 0,
+                        text: str = "text") -> str:
+    """Oracle twin of :func:`chunk_documents` over the documents view."""
+    stride = chunk_tokens - overlap
+    toks = _sql_tokens(text)
+    return f"""
+    WITH ck AS (
+      SELECT doc_id, {toks} AS toks,
+             CAST(CEIL((len({toks}) - {overlap}) / CAST({stride} AS DOUBLE))
+                  AS INT) AS n_chunks
+      FROM documents WHERE len({toks}) > 0)
+    SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+           len(toks[g.i * {stride} + 1 : g.i * {stride} + {chunk_tokens}])
+             AS n_chunk_tokens,
+           array_to_string(
+             toks[g.i * {stride} + 1 : g.i * {stride} + {chunk_tokens}],
+             ' ') AS chunk_text
+    FROM ck, UNNEST(range(0, GREATEST(n_chunks, 1))) AS g(i)
+    """

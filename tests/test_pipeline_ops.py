@@ -177,3 +177,37 @@ def test_ngram_contamination_min_overlap_threshold(spark):
                                min_overlap=1).count() == 1
     assert ngram_contamination(docs, bench, shingle_n=3,
                                min_overlap=2).count() == 0
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    from cngi_prototype_spark.text.analysis import chunk_documents
+    docs = spark.createDataFrame([
+        (1, " ".join(f"w{i}" for i in range(13))),
+        (2, "short doc"),
+        (3, None),
+    ], ["doc_id", "text"])
+    # no overlap: chunks partition the token sequence exactly
+    out = chunk_documents(docs, chunk_tokens=5, overlap=0).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert list(d1.n_chunk_tokens) == [5, 5, 3]
+    assert " ".join(d1.chunk_text) == " ".join(f"w{i}" for i in range(13))
+    assert list(out[out.doc_id == 2].n_chunk_tokens) == [2]
+    assert (out.doc_id != 3).all()  # NULL text -> no rows
+    # overlap 2: consecutive chunks share their boundary tokens
+    ov = chunk_documents(docs, chunk_tokens=5, overlap=2).toPandas()
+    d1 = ov[ov.doc_id == 1].sort_values("chunk_id")
+    texts = list(d1.chunk_text)
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[-2:] == b.split()[:2]
+    # stride=3: starts 0,3,6,9 — ceil((13-2)/3) = 4 chunks, the last
+    # covering through token 12 (all tokens appear)
+    assert list(d1.n_chunk_tokens) == [5, 5, 5, 4]
+    assert texts[-1].split()[-1] == "w12"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from cngi_prototype_spark.text.analysis import chunk_documents
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
