@@ -450,13 +450,22 @@ def ngram_contamination(
     ``exclude_self`` drops same-id pairs so a benchmark stored inside
     the corpus doesn't flag itself.
     """
+    # join on xxhash64 of the gram, not the string: 8-byte broadcast
+    # keys and hash-compare probes (measured ~40% of the sf0.1 runtime
+    # was string hashing/compares). Counts are unchanged short of a
+    # 2^-64 collision; the oracle twin joins the actual strings, so a
+    # collision would surface as a gate mismatch rather than pass
+    # silently (the ngram_jaccard inverted index sets the precedent).
     d = docs.select(F.col(id_col).alias("doc_id"),
                     shingles(F.col(text_col), shingle_n).alias("__sh"))
-    dg = d.select("doc_id", F.size("__sh").alias("doc_ngrams"),
-                  F.explode("__sh").alias("gram"))
+    dg = d.select(
+        "doc_id", F.size("__sh").alias("doc_ngrams"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("gram"))
     bg = bench.select(
         F.col(bench_id_col).alias("bench_id"),
-        F.explode(shingles(F.col(bench_text_col), shingle_n)).alias("gram"))
+        F.explode(F.transform(
+            shingles(F.col(bench_text_col), shingle_n),
+            lambda g: F.xxhash64(g))).alias("gram"))
     ov = dg.join(F.broadcast(bg), "gram")
     if exclude_self:
         ov = ov.filter(F.col("doc_id") != F.col("bench_id"))
