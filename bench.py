@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "embedding_neardup_exact",
     "embedding_neardup_lsh",
+    "semantic_dedup",
     "media_suite",
 ]
 

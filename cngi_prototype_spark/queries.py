@@ -822,11 +822,13 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     lsh_topk,
     cosine_pairs_lsh,
     ivf_topk,
+    semantic_dedup,
     sql_brute_force_topk,
     sql_cosine_pairs,
     sql_cosine_pairs_lsh,
     sql_ivf_topk,
     sql_lsh_topk,
+    sql_semantic_dedup,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
     chunk_documents,
@@ -1114,6 +1116,22 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(floor_ivf))
 
 
+# Fixed deterministic centroids for the semantic-dedup gate part: the
+# production path trains them (train_ivf_centroids), but oracle_sql is
+# a static string, so the gate pins 4 seeded unit vectors — the
+# PIPELINE (assign -> cluster pairs -> components -> canonical) is what
+# the twin value-checks; the trainer has its own truth-recovery tests.
+def _sem_centroids() -> list[list[float]]:
+    import numpy as np
+    rng = np.random.default_rng(77)
+    c = rng.normal(size=(4, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+_SEM_CENTROIDS = _sem_centroids()
+
+
 # Near-dup: the all-pairs blocked-matmul EXACT path and the scale-path
 # LSH (banded buckets -> exact re-rank, no block cross-join) share one
 # slot; the LSH twin reuses the deterministic md5 planes.
@@ -1123,6 +1141,11 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'exact' AS path, * FROM ({sql_cosine_pairs(0.4)})
     UNION ALL
     SELECT 'lsh', * FROM ({sql_cosine_pairs_lsh(0.4, 64, 4, 6)})
+    UNION ALL
+    -- SemDeDup pipeline on pinned centroids: id_b carries the
+    -- canonical id, cos_sim carries the cluster cell
+    SELECT 'sem', vec_id, canonical_id, CAST(cell AS DOUBLE)
+    FROM ({sql_semantic_dedup(_SEM_CENTROIDS, 0.4)})
     """,
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,7 +1154,23 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exact").alias("path"), "*")
     ls = cosine_pairs_lsh(emb, threshold=0.4, dim=64, num_bands=4,
                           planes_per_band=6).select(F.lit("lsh").alias("path"), "*")
-    return ex.unionByName(ls)
+    sem = semantic_dedup(emb, _SEM_CENTROIDS, threshold=0.4).select(
+        F.lit("sem").alias("path"), F.col("vec_id").alias("id_a"),
+        F.col("canonical_id").alias("id_b"),
+        F.col("cell").cast("double").alias("cos_sim"))
+    return ex.unionByName(ls).unionByName(sem)
+
+
+@register("semantic_dedup", None)  # trained-centroid production shape
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup: train the coarse quantizer on the corpus
+    (driver-side spherical k-means, the IVF trainer), then the
+    assign->cluster-pairs->components pipeline that the 'sem' part of
+    embedding_neardup value-checks on pinned centroids."""
+    from cngi_prototype_spark.similarity.ann import train_ivf_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    return semantic_dedup(emb, cents, threshold=0.4)
 
 
 def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,3 +211,43 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_semantic_dedup_groups_within_clusters(spark):
+    from cngi_prototype_spark.similarity.ann import semantic_dedup
+    # two orthogonal clusters; ids 0,1 near-identical in cluster A,
+    # id 2 distinct in A; ids 10,11 near-identical in cluster B
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.02, 0.0]), (1, [1.0, 0.021, 0.0]),
+        (2, [0.9, -0.4, 0.1]),
+        (10, [0.01, 1.0, 0.0]), (11, [0.012, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, cents, threshold=0.999).toPandas()
+    got = out.set_index("vec_id")
+    assert got.loc[0, "cell"] == 0 and got.loc[10, "cell"] == 1
+    assert got.loc[1, "canonical_id"] == 0 and not got.loc[1, "is_kept"]
+    assert got.loc[11, "canonical_id"] == 10 and not got.loc[11, "is_kept"]
+    # singleton keeps itself; cross-cluster near-dups are NOT grouped
+    assert got.loc[2, "canonical_id"] == 2 and got.loc[2, "is_kept"]
+    assert got.loc[0, "is_kept"] and got.loc[10, "is_kept"]
+
+
+def test_semantic_dedup_trained_centroids_end_to_end(spark):
+    from cngi_prototype_spark.similarity.ann import (
+        semantic_dedup, train_ivf_centroids)
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(6):  # 6 near-copies of each base vector
+            rows.append((vid, (b + 1e-4 * rng.normal(size=16)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_centroids=4, sample=24, iters=5)
+    out = semantic_dedup(df, cents, threshold=0.999).toPandas()
+    # each 6-copy family collapses to one canonical representative
+    assert out.is_kept.sum() == 4
+    assert out.groupby("canonical_id").size().tolist() == [6, 6, 6, 6]
