@@ -253,3 +253,39 @@ def test_stream_grid_accumulate_equals_batch(spark):
         np.testing.assert_allclose(m.grid_im_s, m.grid_im_b, atol=1e-10)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ngram_contamination_lifts_to_streaming(spark):
+    """Decontamination is broadcast-join + aggregation, so it runs
+    unchanged over a document stream (update-mode state bounded by
+    flagged pairs) — the live-ingest hygiene filter composition."""
+    import pandas as pd
+
+    from cngi_prototype_spark.dedup.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["alpha beta gamma delta something else",
+                               "unrelated words only here friend"]}),
+        pd.DataFrame({"doc_id": [3],
+                      "text": ["beta gamma delta epsilon tail words"]}),
+    ]
+    tmp = tempfile.mkdtemp()
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b).write.parquet(f"{tmp}/in/f{i}")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+        out = ngram_contamination(stream, bench, shingle_n=3, min_overlap=1)
+        q = (out.writeStream.format("memory").queryName("contam_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM contam_stream").toPandas()
+        flags = {(r.doc_id, r.bench_id): r.n_overlap
+                 for r in got.itertuples()}
+        assert flags == {(1, 100): 2, (3, 100): 2}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
