@@ -251,3 +251,15 @@ def test_semantic_dedup_trained_centroids_end_to_end(spark):
     # each 6-copy family collapses to one canonical representative
     assert out.is_kept.sum() == 4
     assert out.groupby("canonical_id").size().tolist() == [6, 6, 6, 6]
+
+
+def test_semantic_dedup_no_pairs_keeps_everything(spark):
+    from cngi_prototype_spark.similarity.ann import semantic_dedup
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(0, [1.0, 0.1]), (1, [0.1, 1.0]), (2, [0.8, -0.6])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # impossible threshold: zero pairs -> every vector is its own
+    # canonical (the empty-component path through duplicate_clusters)
+    out = semantic_dedup(df, cents, threshold=1.000001).toPandas()
+    assert len(out) == 3 and out.is_kept.all()
+    assert (out.vec_id == out.canonical_id).all()
