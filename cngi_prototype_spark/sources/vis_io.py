@@ -181,3 +181,41 @@ def read_simple_table(spark: SparkSession, infile: str, subtable: str,
             add_row_id,
             F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
     return df
+
+
+def write_vis_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a vis store as a BUCKETED catalog table (hash-bucketed on
+    ``bucket_by`` into ``n_buckets`` files per partition, optionally
+    sorted within buckets).
+
+    The co-located-join leg of the scale toolkit: two stores bucketed
+    identically on their join keys (e.g. ``baseline`` for vis⋈vis, or
+    ``doc_id`` for corpus⋈features) join WITHOUT either side
+    shuffling — Catalyst recognizes the matching output partitioning
+    and plans a zero-Exchange sort-merge join
+    (tests/test_plan_shapes.py asserts it). At 100 TB, re-bucketing
+    once at ingest amortizes every downstream key-aligned join/groupBy
+    of a pipeline; ``sort_by`` additionally removes the per-task sort
+    from SMJ reads. Bucketing requires the table catalog (parquet files
+    + bucket metadata under spark.sql.warehouse.dir), unlike plain
+    ``write_vis`` paths."""
+    t0 = time.time()
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+    return {"elapsed_sec": time.time() - t0}
+
+
+def read_vis_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog (possibly bucketed) vis table; bucket metadata
+    rides the scan, so key-aligned joins skip their shuffles."""
+    return spark.table(table)

@@ -251,3 +251,29 @@ def test_decontaminate_broadcasts_bench_side(spark):
     df = Q.queries()["decontaminate"](spark, SF)
     assert broadcast_hint_count(df) == 1
     assert count_exchanges(df) == 2
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # two stores bucketed identically on the join key: the sort-merge
+    # join must run with ZERO exchanges (co-located bucketed scan)
+    import pandas as pd
+
+    from cngi_prototype_spark.sources.vis_io import (
+        read_vis_table, write_vis_bucketed)
+
+    a = spark.createDataFrame(pd.DataFrame({
+        "baseline": range(100), "va": [float(i) for i in range(100)]}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "baseline": range(100), "vb": [float(i * 2) for i in range(100)]}))
+    write_vis_bucketed(a, "bkt_a", bucket_by=["baseline"], n_buckets=4,
+                       sort_by=["baseline"])
+    write_vis_bucketed(b, "bkt_b", bucket_by=["baseline"], n_buckets=4,
+                       sort_by=["baseline"])
+    try:
+        j = read_vis_table(spark, "bkt_a").join(
+            read_vis_table(spark, "bkt_b"), "baseline")
+        assert count_exchanges(j) == 0
+        assert j.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
