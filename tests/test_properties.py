@@ -355,3 +355,57 @@ def test_stream_grid_accumulate_matches_dense_gridder_skewed_triggers(spark):
             assert abs(sumw[(r.chan, r.pol)] - r.sum_weight) < 1e-9
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+words_strategy = st.lists(
+    st.sampled_from([f"tok{i}" for i in range(12)]), min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words_strategy, st.integers(2, 7), st.integers(0, 3))
+def test_chunk_documents_partition_properties(spark, words, n, overlap):
+    """For any doc: chunks cover every token exactly once at overlap=0;
+    with overlap, consecutive chunks share exactly `overlap` tokens
+    (except a possibly-shorter tail) and re-splicing reproduces the
+    doc."""
+    from cngi_prototype_spark.text.analysis import chunk_documents
+    overlap = min(overlap, n - 1)
+    stride = n - overlap
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = (chunk_documents(df, chunk_tokens=n, overlap=overlap)
+           .toPandas().sort_values("chunk_id"))
+    chunks = [c.split(" ") for c in out.chunk_text]
+    assert int(out.n_chunk_tokens.sum()) == sum(len(c) for c in chunks)
+    # chunk i starts at i*stride and matches the source slice
+    for i, c in enumerate(chunks):
+        assert c == words[i * stride:i * stride + n]
+    # full coverage: the last chunk reaches the final token
+    assert (len(chunks) - 1) * stride + len(chunks[-1]) == len(words)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words_strategy, words_strategy)
+def test_contamination_overlap_matches_set_arithmetic(spark, wa, wb):
+    """n_overlap equals the exact distinct-trigram set intersection;
+    overlap_frac = |A∩B| / |A|."""
+    from cngi_prototype_spark.dedup.dedup import ngram_contamination
+
+    def grams(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    ga, gb = grams(wa), grams(wb)
+    df = spark.createDataFrame(
+        [(1, " ".join(wa)), (100, " ".join(wb))], ["doc_id", "text"])
+    out = ngram_contamination(df, df.filter("doc_id = 100"),
+                              shingle_n=3, min_overlap=1).toPandas()
+    inter = ga & gb
+    if not ga or not inter:
+        assert len(out) == 0
+    else:
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.doc_id, r.bench_id) == (1, 100)
+        assert r.n_overlap == len(inter) and r.doc_ngrams == len(ga)
+        assert abs(r.overlap_frac - len(inter) / len(ga)) < 1e-15
