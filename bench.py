@@ -243,33 +243,39 @@ def main() -> None:
     # per query (N=2 default: first run pays codegen JIT, min reports
     # steady state), same honesty the CHILES tier already has.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    last_run: dict[str, float] = {}
 
-    def _timed_min(fn, *args) -> float:
+    def _timed_min(fn, *args, key: str | None = None) -> float:
         best = None
         for _ in range(runs):
             t0 = time.time()
             _run(fn(*args))
             el = round(time.time() - t0, 3)
             best = el if best is None else min(best, el)
+        if key is not None:
+            last_run[key] = el  # final single shot, for drift compare
         return best
 
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)
         if fn is None:
             continue
-        timings[name] = _timed_min(fn, spark, sf_dir)
+        timings[name] = _timed_min(fn, spark, sf_dir, key=name)
 
     timings["imaging_major_cycle"] = _timed_min(major_cycle, spark, sf_dir)
 
-    # noise indicator: q1 re-measured cold-cache at the END of the
-    # shared session; drift >> 1 means the session/host degraded while
-    # the tier ran and the per-query numbers should be read accordingly
+    # noise indicator: q1 re-measured at the END of the shared session,
+    # compared single-shot against q1's LAST single shot at the start
+    # (same statistic on both sides — a min-vs-single ratio would read
+    # above 1 from ordinary variance alone); drift >> 1 means the
+    # session/host degraded while the tier ran and the per-query
+    # numbers should be read accordingly
     t0 = time.time()
     _run(qs["q1_pricing_summary"](spark, sf_dir))
     q1_end = round(time.time() - t0, 3)
     noise = {
         "q1_rerun_end_sec": q1_end,
-        "q1_drift": round(q1_end / timings["q1_pricing_summary"], 3),
+        "q1_drift": round(q1_end / last_run["q1_pricing_summary"], 3),
         "runs_per_query": runs,
     }
 

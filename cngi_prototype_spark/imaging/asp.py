@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cngi_prototype_spark.imaging.planes import plane_arrays
+
 from cngi_prototype_spark.imaging.mtclean import (
     _lin_conv,
     _shift_window,
@@ -138,14 +140,7 @@ def deconvolve_adaptive_scale_pixel(
         ])
 
     def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_x = int(pdf["l_idx"].max()) + 1
-        n_y = int(pdf["m_idx"].max()) + 1
-        li = pdf["l_idx"].to_numpy(int)
-        mi = pdf["m_idx"].to_numpy(int)
-        dirty = np.zeros((n_x, n_y))
-        psf_a = np.zeros((n_x, n_y))
-        dirty[li, mi] = pdf[image].to_numpy(float)
-        psf_a[li, mi] = pdf[psf].to_numpy(float)
+        li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
         model, resid, comps = asp_plane(
             dirty, psf_a, widths=widths, gain=gain,
             threshold=threshold, niter=niter)

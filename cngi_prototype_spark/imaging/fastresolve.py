@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cngi_prototype_spark.imaging.planes import plane_arrays
+
 from cngi_prototype_spark.functions.exact import dsum
 
 
@@ -108,14 +110,7 @@ def deconvolve_fast_resolve(
         on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
     def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_x = int(pdf["l_idx"].max()) + 1
-        n_y = int(pdf["m_idx"].max()) + 1
-        li = pdf["l_idx"].to_numpy(int)
-        mi = pdf["m_idx"].to_numpy(int)
-        dirty = np.zeros((n_x, n_y))
-        psf_a = np.zeros((n_x, n_y))
-        dirty[li, mi] = pdf[image].to_numpy(float)
-        psf_a[li, mi] = pdf[psf].to_numpy(float)
+        li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
         model, error = fast_resolve_plane(
             dirty, psf_a, noise_var=noise_var, prior_power=prior_power)
         return pd.DataFrame({

@@ -409,8 +409,13 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         src = (src.withColumn("_g0", gkey)
                .join(F.broadcast(hot_df),
                      F.col("_g0") == F.col("_hg"), "left"))
+        # hash the VALUES along with the key: rows of one hot uv cell
+        # share _k, so a key-only hash would put the whole cell in one
+        # sub-bucket and the straggler would survive salting; value
+        # bits spread it (the consumer sums partial slabs, so a cell
+        # split across partials is exact by construction)
         gkey = (F.col("_g0") * F.lit(mult)
-                + F.pmod(F.xxhash64("_k"),
+                + F.pmod(F.xxhash64("_k", "_wr", "_wi"),
                          F.coalesce(F.col("_hsub"), F.lit(nsub))))
     elif nsub > 1:
         gkey = gkey * F.lit(nsub) + F.pmod(F.xxhash64("_k"), F.lit(nsub))

@@ -57,6 +57,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cngi_prototype_spark.imaging.planes import plane_arrays
+
 
 def scale_kernel(n_x: int, n_y: int, size_px: float) -> np.ndarray:
     """Inverted tapered paraboloid scale function, centered, unit
@@ -264,14 +266,7 @@ def deconvolve_multiterm_clean(
         ])
 
         def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            n_x = int(pdf["l_idx"].max()) + 1
-            n_y = int(pdf["m_idx"].max()) + 1
-            li = pdf["l_idx"].to_numpy(int)
-            mi = pdf["m_idx"].to_numpy(int)
-            dirty = np.zeros((n_x, n_y))
-            psf_a = np.zeros((n_x, n_y))
-            dirty[li, mi] = pdf[image].to_numpy(float)
-            psf_a[li, mi] = pdf[psf].to_numpy(float)
+            li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
             model, resid = msclean_plane(
                 dirty, psf_a, scales=scales, gain=gain,
                 threshold=threshold, niter=niter)
@@ -301,7 +296,15 @@ def deconvolve_multiterm_clean(
     wdf = spark.createDataFrame(
         [(int(c), (float(f) - nu0) / nu0) for c, f in freq_items],
         schema=f"{chan} int, _w double")
-    j = both.join(F.broadcast(wdf), on=chan)
+    # LEFT join + raise on a missing weight: an inner join would
+    # silently drop data channels absent from freqs and return Taylor
+    # maps computed from a partial cube (the pre-refactor cube path
+    # raised on the unmapped channel — keep that contract)
+    j = both.join(F.broadcast(wdf), on=chan, how="left").withColumn(
+        "_w", F.when(F.col("_w").isNotNull(), F.col("_w")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("MT-MFS: data channel missing from freqs: "),
+                F.col(chan).cast("string")))))
     key = [pol, "l_idx", "m_idx"]
     if precise:
         # channel-ascending left-associated fold over the sorted
@@ -343,19 +346,13 @@ def deconvolve_multiterm_clean(
     ])
 
     def maps(key_, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_x = int(pdf["l_idx"].max()) + 1
-        n_y = int(pdf["m_idx"].max()) + 1
-        li = pdf["l_idx"].to_numpy(int)
-        mi = pdf["m_idx"].to_numpy(int)
-        R = np.zeros((2, n_x, n_y))
-        P = np.zeros((3, n_x, n_y))
-        R[0, li, mi] = pdf["r0"].to_numpy(float)
-        R[1, li, mi] = pdf["r1"].to_numpy(float)
-        P[0, li, mi] = pdf["p0"].to_numpy(float)
-        P[1, li, mi] = pdf["p1"].to_numpy(float)
-        P[2, li, mi] = pdf["p2"].to_numpy(float)
+        li, mi, (r0, r1, p0, p1, p2) = plane_arrays(
+            pdf, "r0", "r1", "p0", "p1", "p2")
+        R = np.stack([r0, r1])
+        P = np.stack([p0, p1, p2])
         models, R = mtmfs_maps(R, P, gain=gain, threshold=threshold,
                                niter=niter)
+        n_x, n_y = r0.shape
         lat_l = np.repeat(np.arange(n_x, dtype=np.int32), n_y)
         lat_m = np.tile(np.arange(n_y, dtype=np.int32), n_x)
         frames = []

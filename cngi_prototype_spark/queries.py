@@ -944,10 +944,12 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("decontaminate", None)  # production 8-gram shape: rows-only
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape benchmark decontamination: 8-gram overlap of
-    the full corpus against the doc_id%13 held-out subset (value-gated
-    at 3-gram via the 'contam' part of ngram_jaccard)."""
+    the full corpus against a FIXED-SIZE held-out set (doc_id < 400 —
+    a real eval set is bounded, and the operator broadcasts the bench
+    gram side, so the bench set must not scale with the corpus).
+    Value-gated at 3-gram via the 'contam' part of ngram_jaccard."""
     docs = _docs(spark, sf_dir)
-    return ngram_contamination(docs, docs.filter(F.col("doc_id") % 13 == 0),
+    return ngram_contamination(docs, docs.filter(F.col("doc_id") < 400),
                                shingle_n=8, min_overlap=1)
 
 

@@ -650,9 +650,9 @@ def semantic_dedup(
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       _dvec(F.col(vec_col)).alias("v"))
     c = c.withColumn("cell", _argmax_dot(F.col("v"), centroids))
-    sized = c.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    ).filter(F.col("_n") <= max_cluster)
+    counted = c.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+    sized = counted.filter(F.col("_n") <= max_cluster)
 
     # within-cluster pairs via blocked BLAS per cluster group (the
     # cosine_pairs kernel shape): one |B| x |cluster| matmul per block
@@ -685,9 +685,14 @@ def semantic_dedup(
     pairs = (sized.select("cell", "vec_id", "v")
              .groupBy("cell").applyInPandas(cell_pairs, pair_schema))
     comp = duplicate_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
-    return (c.join(comp, "vec_id", "left")
+    # cell_skipped marks members of guardrail-dropped cells: those
+    # vectors were NEVER pair-checked, so their is_kept=True is "not
+    # examined", not "verified unique" — silent conflation of the two
+    # would defeat the dedup downstream
+    return (counted.join(comp, "vec_id", "left")
             .select("vec_id", "cell",
-                    F.coalesce("canonical_id", "vec_id").alias("canonical_id"))
+                    F.coalesce("canonical_id", "vec_id").alias("canonical_id"),
+                    (F.col("_n") > max_cluster).alias("cell_skipped"))
             .withColumn("is_kept", F.col("vec_id") == F.col("canonical_id")))
 
 
@@ -709,8 +714,14 @@ def sql_semantic_dedup(centroids: list[list[float]],
                                 for i in range(len(centroids))) + "]"
     assign = (f"CAST(list_position({dots_list}, list_max({dots_list})) - 1"
               " AS INT)")
-    unit = ("list_transform(v, x -> x / sqrt(list_reduce("
-            "list_transform(v, y -> y * y), (acc, y) -> acc + y)))")
+    # NULLIF guards the zero-norm vector: its components go NULL, the
+    # pair dot goes NULL, and the NULL comparison drops the pair — the
+    # same "zero vector pairs with nothing" the Python kernel's
+    # where(nrm==0, 1, nrm) produces (a plain /0 here would give NaN,
+    # which DuckDB compares GREATER than the threshold: the zero
+    # vector would join its whole cell into one component)
+    unit = ("list_transform(v, x -> x / NULLIF(sqrt(list_reduce("
+            "list_transform(v, y -> y * y), (acc, y) -> acc + y)), 0.0))")
     udot = ("list_reduce(list_transform(range(1, len(a.u) + 1),"
             " i -> a.u[i] * b.u[i]), (acc, x) -> acc + x)")
     comp = sql_duplicate_clusters("SELECT id_a, id_b FROM sempairs")

@@ -171,3 +171,18 @@ def test_spark_mtmfs_and_derived_maps(spark):
     spot = cube[(cube.chan == 0) & (cube.l_idx == 5) & (cube.m_idx == 5)]
     if len(spot):
         assert abs(spot["model"].iloc[0] - (m0 + w0 * m1)) < 1e-12
+
+
+def test_spark_mtmfs_raises_on_channel_missing_from_freqs(spark):
+    import pytest as _pytest
+    freqs = {0: 0.9e9, 1: 1.0e9}  # chan 2 present in data, not here
+    psf = _psf()
+    rng = np.random.default_rng(5)
+    arrs = {c: (rng.normal(size=(N, N)), psf) for c in range(3)}
+    df = _plane_df(spark, arrs, [0, 1, 2])
+    out = deconvolve_multiterm_clean(
+        df.select("chan", "pol", "l_idx", "m_idx", "image"),
+        df.select("chan", "pol", "l_idx", "m_idx", "psf"),
+        nterms=2, freqs=freqs, gain=0.2, niter=2)
+    with _pytest.raises(Exception, match="missing from freqs"):
+        out.collect()
