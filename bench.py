@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # training-data pipeline tier
     "text_features",
     "chunk_documents",
+    "token_frequencies",
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "decontaminate",

@@ -932,6 +932,14 @@ def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_n=3, threshold=0.05)
 
 
+@register("token_frequencies", None)  # vocab stats: rows-only
+def token_frequencies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (top-4096 tokens by occurrence) —
+    the counting pass under tokenizer training."""
+    from cngi_prototype_spark.text.analysis import token_frequencies
+    return token_frequencies(_docs(spark, sf_dir), top_k=4096)
+
+
 @register("chunk_documents", None)  # projection-only: rows-only
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape document chunking (128-token chunks, 16-token

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_SPLIT = r"\s+"
 PUNCT_CLASS = r"[^A-Za-z0-9\s]"
@@ -320,3 +321,34 @@ def sql_chunk_documents(chunk_tokens: int = 128, overlap: int = 0,
              ' ') AS chunk_text
     FROM ck, UNNEST(range(0, GREATEST(n_chunks, 1))) AS g(i)
     """
+
+
+def token_frequencies(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary statistics → ``(token, n_occurrences, n_docs,
+    rank)`` — the counting pass under tokenizer training (BPE seed
+    vocab, frequency cutoffs) and corpus reporting.
+
+    Pure explode + one groupBy with map-side combine (shuffle volume is
+    bounded by per-task distinct-token cardinality, not corpus size);
+    ``top_k`` ranks deterministically (count desc, token asc) with a
+    single-shuffle window over the already-aggregated vocabulary, which
+    is orders of magnitude smaller than the corpus.
+    """
+    toks = df.select(F.col(id_col).alias("_doc"),
+                     F.explode(_tokens(F.col(text_col))).alias("token"))
+    g = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_doc").alias("n_docs"))
+    g = g.filter(F.col("n_occurrences") >= min_count)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    g = g.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        g = g.filter(F.col("rank") <= top_k)
+    return g

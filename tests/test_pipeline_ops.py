@@ -263,3 +263,23 @@ def test_semantic_dedup_no_pairs_keeps_everything(spark):
     out = semantic_dedup(df, cents, threshold=1.000001).toPandas()
     assert len(out) == 3 and out.is_kept.all()
     assert (out.vec_id == out.canonical_id).all()
+
+
+def test_token_frequencies_counts_and_rank(spark):
+    from cngi_prototype_spark.text.analysis import token_frequencies
+    docs = spark.createDataFrame([
+        (1, "a b a c"),
+        (2, "a b b"),
+    ], ["doc_id", "text"])
+    out = token_frequencies(docs).toPandas().set_index("token")
+    assert out.loc["a", "n_occurrences"] == 3 and out.loc["a", "n_docs"] == 2
+    assert out.loc["b", "n_occurrences"] == 3 and out.loc["b", "n_docs"] == 2
+    assert out.loc["c", "n_occurrences"] == 1 and out.loc["c", "n_docs"] == 1
+    # total occurrences = total tokens; rank deterministic (count desc,
+    # token asc): a(3), b(3), c(1)
+    assert out.n_occurrences.sum() == 7
+    assert list(out.sort_values("rank").index) == ["a", "b", "c"]
+    top = token_frequencies(docs, top_k=2).toPandas()
+    assert set(top.token) == {"a", "b"}
+    mc = token_frequencies(docs, min_count=2).toPandas()
+    assert set(mc.token) == {"a", "b"}
