@@ -738,3 +738,61 @@ def sql_semantic_dedup(centroids: list[list[float]],
            COALESCE(c.canonical_id, s.vec_id) AS canonical_id
     FROM sema s LEFT JOIN semcomp c ON c.doc_id = s.vec_id
     """
+
+
+def train_kmeans_distributed(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    init_sample: int = 1024,
+) -> list[list[float]]:
+    """Spherical k-means with DISTRIBUTED Lloyd sweeps — the 100-TB
+    path for centroid training (``train_ivf_centroids`` trains on a
+    driver-side sample; at corpus scale the sample may not cover the
+    distribution's tails).
+
+    Per sweep: assignment is a broadcast projection (centroids ride the
+    plan as literals), the centroid update is one posexplode +
+    partial/final ``groupBy(cell, pos)`` aggregation, and only the
+    ``k × d`` component sums collect to the driver. The corpus is
+    scanned ``iters`` times — callers should persist it. Semantics
+    match train_ivf_centroids: unit-normalized vectors (zero vectors
+    kept as zeros), assignment by max dot, centroid = normalized mean,
+    empty cells keep their previous centroid; init = evenly spaced
+    vectors from the first ``init_sample`` ids (deterministic)."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(int(init_sample)).collect())
+    v0 = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(v0, axis=1, keepdims=True)
+    v0 = v0 / np.where(norms == 0.0, 1.0, norms)
+    k = min(int(n_centroids), len(v0))
+    c = v0[np.linspace(0, len(v0) - 1, k).astype(int)].copy()
+
+    dv = _dvec(F.col(vec_col))
+    unit = corpus.select(
+        F.when(_norm(dv) == 0.0, dv).otherwise(_unit(dv)).alias("v"))
+    d = c.shape[1]
+    for _ in range(int(iters)):
+        cents = [[float(x) for x in row] for row in c]
+        a = unit.withColumn("cell", _argmax_dot(F.col("v"), cents))
+        stats = (a.select("cell", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cell", "pos")
+                 .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                 .collect())
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        for j in range(k):
+            if counts[j] > 0:
+                nc = sums[j] / counts[j]
+                n = np.linalg.norm(nc)
+                if n > 0:
+                    c[j] = nc / n
+    return [[float(x) for x in row] for row in c]

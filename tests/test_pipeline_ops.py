@@ -283,3 +283,28 @@ def test_token_frequencies_counts_and_rank(spark):
     assert set(top.token) == {"a", "b"}
     mc = token_frequencies(docs, min_count=2).toPandas()
     assert set(mc.token) == {"a", "b"}
+
+
+def test_distributed_kmeans_matches_sampled_trainer_semantics(spark):
+    from cngi_prototype_spark.similarity.ann import (
+        semantic_dedup, train_ivf_centroids, train_kmeans_distributed)
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(4, 12))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(8):
+            rows.append((vid, (b + 1e-4 * rng.normal(size=12)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    cd = train_kmeans_distributed(df, n_centroids=4, init_sample=32,
+                                  iters=5)
+    cs = train_ivf_centroids(df, n_centroids=4, sample=32, iters=5)
+    # when the whole corpus fits in the sample, the distributed sweeps
+    # see the same data as the driver trainer: identical centroids
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(cs), atol=1e-12)
+    # and the downstream pipeline collapses the 4 families either way
+    out = semantic_dedup(df, cd, threshold=0.999).toPandas()
+    df.unpersist()
+    assert out.is_kept.sum() == 4
+    assert out.groupby("canonical_id").size().tolist() == [8, 8, 8, 8]
