@@ -352,3 +352,24 @@ def token_frequencies(
     if top_k is not None:
         g = g.filter(F.col("rank") <= top_k)
     return g
+
+
+def md5_num(col: Column) -> Column:
+    """First 10 hex digits of md5 as a BIGINT (< 16^10 ≈ 1.1e12, exact
+    in a double) — a cross-engine numeric fingerprint that lets string
+    identities ride the driver gate's numeric union columns. The digit
+    fold (acc·16 + d) is mirrored verbatim by :func:`sql_md5_num`."""
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(10)),
+        lambda i: (F.instr(F.lit("0123456789abcdef"),
+                           F.substring(F.md5(col), 1, 10).substr(i, F.lit(1)))
+                   - 1).cast("long"))
+    return F.aggregate(digits, F.lit(0).cast("long"),
+                       lambda acc, d: acc * 16 + d)
+
+
+def sql_md5_num(expr: str) -> str:
+    return (f"list_reduce(list_transform(range(1, 11),"
+            f" i -> CAST(strpos('0123456789abcdef',"
+            f" substr(md5({expr}), i, 1)) - 1 AS BIGINT)),"
+            f" (acc, d) -> acc * 16 + d)")
