@@ -112,7 +112,7 @@ def self_cal(
     mre, mim = model
     cols = [interval, ant1, ant2, chan, pol, dre, dim, mre, mim, weight, flag]
 
-    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[dre].to_numpy(float) + 1j * pdf[dim].to_numpy(float)
         mo = pdf[mre].to_numpy(float) + 1j * pdf[mim].to_numpy(float)
         w = pdf[weight].to_numpy(float)

@@ -139,7 +139,7 @@ def deconvolve_adaptive_scale_pixel(
             T.StructField("residual", T.DoubleType()),
         ])
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
         model, resid, comps = asp_plane(
             dirty, psf_a, widths=widths, gain=gain,

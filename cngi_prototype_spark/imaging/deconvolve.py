@@ -96,7 +96,7 @@ def deconvolve_point_clean(
         psf_df.select(chan, pol, "l_idx", "m_idx", psf),
         on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
         model, residual = hogbom_clean_plane(
             dirty, psf_a, gain=gain, threshold=threshold, niter=niter)

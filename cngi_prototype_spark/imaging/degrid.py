@@ -126,7 +126,7 @@ def model_image_to_grid(
         T.StructField("grid_im", T.DoubleType()),
     ])
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = np.zeros((n_u, n_v))
         li = pdf["l_idx"].to_numpy(int)
         mi = pdf["m_idx"].to_numpy(int)

@@ -109,7 +109,7 @@ def deconvolve_fast_resolve(
         psf_df.select(chan, pol, "l_idx", "m_idx", psf),
         on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
         model, error = fast_resolve_plane(
             dirty, psf_a, noise_var=noise_var, prior_power=prior_power)
@@ -155,7 +155,16 @@ def fit_spectral_index(
     xdf = spark.createDataFrame(
         [(int(c), math.log(float(f))) for c, f in sorted(freqs.items())],
         schema=f"{chan} int, _x double")
-    j = (model_df.join(F.broadcast(xdf), on=chan)
+    # LEFT join + raise on a missing frequency: an inner join would
+    # silently drop data channels absent from freqs and fit alpha from
+    # a partial cube (same contract as deconvolve_multiterm_clean's
+    # Taylor reduction — mtclean.py keeps the cube path's raise)
+    j = (model_df.join(F.broadcast(xdf), on=chan, how="left")
+         .withColumn("_x", F.when(
+             F.col("_x").isNotNull(), F.col("_x")).otherwise(
+             F.raise_error(F.concat(
+                 F.lit("fit_spectral_index: data channel missing "
+                       "from freqs: "), F.col(chan).cast("string")))))
          .filter(F.abs(F.col(model)) > F.lit(eps))
          .withColumn("_y", F.log(F.abs(F.col(model)))))
     s = dsum if precise else F.sum

@@ -65,7 +65,7 @@ def image_from_grid(
 
     joined = grid_df.join(F.broadcast(sumw_df), on=[chan, pol], how="left")
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = np.zeros((n_u, n_v), np.complex128)
         g[pdf["u_idx"].to_numpy(int), pdf["v_idx"].to_numpy(int)] = (
             pdf["grid_re"].to_numpy(float) + 1j * pdf["grid_im"].to_numpy(float))
@@ -137,7 +137,7 @@ def image_planes_from_dense(
         cu_full = pswf((np.arange(n_u) - n_u // 2) / (n_u // 2))[0]
         cv_full = pswf((np.arange(n_v) - n_v // 2) / (n_v // 2))[0]
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = np.zeros((n_u, n_v), np.complex128)
         for r in pdf.itertuples():
             # partials are u-slabs [u0, u0 + len/n_v) of the grid

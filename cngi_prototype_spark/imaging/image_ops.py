@@ -228,7 +228,7 @@ def smooth(
         T.StructField(dv, T.DoubleType()),
     ])
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         img = np.zeros((n_l, n_m))
         li = pdf["l_idx"].to_numpy(int)
         mi = pdf["m_idx"].to_numpy(int)

@@ -265,7 +265,7 @@ def deconvolve_multiterm_clean(
             T.StructField("residual", T.DoubleType()),
         ])
 
-        def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)
             model, resid = msclean_plane(
                 dirty, psf_a, scales=scales, gain=gain,

@@ -113,7 +113,7 @@ def feather(
     fb = _beam_transfer(
         _gaussian_beam_array(n_l, n_m, low_beam_size, incr_rad, "sum"))
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li = pdf["l_idx"].to_numpy(int)
         mi = pdf["m_idx"].to_numpy(int)
         low = np.zeros((n_l, n_m))
@@ -172,7 +172,7 @@ def restore_model(
     fb = _beam_transfer(
         _gaussian_beam_array(n_l, n_m, beam_size, incr_rad, "peak"))
 
-    def plane(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li = pdf["l_idx"].to_numpy(int)
         mi = pdf["m_idx"].to_numpy(int)
         mod = np.zeros((n_l, n_m))

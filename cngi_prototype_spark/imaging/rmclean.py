@@ -198,7 +198,7 @@ def deconvolve_rotation_measure_clean(
         T.StructField("resid_im", T.DoubleType()),
     ])
 
-    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["l_idx", "m_idx", "phi_idx"])
         npix = len(pdf) // nphi
         f = (pdf["f_re"].to_numpy()

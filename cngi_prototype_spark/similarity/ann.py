@@ -664,20 +664,26 @@ def semantic_dedup(
     pair_schema = T.StructType([T.StructField("id_a", T.LongType()),
                                 T.StructField("id_b", T.LongType())])
 
-    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(np.int64)
         X = np.asarray(pdf["v"].tolist(), np.float64)
         nrm = np.linalg.norm(X, axis=1, keepdims=True)
         X = X / np.where(nrm == 0.0, 1.0, nrm)
         frames = []
-        B = 1024
+        # block BOTH sides: the sims temporary is bounded at B*R*8 B
+        # (64 MB) regardless of cluster size — a one-sided block at the
+        # max_cluster=100k guardrail would still allocate an ~0.8 GB
+        # 1024 x 100k slab per step and spike executor memory
+        B, R = 1024, 8192
         for s in range(0, len(ids), B):
-            sims = np.round(X[s:s + B] @ X.T, 6)
-            ii, jj = np.nonzero(sims >= thr)
-            keep = ids[s + ii] < ids[jj]
-            if keep.any():
-                frames.append(pd.DataFrame({"id_a": ids[s + ii][keep],
-                                            "id_b": ids[jj][keep]}))
+            for t in range(0, len(ids), R):
+                sims = np.round(X[s:s + B] @ X[t:t + R].T, 6)
+                ii, jj = np.nonzero(sims >= thr)
+                keep = ids[s + ii] < ids[t + jj]
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame({"id_a": ids[s + ii][keep],
+                                      "id_b": ids[t + jj][keep]}))
         return (pd.concat(frames, ignore_index=True) if frames
                 else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                    "id_b": pd.Series(dtype="int64")}))
@@ -767,6 +773,14 @@ def train_kmeans_distributed(
 
     rows = (corpus.select(id_col, vec_col).orderBy(id_col)
             .limit(int(init_sample)).collect())
+    if not rows:
+        raise ValueError(
+            "train_kmeans_distributed: corpus is empty — no vectors to "
+            "initialize centroids from")
+    if int(n_centroids) < 1:
+        raise ValueError(
+            f"train_kmeans_distributed: n_centroids must be >= 1, got "
+            f"{n_centroids}")
     v0 = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(v0, axis=1, keepdims=True)
     v0 = v0 / np.where(norms == 0.0, 1.0, norms)

@@ -94,7 +94,7 @@ def stream_running_mean(
     state_schema = ("sw double, n long, "
                     + ", ".join(f"s_{c} double" for c in data))
 
-    def update(key, pdfs, state: GroupState):
+    def update(key: tuple, pdfs, state: GroupState):
         if state.exists:
             st = list(state.get)
         else:

@@ -336,10 +336,18 @@ def token_frequencies(
     vocab, frequency cutoffs) and corpus reporting.
 
     Pure explode + one groupBy with map-side combine (shuffle volume is
-    bounded by per-task distinct-token cardinality, not corpus size);
-    ``top_k`` ranks deterministically (count desc, token asc) with a
-    single-shuffle window over the already-aggregated vocabulary, which
-    is orders of magnitude smaller than the corpus.
+    bounded by per-task distinct-token cardinality, not corpus size).
+
+    Ranking (count desc, token asc) is DISTRIBUTED — a web-scale
+    vocabulary never funnels through one task. Each token lands in an
+    order-aligned bucket ``(n_occurrences, 2-char token prefix)``
+    (prefix order is consistent with binary string order, so buckets
+    tile the global sort order); a row_number window runs PER BUCKET in
+    parallel, and the global rank is that local position plus the
+    exclusive running total of bucket sizes — a cumulative sum over the
+    tiny ``(count, prefix) → size`` metadata table (≤ distinct-counts ×
+    ~1.4k prefixes rows, orders of magnitude below the vocabulary),
+    broadcast back onto the buckets.
     """
     toks = df.select(F.col(id_col).alias("_doc"),
                      F.explode(_tokens(F.col(text_col))).alias("token"))
@@ -347,11 +355,27 @@ def token_frequencies(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("_doc").alias("n_docs"))
     g = g.filter(F.col("n_occurrences") >= min_count)
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-    g = g.withColumn("rank", F.row_number().over(w))
+    g = g.withColumn("_pfx", F.substring("token", 1, 2))
+    sizes = g.groupBy("n_occurrences", "_pfx").agg(
+        F.count(F.lit(1)).alias("_bsz"))
+    cum = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("_pfx").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_bsz").over(cum), F.lit(0)))
+    if top_k is not None:
+        # buckets entirely past top_k never rank (nor shuffle onward)
+        offs = offs.filter(F.col("_off") < top_k)
+    local = Window.partitionBy("n_occurrences", "_pfx").orderBy(
+        F.col("token").asc())
+    g = (g.join(F.broadcast(offs.select("n_occurrences", "_pfx", "_off")),
+                ["n_occurrences", "_pfx"])
+         .withColumn("rank", (F.col("_off")
+                              + F.row_number().over(local)).cast("int"))
+         .drop("_pfx", "_off"))
     if top_k is not None:
         g = g.filter(F.col("rank") <= top_k)
-    return g
+    return g.select("token", "n_occurrences", "n_docs", "rank")
 
 
 def md5_num(col: Column) -> Column:
