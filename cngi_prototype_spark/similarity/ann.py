@@ -240,6 +240,17 @@ def train_ivf_centroids(
     rows = (corpus.select(id_col, vec_col).orderBy(id_col)
             .limit(int(sample)).collect())
     v = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return _kmeans_unit_matrix(v, int(n_centroids), int(iters))
+
+
+def _kmeans_unit_matrix(v, n_centroids: int, iters: int
+                        ) -> list[list[float]]:
+    """Shared numpy Lloyd core of :func:`train_ivf_centroids` and
+    :func:`train_ivf_centroids_arrow` — one implementation so the Spark
+    sample path and the parquet fixture path are bit-identical on the
+    same sample matrix."""
+    import numpy as np
+
     # an all-zero embedding would 0/0 -> NaN here and poison every
     # centroid through the mean updates; treat it as unit-norm instead
     # (it contributes a zero vector, matching its zero dot products)
@@ -257,6 +268,36 @@ def train_ivf_centroids(
                 if n > 0:
                     c[j] = nc / n
     return [list(map(float, row)) for row in c]
+
+
+def train_ivf_centroids_arrow(
+    parquet_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Spark-free twin of :func:`train_ivf_centroids`: read the sample
+    straight from parquet with pyarrow and run the SAME numpy Lloyd
+    core. Because both trainers share `_kmeans_unit_matrix` and the
+    sample is the same deterministic id-ordered prefix, the centroids
+    are bit-identical — which lets a static DuckDB oracle string embed
+    *trained* centroids and still hash-match the Spark pipeline
+    (queries.py 'semtrained' part), and lets tooling train quantizers
+    without a session."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    t = t.sort_by(id_col).slice(0, int(sample))
+    col = t.column(vec_col).combine_chunks()
+    v = np.asarray(col.to_pylist(), dtype=np.float64)
+    if v.size == 0:
+        raise ValueError(
+            f"train_ivf_centroids_arrow: no vectors in {parquet_path}")
+    return _kmeans_unit_matrix(v, int(n_centroids), int(iters))
 
 
 def _argmax_dot(vec: Column, centroids: list[list[float]]) -> Column:

@@ -378,6 +378,32 @@ def token_frequencies(
     return g.select("token", "n_occurrences", "n_docs", "rank")
 
 
+def sql_token_frequencies(top_k: int, min_count: int = 1) -> str:
+    """DuckDB twin of :func:`token_frequencies` — same tokenizer, same
+    deterministic order (count desc, token asc; both engines compare
+    strings binary for this corpus)."""
+    return f"""
+    WITH _tf_toks AS (
+      SELECT doc_id AS _doc, unnest({_sql_tokens('text')}) AS token
+      FROM documents
+    ),
+    _tf_vocab AS (
+      SELECT token, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT _doc) AS n_docs
+      FROM _tf_toks GROUP BY token
+      HAVING COUNT(*) >= {min_count}
+    ),
+    _tf_ranked AS (
+      SELECT token, n_occurrences, n_docs,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY n_occurrences DESC, token ASC) AS INT) AS rank
+      FROM _tf_vocab
+    )
+    SELECT token, n_occurrences, n_docs, rank
+    FROM _tf_ranked WHERE rank <= {top_k}
+    """
+
+
 def md5_num(col: Column) -> Column:
     """First 10 hex digits of md5 as a BIGINT (< 16^10 ≈ 1.1e12, exact
     in a double) — a cross-engine numeric fingerprint that lets string

@@ -308,3 +308,42 @@ def test_distributed_kmeans_matches_sampled_trainer_semantics(spark):
     df.unpersist()
     assert out.is_kept.sum() == 4
     assert out.groupby("canonical_id").size().tolist() == [8, 8, 8, 8]
+
+
+def test_arrow_trainer_bit_matches_spark_trainer(spark, tmp_path):
+    """train_ivf_centroids_arrow reads the same id-ordered sample from
+    parquet and shares the numpy Lloyd core with the Spark-sample
+    trainer — the centroids must be BIT-identical (this is what lets
+    the static 'semtrained' oracle string embed trained centroids)."""
+    from cngi_prototype_spark.similarity.ann import (
+        train_ivf_centroids, train_ivf_centroids_arrow)
+    rng = np.random.default_rng(7)
+    rows = [(int(i), rng.normal(size=16).astype(np.float32).tolist())
+            for i in rng.permutation(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(path)
+    cs = train_ivf_centroids(df, n_centroids=5, sample=48, iters=6)
+    ca = train_ivf_centroids_arrow(path, n_centroids=5, sample=48, iters=6)
+    assert np.asarray(cs).tobytes() == np.asarray(ca).tobytes()
+
+
+def test_arrow_trainer_empty_raises(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cngi_prototype_spark.similarity.ann import (
+        train_ivf_centroids_arrow)
+    t = pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    path = str(tmp_path / "empty.parquet")
+    pq.write_table(t, path)
+    with pytest.raises(ValueError, match="no vectors"):
+        train_ivf_centroids_arrow(path)
+
+
+def test_kmeans_distributed_empty_corpus_raises(spark):
+    from cngi_prototype_spark.similarity.ann import (
+        train_kmeans_distributed)
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        train_kmeans_distributed(df, n_centroids=4)
