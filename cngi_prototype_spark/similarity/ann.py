@@ -314,6 +314,131 @@ def _argmax_dot(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+# Above this many centroids, assignment switches from unrolled Catalyst
+# expressions to a broadcast numpy matmul: one fold expression PER
+# CENTROID builds a multi-MB plan tree at production k (4k-65k), falls
+# out of whole-stage codegen, and slows every task's interpreter — the
+# classic literal-explosion cliff. 64 keeps every oracle-twinned path
+# (k <= 8 in the gates) on the exactly-mirrored expression route.
+ASSIGN_CODEGEN_MAX_K = 64
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str,
+    out_col: str = "cell",
+    max_codegen_k: int = ASSIGN_CODEGEN_MAX_K,
+) -> DataFrame:
+    """Append the argmax-dot centroid index for every row.
+
+    k <= ``max_codegen_k``: the `_argmax_dot` expression (JVM-side,
+    bit-mirrored by the DuckDB twins). Larger k: Arrow-batched
+    mapInPandas — the k x d centroid matrix ships ONCE per executor as
+    a Spark broadcast (not per-task closure bytes), each batch runs one
+    BLAS matmul, and the plan stays O(1) in k. ``np.argmax`` first-max
+    tie-break matches ``array_position(dots, array_max(dots))``.
+    """
+    if len(centroids) <= max_codegen_k:
+        return df.withColumn(out_col,
+                             _argmax_dot(F.col(vec_col), centroids))
+    import numpy as np
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(out_col, T.IntegerType())])
+
+    def batches(it):
+        Ct = bc.value.T
+        for pdf in it:
+            if len(pdf):
+                X = np.asarray(pdf[vec_col].tolist(), np.float64)
+                cell = np.argmax(X @ Ct, axis=1).astype(np.int32)
+            else:
+                cell = np.array([], np.int32)
+            out = pdf.copy()
+            out[out_col] = cell
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def probe_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str,
+    nprobe: int,
+    id_cols: list[str],
+    out_col: str = "cell",
+    max_codegen_k: int = ASSIGN_CODEGEN_MAX_K,
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest-centroid cells
+    (dot desc, cell asc — the IVF multi-probe order); ``id_cols``
+    identify a row (the per-row top-nprobe window key). Same two-tier
+    design as :func:`assign_cells`: expression route at gate-scale k,
+    broadcast-matmul top-nprobe per Arrow batch at production k (the
+    partial sort is ``np.argpartition`` then an exact sort of nprobe
+    entries, so per-row cost is O(k + nprobe log nprobe))."""
+    if len(centroids) <= max_codegen_k:
+        def qdot(i: int) -> Column:
+            lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
+            return F.aggregate(
+                F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        probes = df.select(
+            "*",
+            F.posexplode(F.array(*[qdot(i)
+                                   for i in range(len(centroids))]))
+            .alias("_cell", "_cdot"))
+        wp = Window.partitionBy(*id_cols).orderBy(
+            F.col("_cdot").desc(), F.col("_cell"))
+        return (probes.withColumn("_prk", F.row_number().over(wp))
+                .filter(F.col("_prk") <= nprobe)
+                .select(*df.columns,
+                        F.col("_cell").alias(out_col)))
+    import numpy as np
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    np_ = min(int(nprobe), len(centroids))
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(out_col, T.IntegerType())])
+
+    def batches(it):
+        import pandas as pd
+        Ct = bc.value.T
+        k = Ct.shape[1]
+        for pdf in it:
+            if not len(pdf):
+                out = pdf.copy()
+                out[out_col] = np.array([], np.int32)
+                yield out
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), np.float64)
+            dots = X @ Ct
+            if np_ < k:
+                part = np.argpartition(-dots, np_ - 1, axis=1)[:, :np_]
+            else:
+                part = np.broadcast_to(np.arange(k), dots.shape).copy()
+            pd_dots = np.take_along_axis(dots, part, axis=1)
+            # exact (dot desc, cell asc) order inside the nprobe set:
+            # lexsort's last key dominates
+            order = np.lexsort((part, -pd_dots), axis=1)
+            cells = np.take_along_axis(part, order, axis=1)
+            idx = np.repeat(np.arange(len(pdf)), np_)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out[out_col] = cells.reshape(-1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,24 +458,14 @@ def ivf_topk(
     from :func:`train_ivf_centroids` (or any external trainer)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _dvec(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cell", _argmax_dot(F.col("cv"), centroids))
+    c = assign_cells(c, centroids, vec_col="cv")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _dvec(F.col(vec_col)).alias("qv"))
-
-    def qdot(i: int) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
-        return F.aggregate(F.zip_with(F.col("qv"), lit, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    # one scan: all centroid dots in one array, posexploded to
-    # (cell, cdot) rows — no k-way union re-reading the query side
-    probes = q.select(
-        "query_id", "qv",
-        F.posexplode(F.array(*[qdot(i) for i in range(len(centroids))]))
-        .alias("cell", "cdot"))
-    wp = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cell"))
-    probes = (probes.withColumn("prk", F.row_number().over(wp))
-              .filter(F.col("prk") <= nprobe).select("query_id", "qv", "cell"))
+    # one scan: all centroid dots at once, top-nprobe per query — the
+    # expression route at gate-scale k, broadcast-matmul above it
+    probes = probe_cells(q, centroids, vec_col="qv", nprobe=nprobe,
+                         id_cols=["query_id"]).select(
+        "query_id", "qv", "cell")
     cand = (c.join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"))))
@@ -690,7 +805,7 @@ def semantic_dedup(
 
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       _dvec(F.col(vec_col)).alias("v"))
-    c = c.withColumn("cell", _argmax_dot(F.col("v"), centroids))
+    c = assign_cells(c, centroids, vec_col="v")
     counted = c.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("cell")))
     sized = counted.filter(F.col("_n") <= max_cluster)
@@ -834,7 +949,7 @@ def train_kmeans_distributed(
     d = c.shape[1]
     for _ in range(int(iters)):
         cents = [[float(x) for x in row] for row in c]
-        a = unit.withColumn("cell", _argmax_dot(F.col("v"), cents))
+        a = assign_cells(unit, cents, vec_col="v")
         stats = (a.select("cell", F.posexplode("v").alias("pos", "x"))
                  .groupBy("cell", "pos")
                  .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))

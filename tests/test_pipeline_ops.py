@@ -347,3 +347,49 @@ def test_kmeans_distributed_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         train_kmeans_distributed(df, n_centroids=4)
+
+
+def test_large_k_assignment_matches_expression_route(spark):
+    """assign_cells / probe_cells above the codegen threshold run a
+    broadcast numpy matmul; the chosen cells must equal the unrolled
+    expression route (same first-max / dot-desc-cell-asc tie-breaks),
+    and the plan must stay O(1) in k (no per-centroid literals)."""
+    from cngi_prototype_spark.similarity.ann import (
+        assign_cells, probe_cells)
+    rng = np.random.default_rng(3)
+    cents = [row.tolist() for row in rng.normal(size=(96, 8))]
+    rows = [(int(i), rng.normal(size=8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    a_expr = assign_cells(df, cents, vec_col="v", max_codegen_k=1000)
+    a_mat = assign_cells(df, cents, vec_col="v", max_codegen_k=64)
+    pe = a_expr.toPandas().set_index("vec_id").cell
+    pm = a_mat.toPandas().set_index("vec_id").cell
+    assert pe.sort_index().tolist() == pm.sort_index().tolist()
+
+    p_expr = probe_cells(df, cents, vec_col="v", nprobe=5,
+                         id_cols=["vec_id"], max_codegen_k=1000)
+    p_mat = probe_cells(df, cents, vec_col="v", nprobe=5,
+                        id_cols=["vec_id"], max_codegen_k=64)
+    ge = p_expr.toPandas().groupby("vec_id").cell.apply(list)
+    gm = p_mat.toPandas().groupby("vec_id").cell.apply(list)
+    for vid in ge.index:
+        assert ge[vid] == gm[vid]
+
+    # plan boundedness at production k: the k=4096 assignment plan must
+    # not embed per-centroid literal arrays
+    big = [row.tolist() for row in rng.normal(size=(4096, 8))]
+    plan = assign_cells(df, big, vec_col="v")._jdf.queryExecution() \
+        .analyzed().toString()
+    assert len(plan) < 20_000
+    assert "MapInPandas" in plan
+
+
+def test_large_k_tie_break_first_max(spark):
+    from cngi_prototype_spark.similarity.ann import assign_cells
+    # centroids 0 and 70 identical -> first-max picks 0
+    c = [[0.0, 1.0]] * 1  + [[1.0, 0.0]] * 69 + [[0.0, 1.0]] * 30
+    df = spark.createDataFrame([(1, [0.0, 2.0])],
+                               "vec_id long, v array<double>")
+    out = assign_cells(df, c, vec_col="v").collect()
+    assert out[0].cell == 0
