@@ -215,9 +215,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(event_id) AS first_id,
            MAX(event_id) AS last_id
     FROM events GROUP BY event_type
+    UNION ALL
+    -- zarr round-trip part: the Spark side routes these 8192 cells
+    -- through an actual zarr v2 store (distributed write -> chunked
+    -- read); the round trip is bit-lossless, so the oracle computes
+    -- the same checksums straight from parquet. first_id re-derives
+    -- event_id from the cube dims (coords survived); last_id is an
+    -- exact integer checksum of the decoded DATA doubles.
+    SELECT '__zarr__' AS event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT (event_id // 64) % 16) AS n_users,
+           MIN(event_id) AS first_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS last_id
+    FROM events WHERE event_id < 8192
     """,
 )
 def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_vis(spark, sf_dir)
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+    return base.unionByName(_zarr_roundtrip_part(spark, sf_dir))
+
+
+def describe_partitions_bench_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bench entry: the original describe scope (the gate gained a
+    zarr round-trip union part, which times store IO, not describe)."""
     ev = _events_vis(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -225,6 +253,48 @@ def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
     )
+
+
+def _zarr_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8192 events → mixed-radix (t, bl, chan, pol) cube cells →
+    write_zarr_xds → read_zarr_xds → checksums. Proves the zarr path
+    end-to-end under the hash gate (store layout asserted separately in
+    tests/test_zarr_io.py)."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from cngi_prototype_spark.sources.zarr_io import (
+        VarSpec, read_zarr_xds, write_zarr_xds)
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 8192).select(
+        (F.col("event_id") / 1024).cast("int").alias("t"),
+        ((F.col("event_id") / 64) % 16).cast("int").alias("bl"),
+        ((F.col("event_id") / 2) % 32).cast("int").alias("chan"),
+        (F.col("event_id") % 2).cast("int").alias("pol"),
+        F.col("value").alias("data_re"),
+        (-F.col("value")).alias("data_im"))
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{tempfile.gettempdir()}/cngi_spark_gate_zarr_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    write_zarr_xds(
+        ev, store, "xds0", dim_cols=["t", "bl", "chan", "pol"],
+        var_specs=[VarSpec("DATA", ("t", "bl", "chan", "pol"),
+                           ("data_re", "data_im"), "<c16",
+                           complex(float("nan"), float("nan")))],
+        chunks={"t": 2, "chan": 16})
+    back = read_zarr_xds(spark, store, "xds0",
+                         drop_if_nan=["data_re", "data_im"])
+    eid = (F.col("t") * 1024 + F.col("bl") * 64
+           + F.col("chan") * 2 + F.col("pol")).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bl").alias("n_users"),
+        F.min(eid).alias("first_id"),
+        F.sum(F.floor(F.col("data_re") * F.lit(1000000.0)).cast("long"))
+        .alias("last_id"),
+    ).select(F.lit("__zarr__").alias("event_type"), "n_rows", "n_users",
+             "first_id", "last_id")
 
 
 # ---------------------------------------------------------------------------
