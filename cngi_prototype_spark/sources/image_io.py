@@ -190,3 +190,101 @@ def write_fits_image(df: DataFrame, outfile: str, *,
             fh.write(arr.tobytes())
             n += arr.size
         fh.write(b"\0" * (-(n * 8) % _FITS_BLOCK))
+
+
+# ---------------------------------------------------------------------------
+# Artifact-set ingest (convert_image parity).
+# ---------------------------------------------------------------------------
+
+IMAGE_ARTIFACTS = ["image", "pb", "psf", "residual", "mask", "model",
+                   "sumwt", "weight", "image.pbcor"]
+
+
+def _fits_shape(path: str) -> tuple[int, int, int, int]:
+    with open(path, "rb") as fh:
+        cards, _ = _read_fits_header(fh)
+    _, shape, _, _ = _fits_geometry(cards)
+    dims = (shape + [1, 1, 1, 1])[:4]
+    return tuple(int(d) for d in dims)
+
+
+def convert_image_artifacts(
+    spark: SparkSession,
+    infile: str,
+    artifacts: list[str] | None = None,
+) -> DataFrame:
+    """Ingest a CASA-convention image ARTIFACT SET into one long-form
+    image table — ``convert_image``
+    (``/root/reference/cngi/conversion/convert_image.py:22-233``): all
+    products sharing a prefix (``foo.image`` + ``foo.psf`` + ``foo.pb``
+    + ``foo.residual`` ...) become data variables of one dataset;
+    Taylor-term files (``foo.image.tt0``, ``foo.image.tt1``) become
+    per-term columns; ``sumwt`` (a 1×1×chan×pol image,
+    convert_image.py:119) attaches per (chan, pol).
+
+    Same discovery rules as the reference (exact suffix match, then
+    ``.tt<N>``, then dotted artifacts like ``image.pbcor``;
+    convert_image.py:96-101). Files here are FITS — the sandbox has no
+    casatools, so a legacy casacore table directory raises with the
+    reference's dependency named. Output: one row per (chan, pol,
+    l_idx, m_idx) with a double column per artifact[/term]: ``image``,
+    ``image_tt1``, ``psf``, ``sumwt``, ``image_pbcor``, ...
+
+    Scale: each artifact reads plane-parallel (read_fits_image); the
+    set is assembled with joins on the cube keys — one shuffle per
+    artifact, each bounded by cube size, with the (chan, pol)-only
+    sumwt side broadcast.
+    """
+    import os
+    import re
+
+    infile = os.path.expanduser(infile.rstrip("/"))
+    prefix = infile[:infile.rindex(".")]
+    suffix = infile[infile.rindex(".") + 1:]
+    srcdir = os.path.dirname(infile) or "."
+    if artifacts is None:
+        artifacts = list(IMAGE_ARTIFACTS)
+    if suffix not in artifacts:
+        artifacts = [suffix] + artifacts
+
+    dirlist = sorted(os.path.join(srcdir, f) for f in os.listdir(srcdir)
+                     if os.path.join(srcdir, f).startswith(prefix))
+    base: DataFrame | None = None
+    pe = re.escape(prefix)
+    for imtype in artifacts:
+        files = [f for f in dirlist
+                 if re.search(rf"{pe}\.{re.escape(imtype)}$", f)]
+        if not files:
+            files = [f for f in dirlist
+                     if re.search(rf"{pe}\.{re.escape(imtype)}\.tt\d+$", f)]
+        if not files and len(imtype.split(".")) > 1:
+            a, b = imtype.split(".", 1)
+            files = [f for f in dirlist if re.search(
+                rf"{pe}\.{re.escape(a)}\.tt\d\.{re.escape(b)}$", f)]
+        if not files:
+            continue
+        for f in files:
+            if os.path.isdir(f):
+                raise NotImplementedError(
+                    f"{f} is a legacy casacore image table — converting "
+                    "it needs the casatools 'image' tool "
+                    "(convert_image.py:52); export to FITS "
+                    "(ia.tofits) or run the reference converter first")
+        for f in files:
+            m = re.search(r"\.tt(\d+)(\.[^.]+)?$", f)
+            tt = int(m.group(1)) if m else 0
+            col = imtype.replace(".", "_") + (f"_tt{tt}" if tt else "")
+            n_l, n_m, _, _ = _fits_shape(f)
+            art = read_fits_image(spark, f, value=col)
+            if imtype == "sumwt" or (n_l == 1 and n_m == 1):
+                # per-(chan, pol) scalar plane: broadcast-attach
+                art = art.select("chan", "pol", col)
+                base = art if base is None else base.join(
+                    F.broadcast(art), ["chan", "pol"], "left")
+            else:
+                base = art if base is None else base.join(
+                    art, ["chan", "pol", "l_idx", "m_idx"], "left")
+    if base is None:
+        raise FileNotFoundError(
+            f"no image artifacts matching {prefix}.<{'|'.join(artifacts)}>")
+    return base

@@ -8,6 +8,9 @@ import tempfile
 import numpy as np
 import pandas as pd
 
+import pytest
+from pyspark.sql import functions as F
+
 from cngi_prototype_spark.sources.image_io import describe_image, read_image, write_image
 
 
@@ -110,3 +113,51 @@ def test_write_fits_image_guards_oversize_planes(spark, tmp_path):
         F.col("id").cast("double").alias("image"))
     with _pytest.raises(ValueError, match="max_plane_cells"):
         write_fits_image(df, str(tmp_path / "x.fits"), max_plane_cells=2)
+
+
+def test_convert_image_artifacts_set(spark, tmp_path):
+    """foo.image + foo.psf + taylor terms + 1x1 sumwt assemble into one
+    table with per-artifact columns (convert_image parity)."""
+    import numpy as np
+    from cngi_prototype_spark.sources.image_io import (
+        convert_image_artifacts, write_fits_image)
+    rng = np.random.default_rng(11)
+    rows = [(c, p, l, m, float(rng.normal()))
+            for c in range(2) for p in range(1)
+            for l in range(4) for m in range(4)]
+    df = spark.createDataFrame(
+        rows, "chan int, pol int, l_idx int, m_idx int, image double")
+    pre = str(tmp_path / "foo")
+    write_fits_image(df, pre + ".image")
+    write_fits_image(df.withColumn("image", F.col("image") * 2.0),
+                     pre + ".psf")
+    write_fits_image(df.withColumn("image", F.col("image") + 1.0),
+                     pre + ".model.tt0")
+    write_fits_image(df.withColumn("image", F.col("image") - 1.0),
+                     pre + ".model.tt1")
+    sw = spark.createDataFrame(
+        [(c, 0, 0, 0, 10.0 + c) for c in range(2)],
+        "chan int, pol int, l_idx int, m_idx int, image double")
+    write_fits_image(sw, pre + ".sumwt")
+
+    out = convert_image_artifacts(spark, pre + ".image")
+    pdf = out.orderBy("chan", "pol", "l_idx", "m_idx").toPandas()
+    src = df.orderBy("chan", "pol", "l_idx", "m_idx").toPandas()
+    assert {"image", "psf", "model", "model_tt1",
+            "sumwt"} <= set(pdf.columns)
+    assert np.allclose(pdf.image, src.image)
+    assert np.allclose(pdf.psf, src.image * 2.0)
+    assert np.allclose(pdf.model, src.image + 1.0)
+    assert np.allclose(pdf.model_tt1, src.image - 1.0)
+    # sumwt broadcast per (chan, pol)
+    assert np.allclose(pdf[pdf.chan == 1].sumwt, 11.0)
+    assert len(pdf) == len(src)
+
+
+def test_convert_image_artifacts_casacore_dir_raises(spark, tmp_path):
+    import os
+    from cngi_prototype_spark.sources.image_io import (
+        convert_image_artifacts)
+    os.makedirs(tmp_path / "bar.image")
+    with pytest.raises(NotImplementedError, match="casatools"):
+        convert_image_artifacts(spark, str(tmp_path / "bar.image"))
