@@ -170,12 +170,24 @@ def image_planes_from_dense(
 def make_image(vis_df: DataFrame, gp: GridParms, *,
                image_size: tuple[int, int] | None = None,
                weight: str = "imaging_weight", variant: str = "explode",
-               output: str = "cells", **cols) -> DataFrame:
+               output: str = "cells",
+               data_group: str | dict | None = None, **cols) -> DataFrame:
     """Dirty image from visibilities (make_image.py:104-130).
 
     ``output="cells"`` emits (chan, pol, l_idx, m_idx, image) rows;
     ``output="planes"`` (kernel variant only) keeps the whole pipeline
-    dense — partial grids and the image travel as flat plane arrays."""
+    dense — partial grids and the image travel as flat plane arrays.
+    ``data_group`` picks which complex data variable to image via the
+    data_groups registry (ngcasa's sel_parms['data_group_in'] —
+    operators/data_groups.py): its data pair becomes the re/im
+    columns unless explicitly overridden in ``cols``."""
+    if data_group is not None:
+        from cngi_prototype_spark.operators.data_groups import (
+            resolve_data_group,
+        )
+        g = resolve_data_group(vis_df, data_group)
+        cols.setdefault("re", g.data_cols[0][0])
+        cols.setdefault("im", g.data_cols[0][1])
     if output == "planes":
         if variant != "kernel":
             raise ValueError("output='planes' requires variant='kernel'")

@@ -65,9 +65,15 @@ def time_average(
     span: str = "none",
     vs: VisSchema = DEFAULT_VIS,
     precise: bool = False,
+    data_group: str | dict | None = None,
 ) -> DataFrame:
     """Average N adjacent time steps (``bin``) or resample to a uniform
     interval (``width``, e.g. ``'10 seconds'``).
+
+    ``data_group`` selects a named column set from the table's
+    data_groups registry (ngcasa's ``sel_parms['data_group_in']`` —
+    see operators/data_groups.py); it overrides ``vs``'s data/weight/
+    flag roles.
 
     ``span='state'`` keeps scan boundaries (groups by scan_number),
     ``span='scan'`` keeps state boundaries, ``'both'`` keeps both —
@@ -77,6 +83,11 @@ def time_average(
     Output: one row per (time-bin, baseline, chan, pol[, span keys]) with
     weighted-mean data, summed weight, and ``n_samples``.
     """
+    if data_group is not None:
+        from cngi_prototype_spark.operators.data_groups import (
+            resolve_data_group,
+        )
+        vs = resolve_data_group(df, data_group, base=vs)
     if (bin is None) == (width is None):
         raise ValueError("specify exactly one of bin= or width=")
 

@@ -45,6 +45,7 @@ def join_vis(
     keys: list[str] | None = None,
     validate: bool = False,
     conflict_tol: float = 0.0,
+    data_group: str | dict | None = None,
 ) -> DataFrame:
     """Full-outer coordinate join with no-conflicts semantics.
 
@@ -55,6 +56,11 @@ def join_vis(
     One-sided columns pass through (reference keeps the union of data
     variables).
     """
+    if data_group is not None:
+        from cngi_prototype_spark.operators.data_groups import (
+            resolve_data_group,
+        )
+        vs = resolve_data_group(df1, data_group, base=vs)
     keys = keys or list(vs.keys)
     shared = [c for c in df1.columns if c in set(df2.columns) and c not in keys]
     only1 = [c for c in df1.columns if c not in set(df2.columns)]
