@@ -175,3 +175,67 @@ def stream_grid_accumulate(
         (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"))
         .agg(F.sum(conv * F.col("_wd_re")).alias("grid_re"),
              F.sum(conv * F.col("_wd_im")).alias("grid_im")))
+
+
+def stream_clean_chunks(
+    stream_df: DataFrame,
+    bench: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    time: str = "ts",
+    watermark: str = "1 hour",
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    max_bench_grams: int = 65_536,
+) -> DataFrame:
+    """End-to-end live ingest hygiene: dedup → decontaminate → chunk,
+    as ONE streaming query with ONE stateful operator.
+
+    The composition is deliberately shaped so only deduplication holds
+    state (``dropDuplicatesWithinWatermark`` on the content hash —
+    state size bounded by distinct documents inside the watermark
+    horizon, rows evicted as the watermark advances):
+
+    - **decontaminate** runs STATELESS: the benchmark's distinct
+      xxhash64 grams collect once (an eval set is bounded by
+      construction — the same contract as the batch
+      ``ngram_contamination`` broadcast) and ride the plan as an array
+      literal; the filter is ``array_intersect`` per row, no join, no
+      state. ``max_bench_grams`` guards the plan size — above it,
+      decontaminate in batch first.
+    - **chunk** is a pure projection (tokenize-once + sequence +
+      explode), stateless by construction.
+
+    Returns the unstarted chunk stream
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    from cngi_prototype_spark.text.analysis import shingles
+    from cngi_prototype_spark.text.analysis import chunk_documents
+
+    grams = [r[0] for r in bench.select(
+        F.explode(F.transform(
+            shingles(F.col(text), shingle_n),
+            lambda g: F.xxhash64(g))).alias("g")).distinct().collect()]
+    if len(grams) > max_bench_grams:
+        raise ValueError(
+            f"benchmark gram set ({len(grams)}) exceeds "
+            f"max_bench_grams={max_bench_grams}; run batch "
+            "ngram_contamination instead of inlining the set in the "
+            "streaming plan")
+
+    deduped = (stream_df
+               .withWatermark(time, watermark)
+               .withColumn("__h", F.xxhash64(F.col(text)))
+               .dropDuplicatesWithinWatermark(["__h"]))
+    doc_grams = F.transform(shingles(F.col(text), shingle_n),
+                            lambda g: F.xxhash64(g))
+    clean = deduped.filter(
+        F.size(F.array_intersect(
+            doc_grams, F.lit(sorted(grams)))) < min_overlap
+        if grams else F.lit(True))
+    return chunk_documents(clean.drop("__h"), text_col=text,
+                           id_col=id_col, chunk_tokens=chunk_tokens,
+                           overlap=overlap)

@@ -289,3 +289,75 @@ def test_ngram_contamination_lifts_to_streaming(spark):
         assert flags == {(1, 100): 2, (3, 100): 2}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_clean_chunks_pipeline_state_bounded(spark):
+    """End-to-end live pipeline (ingest -> dedup -> decontaminate ->
+    chunk): duplicate docs collapse to first arrival, contaminated
+    docs are filtered statelessly, chunks match the batch operators on
+    the surviving set — and the ONLY state is the dedup store, bounded
+    by the watermark horizon (entries older than the horizon are
+    evicted, asserted from the query's state metrics)."""
+    import datetime
+
+    import pandas as pd
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_clean_chunks)
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval question answer key")], ["doc_id", "text"])
+    # batch 0: two clean docs; batch 1: duplicate of doc 1 (same text)
+    # + a contaminated doc; batch 2: far-future doc that pushes the
+    # watermark past batch-0/1 event times, forcing state eviction
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "ts": [ts(0), ts(1)],
+                      "text": ["one two three four five six",
+                               "alpha beta gamma delta epsilon"]}),
+        pd.DataFrame({"doc_id": [3, 4], "ts": [ts(2), ts(3)],
+                      "text": ["one two three four five six",
+                               "contains secret eval question words"]}),
+        pd.DataFrame({"doc_id": [5], "ts": [ts(600)],
+                      "text": ["late arrival fresh content here"]}),
+    ]
+    tmp = tempfile.mkdtemp()
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b).write.parquet(f"{tmp}/in/f{i}")
+        schema = spark.read.parquet(f"{tmp}/in/f0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+        out = stream_clean_chunks(stream, bench, watermark="10 minutes",
+                                  shingle_n=3, chunk_tokens=3)
+        q = (out.writeStream.format("memory").queryName("clean_chunks")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        progresses = [p for p in q.recentProgress
+                      if p and p["stateOperators"]]
+        got = spark.sql("SELECT * FROM clean_chunks").toPandas()
+        # doc 3 deduped (same text as 1), doc 4 decontaminated
+        assert set(got.doc_id) == {1, 2, 5}
+        # chunks equal the batch operator over the surviving docs
+        from cngi_prototype_spark.text.analysis import chunk_documents
+        surv = spark.createDataFrame(
+            pd.concat(batches)).filter("doc_id in (1, 2, 5)")
+        want = chunk_documents(surv, chunk_tokens=3).toPandas()
+        merged = got.merge(want, on=["doc_id", "chunk_id"],
+                           suffixes=("", "_b"))
+        assert len(merged) == len(want) == len(got)
+        assert (merged.chunk_text == merged.chunk_text_b).all()
+        # state property: never more rows than distinct docs inside
+        # the watermark horizon; final trigger evicted the old entries
+        assert all(p["stateOperators"][0]["numRowsTotal"] <= 4
+                   for p in progresses)
+        final = progresses[-1]["stateOperators"][0]
+        assert final["numRowsTotal"] <= 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
