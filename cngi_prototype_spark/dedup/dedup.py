@@ -364,8 +364,13 @@ def duplicate_clusters(
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.node)
                  .groupBy("src").agg(F.min("label").alias("_nl")))
+        # the sweep carries the PREVIOUS label (_pl) alongside, so the
+        # convergence check is a filter over the checkpointed result —
+        # not a separate join job per sweep (pure overhead when
+        # components are tiny relative to task scheduling)
         stepped = (labels.join(neigh, labels.node == neigh.src, "left")
                    .select(F.col("node"),
+                           F.col("label").alias("_pl"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("_nl"),
                                               F.col("label")))
@@ -373,18 +378,15 @@ def duplicate_clusters(
         # pointer jump: label <- min(label, label[label])
         lab2 = stepped.select(F.col("node").alias("_jn"),
                               F.col("label").alias("_jl"))
-        new_labels = (stepped.join(lab2, stepped.label == lab2._jn, "left")
-                      .select(F.col("node"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("_jl"),
-                                                 F.col("label")))
-                              .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+        new_full = (stepped.join(lab2, stepped.label == lab2._jn, "left")
+                    .select(F.col("node"), F.col("_pl"),
+                            F.least(F.col("label"),
+                                    F.coalesce(F.col("_jl"),
+                                               F.col("label")))
+                            .alias("label")))
+        new_full = new_full.localCheckpoint(eager=True)
+        changed = new_full.filter(F.col("label") != F.col("_pl")).count()
+        labels = new_full.select("node", "label")
         if changed == 0:
             converged = True
             break
