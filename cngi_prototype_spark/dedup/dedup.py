@@ -334,6 +334,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs → one row per
     member ``(doc_id, canonical_id)``, canonical = min doc id in the
@@ -357,6 +358,22 @@ def duplicate_clusters(
     edges = (pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs_df.select(F.col(id_b).alias("src"),
                                           F.col(id_a).alias("dst"))))
+    # materialize the edge list ONCE: every sweep joins against it, and
+    # without this the whole upstream pair pipeline (LSH, verification,
+    # blocked matmuls...) re-executes per sweep — measured 6.3 s of a
+    # 6.8 s semantic_dedup at sf0.1 for 297 pairs. Size is 2x the pair
+    # count, the bounded quantity this operator is designed around.
+    edges = edges.localCheckpoint(eager=True)
+    # hybrid, same rationale as a broadcast-join threshold: below
+    # driver_max_edges the whole graph fits in driver memory trivially
+    # (edges are the BOUNDED quantity — verified near-dup pairs, not
+    # the corpus), and union-find there replaces ~3 sweeps x 2 jobs of
+    # pure scheduling overhead with one bounded collect. Identical
+    # output (min id per component). The distributed pointer-jumping
+    # path below is the >4M-edge scale route.
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        return _components_driver(edges)
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
@@ -396,6 +413,37 @@ def duplicate_clusters(
             f"sweeps (component diameter > 2^{max_iter}?) — raise max_iter")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("canonical_id"))
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list →
+    (doc_id, canonical_id), canonical = min member id. Bit-identical to
+    the distributed min-label fixpoint."""
+    pdf = edges.select("src", "dst").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the canonical label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "doc_id long, canonical_id long")
 
 
 def sql_duplicate_clusters(pairs_sql: str) -> str:
