@@ -535,6 +535,7 @@ def cosine_pairs_lsh(
     num_bands: int = 4,
     planes_per_band: int = 6,
     seed: int = 42,
+    vectorize_above: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs at corpus scale: hyperplane-LSH banding
     generates candidates, exact (BLAS) cosine verifies within buckets.
@@ -570,12 +571,59 @@ def cosine_pairs_lsh(
         ]
         return F.concat(*bits)
 
-    bands = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-        for b in range(num_bands)
-    ])).alias("bs")
-    tagged = unit.select("vid", "uv", bands).select(
-        "vid", "uv", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Two-tier signatures (the assign_cells pattern): the unrolled
+    # zip_with folds bit-mirror the DuckDB twin but run interpreted —
+    # 24 x 64-dim folds PER ROW dominate the runtime beyond a few
+    # thousand vectors. Above ``vectorize_above`` rows the signatures
+    # come from ONE broadcast BLAS matmul per Arrow batch (sign of the
+    # same dot; a flip would need |dot| within ~1e-15 of zero, and any
+    # such pair is still found through its other bands).
+    n_corpus = corpus.count()
+    if n_corpus > vectorize_above:
+        import numpy as np
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        P = np.asarray([planes[b][p] for b in range(num_bands)
+                        for p in range(planes_per_band)], np.float64)
+        bcp = corpus.sparkSession.sparkContext.broadcast(P)
+        pow2 = 2 ** np.arange(planes_per_band)[::-1]
+        sig_schema = T.StructType([
+            T.StructField("vid", T.LongType()),
+            T.StructField("uv", T.ArrayType(T.DoubleType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("sig", T.LongType())])
+        raw = corpus.select(F.col(id_col).alias("vid"),
+                            _dvec(F.col(vec_col)).alias("v"))
+
+        def sig_batches(it):
+            Pt = bcp.value.T
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["v"].tolist(), np.float64)
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                U = X / np.where(nrm == 0.0, 1.0, nrm)
+                bits = (U @ Pt) >= 0  # (n, num_bands*planes_per_band)
+                sigs = bits.reshape(len(U), num_bands,
+                                    planes_per_band) @ pow2
+                rows = np.repeat(np.arange(len(U)), num_bands)
+                yield pd.DataFrame({
+                    "vid": pdf["vid"].to_numpy(np.int64)[rows],
+                    "uv": [u for u in U for _ in range(num_bands)],
+                    "band": np.tile(
+                        np.arange(num_bands, dtype=np.int32), len(U)),
+                    "sig": sigs.reshape(-1).astype(np.int64)})
+
+        tagged = raw.mapInPandas(sig_batches, sig_schema)
+    else:
+        bands = F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+            for b in range(num_bands)
+        ])).alias("bs")
+        tagged = unit.select("vid", "uv", bands).select(
+            "vid", "uv", F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"))
 
     packed = (tagged.select("band", "sig", F.struct("vid", "uv").alias("s"))
               .groupBy("band", "sig")

@@ -393,3 +393,22 @@ def test_large_k_tie_break_first_max(spark):
                                "vec_id long, v array<double>")
     out = assign_cells(df, c, vec_col="v").collect()
     assert out[0].cell == 0
+
+
+def test_lsh_vectorized_signatures_match_expression_route(spark):
+    from cngi_prototype_spark.similarity.ann import cosine_pairs_lsh
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(6, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):
+            rows.append((vid, (b + 0.02 * rng.normal(size=64)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.6, dim=64, num_bands=4, planes_per_band=6)
+    expr = cosine_pairs_lsh(df, vectorize_above=10 ** 9, **kw)
+    vect = cosine_pairs_lsh(df, vectorize_above=0, **kw)
+    pe = sorted(map(tuple, expr.collect()))
+    pv = sorted(map(tuple, vect.collect()))
+    assert pe == pv and len(pe) > 10
