@@ -544,3 +544,90 @@ def describe_zarr_store(spark: SparkSession, store: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "partition string, dims array<string>, shape array<int>, "
               "chunks array<int>, n_vars int, logical_bytes long")
+
+
+def append_zarr_vars(
+    df: DataFrame,
+    store: str,
+    group: str,
+    *,
+    var_specs: list[VarSpec],
+    compressor: dict | None = {"id": "zlib", "level": 4},
+) -> dict:
+    """Add new data variables to an EXISTING zarr group without
+    rewriting it — ``append_xds``
+    (``/root/reference/cngi/dio/append_xds.py:26-181``: delayed
+    zarr.create + da.store of just the new arrays).
+
+    The group's existing dim coords define the cube: ``df``'s rows are
+    index-joined against them (rows whose dim values are not in the
+    store's coordinates raise — appending cannot grow dims, same as the
+    reference), and the new chunk files are written on the EXISTING
+    chunk grid (anchor chunk sizes per dim) by the same
+    group-per-chunk distributed writer. Existing variables of the same
+    name raise instead of silently overwriting.
+    """
+    spark = df.sparkSession
+    dims, coords, data, _, anchor = _discover(store, group)
+    gpath = os.path.join(store, group)
+    for v in var_specs:
+        if v.name in data or v.name in coords:
+            raise ValueError(f"variable {v.name!r} already exists in "
+                             f"{group} — append cannot overwrite")
+        missing = [d for d in v.dims if d not in dims]
+        if missing:
+            raise KeyError(f"{v.name}: dims {missing} not in group "
+                           f"dims {dims}")
+    coord_vals = {d: (coords[d].read_full() if d in coords else None)
+                  for d in dims}
+    shape = {d: anchor.shape[dims.index(d)] for d in dims}
+    chunk_of = {d: anchor.chunks[dims.index(d)] for d in dims}
+
+    arrays: dict[str, zs.ZarrArray] = {}
+    for v in var_specs:
+        arrays[v.name] = zs.ZarrArray.create(
+            os.path.join(gpath, v.name),
+            tuple(shape[d] for d in v.dims),
+            tuple(chunk_of[d] for d in v.dims),
+            v.dtype, compressor=compressor, fill_value=v.fill,
+            attrs={DIM_ATTR: list(v.dims)})
+
+    idx = df
+    for d in dims:
+        if coord_vals[d] is not None:
+            py, styp = _coord_to_pylist(coord_vals[d])
+            lookup = spark.createDataFrame(
+                [(val, i) for i, val in enumerate(py)],
+                T.StructType([T.StructField(d, styp),
+                              T.StructField(f"__{d}_idx",
+                                            T.IntegerType())]))
+            # LEFT join + raise on unmatched: a row whose dim value is
+            # not in the store's coordinates means the append would
+            # have to grow a dim (the reference can't either) — the
+            # check rides the write job, costing zero extra passes
+            idx = idx.join(F.broadcast(lookup), d, "left").withColumn(
+                f"__{d}_idx",
+                F.when(F.col(f"__{d}_idx").isNotNull(),
+                       F.col(f"__{d}_idx")).otherwise(F.raise_error(
+                           F.concat(F.lit(
+                               f"append rows carry {d} values outside "
+                               "the store's coordinates — appending "
+                               "cannot grow dims: "),
+                               F.col(d).cast("string")))))
+        else:
+            idx = idx.withColumn(f"__{d}_idx",
+                                 F.col(d).cast("int"))
+    n = 0
+    for vdims in sorted({v.dims for v in var_specs},
+                        key=lambda t: (-len(t), t)):
+        specs = [v for v in var_specs if v.dims == vdims]
+        sub = idx
+        if vdims != dims:
+            keys = [f"__{d}_idx" for d in vdims]
+            cols = [c for v in specs for c in v.cols]
+            sub = idx.groupBy(*keys).agg(
+                *[F.first(c, ignorenulls=True).alias(c) for c in cols])
+        n = max(n, _write_var_chunks(sub, [arrays[v.name] for v in specs],
+                                     specs, vdims, chunk_of))
+    zs.consolidate_metadata(store)
+    return {"appended": [v.name for v in var_specs], "rows": n}

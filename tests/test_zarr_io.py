@@ -244,3 +244,43 @@ def test_read_zarr_generic_extra_dim_unrolled(spark, tmp_path):
     assert pdf.data.tolist() == data.reshape(-1).tolist()
     # uvw broadcasts along chan
     assert pdf.uvw_0.tolist() == np.repeat(uvw[:, 0], 2).tolist()
+
+
+def test_append_zarr_vars(spark, tmp_path):
+    """append_xds parity: add MODEL_DATA to an existing store on the
+    existing chunk grid, originals untouched."""
+    import pytest
+    from cngi_prototype_spark.sources.zarr_io import (
+        VarSpec, append_zarr_vars)
+    store = str(tmp_path / "vis.zarr")
+    src = _vis_df(spark)
+    write_vis_zarr(src, store, "xds0", time_chunk=2)
+    model = src.select("time", "baseline", "chan", "pol",
+                       (F.col("data_re") * 2).alias("model_re"),
+                       (F.col("data_im") * 2).alias("model_im"))
+    info = append_zarr_vars(
+        model, store, "xds0",
+        var_specs=[VarSpec("MODEL_DATA",
+                           ("time", "baseline", "chan", "pol"),
+                           ("model_re", "model_im"), "<c16",
+                           complex(np.nan, np.nan))])
+    assert info["appended"] == ["MODEL_DATA"]
+    back = read_vis_zarr(spark, store, "xds0")
+    pdf = back.orderBy("time", "baseline", "chan", "pol").toPandas()
+    assert np.allclose(pdf.model_data_re, 2 * pdf.data_re)
+    # appending the same name again refuses
+    with pytest.raises(ValueError, match="already exists"):
+        append_zarr_vars(model, store, "xds0", var_specs=[
+            VarSpec("MODEL_DATA", ("time", "baseline", "chan", "pol"),
+                    ("model_re", "model_im"), "<c16",
+                    complex(np.nan, np.nan))])
+    # out-of-coordinate rows refuse (append cannot grow dims) — the
+    # guard rides the write job as a raise_error
+    from pyspark.errors import PythonException, SparkRuntimeException
+    bad = model.withColumn("baseline", F.col("baseline") + 100)
+    with pytest.raises((PythonException, SparkRuntimeException),
+                       match="cannot grow"):
+        append_zarr_vars(bad, store, "xds0", var_specs=[
+            VarSpec("X", ("time", "baseline", "chan", "pol"),
+                    ("model_re", "model_im"), "<c16",
+                    complex(np.nan, np.nan))])
