@@ -384,7 +384,7 @@ def main() -> None:
     # host's mood.
     _run(img)
     uniform_runs: list[float] = []
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.time()
         _run(img)
         uniform_runs.append(round(time.time() - t0, 3))

@@ -242,6 +242,24 @@ def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(_zarr_roundtrip_part(spark, sf_dir))
 
 
+@register("zarr_store_describe", None)  # store metadata: rows-only
+def zarr_store_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe_vis over a zarr store (pure .zmetadata read): reuses
+    the round-trip part's store — value parity of the data inside it is
+    hash-checked by describe_partitions' '__zarr__' part."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from cngi_prototype_spark.sources.zarr_io import describe_zarr_store
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"{tempfile.gettempdir()}/cngi_spark_gate_zarr_{tag}"
+    if not os.path.exists(os.path.join(store, ".zmetadata")):
+        _zarr_roundtrip_part(spark, sf_dir).collect()
+    return describe_zarr_store(spark, store)
+
+
 def describe_partitions_bench_q(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Bench entry: the original describe scope (the gate gained a

@@ -284,3 +284,41 @@ def test_append_zarr_vars(spark, tmp_path):
             VarSpec("X", ("time", "baseline", "chan", "pol"),
                     ("model_re", "model_im"), "<c16",
                     complex(np.nan, np.nan))])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ndim=st.integers(1, 3),
+    data=st.data(),
+    dtype=st.sampled_from(["<f8", "<f4", "<i4", "<i8", "<c16", "|u1"]),
+    codec=st.sampled_from([None, {"id": "zlib", "level": 1}]),
+)
+def test_zarr_array_roundtrip_property(tmp_path_factory, ndim, data,
+                                       dtype, codec):
+    """Any shape/chunking/dtype round-trips bit-exactly, including
+    edge chunks and regions."""
+    shape = tuple(data.draw(st.integers(1, 9)) for _ in range(ndim))
+    chunks = tuple(data.draw(st.integers(1, s)) for s in shape)
+    rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+    if dtype == "<c16":
+        a = (rng.normal(size=shape) + 1j * rng.normal(size=shape)
+             ).astype(dtype)
+    elif dtype in ("<i4", "<i8", "|u1"):
+        a = rng.integers(0, 100, size=shape).astype(dtype)
+    else:
+        a = rng.normal(size=shape).astype(dtype)
+    path = str(tmp_path_factory.mktemp("zs") / "arr")
+    arr = zs.ZarrArray.create(path, shape, chunks, a.dtype,
+                              compressor=codec)
+    arr.write_full(a)
+    back = zs.ZarrArray.open(path)
+    assert back.read_full().tobytes() == a.tobytes()
+    region = tuple(
+        slice(lo, data.draw(st.integers(lo + 1, s)))
+        for s, lo in ((s, data.draw(st.integers(0, s - 1)))
+                      for s in shape))
+    assert back.read_region(region).tobytes() == a[region].tobytes()
