@@ -944,10 +944,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_text_features() -> str:
+    from cngi_prototype_spark.text.analysis import sql_scrub_pii
     s = sql_token_stats("text")
     fp = sql_doc_fingerprint("text")
+    scrub = (f"SELECT doc_id, md5(text) AS scrub_md5, n_email, "
+             f"n_ipv4, n_phone FROM ({sql_scrub_pii()})")
     return f"""
-    SELECT doc_id,
+    WITH _scrub AS ({scrub})
+    SELECT documents.doc_id,
            {s['n_tokens']} AS n_tokens,
            {s['n_chars']} AS n_chars,
            {s['mean_token_len']} AS mean_token_len,
@@ -956,13 +960,29 @@ def _sql_text_features() -> str:
            {sql_quality_score('text')} AS quality,
            {sql_language_id('text')} AS lang_pred,
            {fp['md5_norm']} AS md5_norm,
-           {fp['minhash1']} AS minhash1
-    FROM documents
+           {fp['minhash1']} AS minhash1,
+           _scrub.scrub_md5 AS scrub_md5,
+           _scrub.n_email AS n_email,
+           _scrub.n_ipv4 AS n_ipv4,
+           _scrub.n_phone AS n_phone
+    FROM documents JOIN _scrub ON _scrub.doc_id = documents.doc_id
     """
 
 
 @register("text_features", _sql_text_features())
 def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cngi_prototype_spark.text.analysis import scrub_pii
+    docs = _docs(spark, sf_dir)
+    tf = text_features(docs)
+    sc = scrub_pii(docs).select(
+        "doc_id", F.md5("text").alias("scrub_md5"),
+        "n_email", "n_ipv4", "n_phone")
+    return tf.join(sc, "doc_id")
+
+
+def text_features_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: the original feature scope (the gate gained the
+    PII-scrub columns for slot economy)."""
     return text_features(_docs(spark, sf_dir))
 
 

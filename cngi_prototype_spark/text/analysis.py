@@ -423,3 +423,67 @@ def sql_md5_num(expr: str) -> str:
             f" i -> CAST(strpos('0123456789abcdef',"
             f" substr(md5({expr}), i, 1)) - 1 AS BIGINT)),"
             f" (acc, d) -> acc * 16 + d)")
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, greedy quantifiers only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d() -]{7,}\d", "<PHONE>"),
+}
+# deterministic application order: email first (an address contains
+# dots a later pattern could chew on), then ip, then phone
+PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def scrub_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Mask PII spans in document text → ``(doc_id, text, n_email,
+    n_ipv4, n_phone)`` with each matched span replaced by its
+    ``<KIND>`` token — the redaction pass a training pipeline runs
+    before anything else sees the text.
+
+    Pure Catalyst (regexp_replace / regexp_extract_all): per-row,
+    embarrassingly parallel, no shuffle. The pattern set is the
+    standard conservative trio (emails, dotted-quad IPs, intl-prefixed
+    phone numbers); extend ``PII_PATTERNS`` for deployment-specific
+    ids. Counts are emitted per kind so downstream filters can drop
+    high-PII documents instead of just masking them.
+    """
+    kinds = [k for k in PII_ORDER if kinds is None or k in kinds]
+    out = df.select(
+        id_col,
+        F.col(text_col).alias("__t"),
+        *[F.size(F.regexp_extract_all(
+            text_col, F.lit(PII_PATTERNS[k][0]), F.lit(0)))
+          .alias(f"n_{k}") for k in kinds])
+    scrubbed = F.col("__t")
+    for k in kinds:
+        pat, tok = PII_PATTERNS[k]
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return out.select(id_col, scrubbed.alias(text_col),
+                      *[f"n_{k}" for k in kinds])
+
+
+def sql_scrub_pii(kinds: list[str] | None = None) -> str:
+    """DuckDB twin (RE2 'g' flag for replace-all)."""
+    kinds = [k for k in PII_ORDER if kinds is None or k in kinds]
+    scrubbed = "text"
+    for k in kinds:
+        pat, tok = PII_PATTERNS[k]
+        scrubbed = (f"regexp_replace({scrubbed}, '{pat}', "
+                    f"'{tok}', 'g')")
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[k][0]}')) "
+        f"AS n_{k}" for k in kinds)
+    return (f"SELECT doc_id, {scrubbed} AS text, {counts} "
+            "FROM documents")

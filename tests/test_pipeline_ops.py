@@ -412,3 +412,18 @@ def test_lsh_vectorized_signatures_match_expression_route(spark):
     pe = sorted(map(tuple, expr.collect()))
     pv = sorted(map(tuple, vect.collect()))
     assert pe == pv and len(pe) > 10
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from cngi_prototype_spark.text.analysis import scrub_pii
+    df = spark.createDataFrame(
+        [(1, "email a@b.co, ip 10.0.0.1, tel +1 555 123 4567 end"),
+         (2, "clean text")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].text == "email <EMAIL>, ip <IP>, tel <PHONE> end"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[2].text == "clean text" and out[2].n_email == 0
+    # kinds subset leaves other spans untouched
+    only_mail = scrub_pii(df, kinds=["email"]).collect()[0]
+    assert "<EMAIL>" in only_mail.text and "10.0.0.1" in only_mail.text
