@@ -242,6 +242,20 @@ def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(_zarr_roundtrip_part(spark, sf_dir))
 
 
+@register("bpe_tokenize", None)  # iterative trainer: rows-only
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train (12 merges on the corpus vocabulary) + encode —
+    trainer and encoder are verified against an in-test reference
+    implementation (tests/test_bpe.py); the iterative merge loop is
+    not practically SQL-expressible, hence rows-only."""
+    from cngi_prototype_spark.text.bpe import apply_bpe, train_bpe_merges
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe_merges(docs, 12)
+    return apply_bpe(docs, merges).select(
+        "doc_id", "token_pos", "word",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe"))
+
+
 @register("zarr_store_describe", None)  # store metadata: rows-only
 def zarr_store_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe_vis over a zarr store (pure .zmetadata read): reuses
