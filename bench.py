@@ -232,13 +232,24 @@ _LADDER_LINK = ["region", "nation", "customer", "supplier", "part",
 
 
 def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
+    import hashlib
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{mult}"
-    out = os.path.join(tempfile.gettempdir(), f"sparkgraft_ladder_{tag}")
+    # cache key = absolute source dir + its tables' mtimes: a different
+    # dir with the same basename, or a regenerated fixture, must NOT
+    # replay a stale replica (the symlinked side tables would then point
+    # at a different corpus than the replicated ones)
+    mtimes = "|".join(
+        f"{t}:{os.path.getmtime(os.path.join(sf_dir, t + '.parquet'))}"
+        for t in sorted(_LADDER_REPL)
+        if os.path.exists(os.path.join(sf_dir, t + ".parquet")))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mult}|{mtimes}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"sparkgraft_ladder_{key}")
     done = os.path.join(out, "_LADDER_OK")
     if os.path.exists(done):
         return out

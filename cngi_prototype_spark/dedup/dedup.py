@@ -372,7 +372,12 @@ def duplicate_clusters(
     # output (min id per component). The distributed pointer-jumping
     # path below is the >4M-edge scale route.
     n_edges = edges.count()
-    if n_edges <= driver_max_edges:
+    integral_ids = all(
+        f.dataType.typeName() in ("long", "integer", "short", "byte")
+        for f in edges.schema.fields)
+    if n_edges <= driver_max_edges and integral_ids:
+        # the driver union-find emits long ids; non-integral id types
+        # (string doc ids) stay on the type-preserving distributed path
         return _components_driver(edges)
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()

@@ -47,7 +47,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql):
+    """``sql``: the DuckDB twin — a string, None (rows-only), or a
+    zero-arg callable resolved lazily in :func:`oracle_sql` (for twins
+    whose construction needs environment access, e.g. trained-centroid
+    literals — import of this module must never touch the filesystem)."""
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, sql)
         return fn
@@ -90,8 +94,9 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: _REGISTRY[k][1] for k in _ordered_names()
-            if _REGISTRY[k][1] is not None}
+    return {k: (v() if callable(v) else v)
+            for k in _ordered_names()
+            if (v := _REGISTRY[k][1]) is not None}
 
 
 # Gate queries default to the decimal-exact aggregation paths so results
@@ -1290,22 +1295,33 @@ _SEM_FIXTURE_EMB = "/root/testdata/sf0.01/embeddings.parquet"
 
 
 def _sem_trained_centroids() -> list[list[float]]:
+    """Lazy (NEVER at import — a missing fixture must not break the
+    module) and memoized; falls back to the pinned synthetic centroids
+    when the fixture corpus is absent, consistently on both the Spark
+    and oracle sides (both call this function)."""
     global _SEM_TRAINED
     if "_SEM_TRAINED" not in globals():
-        from cngi_prototype_spark.similarity.ann import (
-            train_ivf_centroids_arrow,
-        )
-        _SEM_TRAINED = train_ivf_centroids_arrow(
-            _SEM_FIXTURE_EMB, n_centroids=8)
+        import os
+        if os.path.exists(_SEM_FIXTURE_EMB):
+            from cngi_prototype_spark.similarity.ann import (
+                train_ivf_centroids_arrow,
+            )
+            _SEM_TRAINED = train_ivf_centroids_arrow(
+                _SEM_FIXTURE_EMB, n_centroids=8)
+        else:
+            _SEM_TRAINED = _SEM_CENTROIDS
     return _SEM_TRAINED
 
 
 # Near-dup: the all-pairs blocked-matmul EXACT path and the scale-path
 # LSH (banded buckets -> exact re-rank, no block cross-join) share one
 # slot; the LSH twin reuses the deterministic md5 planes.
-@register(
-    "embedding_neardup",
-    f"""
+def _sql_embedding_neardup() -> str:
+    # built lazily (register passes the callable): the 'semtrained'
+    # twin embeds centroids trained from the fixture corpus, and
+    # training at import time would make `import queries` depend on
+    # the fixture path existing
+    return f"""
     SELECT 'exact' AS path, * FROM ({sql_cosine_pairs(0.4)})
     UNION ALL
     SELECT 'lsh', * FROM ({sql_cosine_pairs_lsh(0.4, 64, 4, 6)})
@@ -1320,8 +1336,10 @@ def _sem_trained_centroids() -> list[list[float]]:
     -- quantizer, not just the 4 synthetic pinned vectors
     SELECT 'semtrained', vec_id, canonical_id, CAST(cell AS DOUBLE)
     FROM ({sql_semantic_dedup(_sem_trained_centroids(), 0.4)})
-    """,
-)
+    """
+
+
+@register("embedding_neardup", _sql_embedding_neardup)
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     ex = cosine_pairs(emb, threshold=0.4).select(

@@ -536,6 +536,7 @@ def cosine_pairs_lsh(
     planes_per_band: int = 6,
     seed: int = 42,
     vectorize_above: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at corpus scale: hyperplane-LSH banding
     generates candidates, exact (BLAS) cosine verifies within buckets.
@@ -578,7 +579,11 @@ def cosine_pairs_lsh(
     # come from ONE broadcast BLAS matmul per Arrow batch (sign of the
     # same dot; a flip would need |dot| within ~1e-15 of zero, and any
     # such pair is still found through its other bands).
-    n_corpus = corpus.count()
+    # route choice needs only a size estimate: pass n_rows when the
+    # corpus is a derived pipeline (an exact count() would evaluate the
+    # whole upstream lineage once before the real work); on a plain
+    # table scan count() is metadata-cheap
+    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
     if n_corpus > vectorize_above:
         import numpy as np
         import pandas as pd

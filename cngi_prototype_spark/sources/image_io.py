@@ -260,7 +260,7 @@ def convert_image_artifacts(
         if not files and len(imtype.split(".")) > 1:
             a, b = imtype.split(".", 1)
             files = [f for f in dirlist if re.search(
-                rf"{pe}\.{re.escape(a)}\.tt\d\.{re.escape(b)}$", f)]
+                rf"{pe}\.{re.escape(a)}\.tt\d+\.{re.escape(b)}$", f)]
         if not files:
             continue
         for f in files:

@@ -119,9 +119,11 @@ def convert_ms(
     under ``<outfile>__subtables/``. Returns
     ``{'ddis': [...], 'rows': {ddi: n}, 'subtables': [...]}``.
     """
+    import numpy as np
+    from pyspark.sql import functions as F
+
     from cngi_prototype_spark.operators.data_groups import (
         data_groups_from_columns, write_data_groups)
-    from cngi_prototype_spark.sources.ingest import assign_baseline
 
     tables = _tables()
     main = tables.table(infile, ack=False)
@@ -129,6 +131,18 @@ def convert_ms(
         if ddis is None:
             ddis = sorted(set(
                 int(x) for x in main.getcol("DATA_DESC_ID")))
+        # GLOBAL dense baseline ids (ordered by (ant1, ant2) like the
+        # reference's TaQL sort) from one cheap chunked pass over the
+        # two antenna columns — per-DDI assignment would give the same
+        # physical pair different ids in different DDIs of the one
+        # hive-partitioned store
+        pair_set: set[tuple[int, int]] = set()
+        for chunk in _iter_main_chunks(main, ["ANTENNA1", "ANTENNA2"],
+                                       chunk_rows):
+            a1 = np.asarray(chunk["ANTENNA1"])
+            a2 = np.asarray(chunk["ANTENNA2"])
+            pair_set.update(zip(a1.tolist(), a2.tolist()))
+        baseline_of = {p: i for i, p in enumerate(sorted(pair_set))}
         rows: dict[int, int] = {}
         first = True
         for ddi in ddis:
@@ -136,25 +150,25 @@ def convert_ms(
                 f"SELECT * FROM $1 WHERE DATA_DESC_ID = {int(ddi)}",
                 tables=[main])
             try:
-                parts = []
+                # STREAM chunk-by-chunk into the store: peak memory is
+                # one chunk (the documented contract) — accumulating
+                # per-DDI unions holds the whole DDI on the driver
+                n_ddi = 0
                 for chunk in _iter_main_chunks(sel, MAIN_COLUMNS,
                                                chunk_rows):
                     pdf = _main_chunk_to_pandas(chunk)
-                    parts.append(spark.createDataFrame(pdf))
-                if not parts:
-                    rows[ddi] = 0
-                    continue
-                from pyspark.sql import functions as F
-
-                df = parts[0]
-                for p in parts[1:]:
-                    df = df.unionByName(p)
-                df = assign_baseline(df).withColumn("ddi",
-                                                    F.lit(int(ddi)))
-                mode = "overwrite" if first else "append"
-                df.write.mode(mode).partitionBy("ddi").parquet(outfile)
-                first = False
-                rows[ddi] = df.count()
+                    pdf["baseline"] = np.fromiter(
+                        (baseline_of[(a, b)]
+                         for a, b in zip(pdf["ant1"], pdf["ant2"])),
+                        dtype=np.int32, count=len(pdf))
+                    n_ddi += len(pdf)
+                    df = spark.createDataFrame(pdf).withColumn(
+                        "ddi", F.lit(int(ddi)))
+                    mode = "overwrite" if first else "append"
+                    w = df.write.mode(mode).partitionBy("ddi")
+                    w.parquet(outfile)
+                    first = False
+                rows[ddi] = n_ddi
             finally:
                 sel.close()
         write_data_groups(

@@ -121,6 +121,11 @@ def write_zarr_xds(
         coords[d] = _np_coord(vals, typ)
         types[d] = typ
     shape = {d: len(coords[d]) for d in dim_cols}
+    empty = [d for d in dim_cols if shape[d] == 0]
+    if empty:
+        raise ValueError(
+            f"write_zarr_xds: no rows — dims {empty} have no "
+            "coordinate values (empty input DataFrame?)")
     chunk_of = {d: min(chunks.get(d, shape[d]) or shape[d],
                        max(shape[d], 1)) for d in dim_cols}
 
@@ -307,9 +312,17 @@ def read_zarr_xds(
         adims = tuple(a.attrs.get(DIM_ATTR, []))
         main = [d for d in adims if d in dims]
         extra = [d for d in adims if d not in dims]
-        if adims[:len(main)] != tuple(main) or set(extra) & set(dims):
+        dpos_check = [dims.index(d) for d in main]
+        # main dims must be a LEADING slice of the var's dims AND in
+        # the anchor's order: a permuted var (stored (chan, time)
+        # against a (time, chan) anchor) would broadcast-reshape its
+        # axes against the wrong extents — silently transposed values
+        # when extents happen to match
+        if (adims[:len(main)] != tuple(main) or set(extra) & set(dims)
+                or dpos_check != sorted(dpos_check)):
             raise NotImplementedError(
-                f"{n}: dims {adims} not alignable to {dims}")
+                f"{n}: dims {adims} not alignable to anchor dims "
+                f"{dims} (reorder the variable or pick it as anchor=)")
         out = n.lower() if lower_names else n
         base = np.dtype(a.dtype)
         if a.dtype.kind == "c":
@@ -384,13 +397,16 @@ def read_zarr_xds(
                         for i, nm in enumerate(names):
                             cols[nm] = np.ascontiguousarray(flat[:, i])
                 out_pdf = pd.DataFrame(cols)
-                if drop:
+                present = [c for c in drop if c in out_pdf.columns]
+                if present:
+                    # none-present (e.g. data_vars pruned the NaN
+                    # markers away) must mean keep-everything, not
+                    # drop-everything
                     keep = np.zeros(len(out_pdf), dtype=bool)
-                    for cname in drop:
-                        if cname in out_pdf.columns:
-                            v = out_pdf[cname].to_numpy()
-                            keep |= (~np.isnan(v) if v.dtype.kind == "f"
-                                     else np.ones(len(v), bool))
+                    for cname in present:
+                        v = out_pdf[cname].to_numpy()
+                        keep |= (~np.isnan(v) if v.dtype.kind == "f"
+                                 else np.ones(len(v), bool))
                     out_pdf = out_pdf[keep]
                 if len(out_pdf):
                     yield out_pdf

@@ -322,3 +322,45 @@ def test_zarr_array_roundtrip_property(tmp_path_factory, ndim, data,
         for s, lo in ((s, data.draw(st.integers(0, s - 1)))
                       for s in shape))
     assert back.read_region(region).tobytes() == a[region].tobytes()
+
+
+def test_vis_zarr_flag_only_read_keeps_rows(spark, tmp_path):
+    """Pruning to a variable that isn't a NaN marker must not drop
+    every row (regression: keep started all-False)."""
+    store = str(tmp_path / "vis.zarr")
+    write_vis_zarr(_vis_df(spark), store, "xds0", time_chunk=2)
+    flags = read_vis_zarr(spark, store, "xds0", data_vars=["FLAG"])
+    assert flags.count() == 6 * 3 * 4 * 2  # full dense grid, no marker
+
+
+def test_write_zarr_empty_input_raises(spark, tmp_path):
+    import pytest
+    store = str(tmp_path / "vis.zarr")
+    empty = _vis_df(spark).filter("baseline > 99")
+    with pytest.raises(ValueError, match="no rows"):
+        write_vis_zarr(empty, store, "xds0")
+
+
+def test_read_zarr_permuted_var_dims_raise(spark, tmp_path):
+    """A variable stored with dims permuted against the anchor raises
+    instead of silently transposing (regression)."""
+    import pytest
+    root = str(tmp_path / "s")
+    zs.create_group(root)
+    g = os.path.join(root, "x")
+    zs.create_group(g)
+    for d, n in (("time", 3), ("chan", 3)):
+        ca = zs.ZarrArray.create(os.path.join(g, d), (n,), (n,), "<i8",
+                                 attrs={"_ARRAY_DIMENSIONS": [d]})
+        ca.write_full(np.arange(n, dtype=np.int64))
+    da = zs.ZarrArray.create(os.path.join(g, "DATA"), (3, 3), (3, 3),
+                             "<f8", attrs={"_ARRAY_DIMENSIONS":
+                                           ["time", "chan"]})
+    da.write_full(np.arange(9, dtype=np.float64).reshape(3, 3))
+    wa = zs.ZarrArray.create(os.path.join(g, "W"), (3, 3), (3, 3),
+                             "<f8", attrs={"_ARRAY_DIMENSIONS":
+                                           ["chan", "time"]})
+    wa.write_full(np.arange(9, dtype=np.float64).reshape(3, 3))
+    zs.consolidate_metadata(root)
+    with pytest.raises(Exception, match="not alignable"):
+        read_zarr_xds(spark, root, "x", anchor="DATA").collect()
