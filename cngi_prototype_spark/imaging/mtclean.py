@@ -345,7 +345,7 @@ def deconvolve_multiterm_clean(
         T.StructField("residual", T.DoubleType()),
     ])
 
-    def maps(key_, pdf: pd.DataFrame) -> pd.DataFrame:
+    def maps(key_: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li, mi, (r0, r1, p0, p1, p2) = plane_arrays(
             pdf, "r0", "r1", "p0", "p1", "p2")
         R = np.stack([r0, r1])
