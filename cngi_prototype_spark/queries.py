@@ -935,6 +935,7 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     sql_cosine_pairs_lsh,
     sql_ivf_topk,
     sql_lsh_topk,
+    sql_pool_embeddings,
     sql_semantic_dedup,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
@@ -1336,6 +1337,13 @@ def _sql_embedding_neardup() -> str:
     -- quantizer, not just the 4 synthetic pinned vectors
     SELECT 'semtrained', vec_id, canonical_id, CAST(cell AS DOUBLE)
     FROM ({sql_semantic_dedup(_sem_trained_centroids(), 0.4)})
+    UNION ALL
+    -- embedding pooling (chunk->doc mean): one row per (group, dim),
+    -- DECIMAL-exact means, ROUND+0.0 for the signed-zero hash guard
+    SELECT 'pool', g, i - 1,
+           (ROUND(embedding[i], 6) + 0.0)
+    FROM ({sql_pool_embeddings("vec_id % 50")}),
+         UNNEST(range(1, len(embedding) + 1)) AS r(i)
     """
 
 
@@ -1355,7 +1363,16 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("semtrained").alias("path"), F.col("vec_id").alias("id_a"),
         F.col("canonical_id").alias("id_b"),
         F.col("cell").cast("double").alias("cos_sim"))
-    return ex.unionByName(ls).unionByName(sem).unionByName(semtr)
+    from cngi_prototype_spark.similarity.ann import pool_embeddings
+    pool = pool_embeddings(
+        emb.withColumn("g", F.col("vec_id") % 50), group_col="g",
+        precise=_precise()).select(
+        F.lit("pool").alias("path"), F.col("g").alias("id_a"),
+        F.posexplode("embedding").alias("id_b", "_v")).select(
+        "path", "id_a", F.col("id_b").cast("long").alias("id_b"),
+        (F.round(F.col("_v"), 6) + F.lit(0.0)).alias("cos_sim"))
+    return (ex.unionByName(ls).unionByName(sem).unionByName(semtr)
+            .unionByName(pool))
 
 
 _SEM_PROD_CENTROIDS: dict[str, list[list[float]]] = {}

@@ -1019,3 +1019,69 @@ def train_kmeans_distributed(
                 if n > 0:
                     c[j] = nc / n
     return [[float(x) for x in row] for row in c]
+
+
+def pool_embeddings(
+    df: DataFrame,
+    *,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    method: str = "mean",
+    precise: bool = False,
+) -> DataFrame:
+    """Pool many vectors per group into one — chunk/token embeddings →
+    document embedding, the standard aggregation between an encoder
+    pass and corpus-level similarity ops →
+    ``(<group_col>, embedding array<double>, n_pooled)``.
+
+    ``method``: 'mean' (centroid) or 'max' (element-wise max pooling).
+    Pure Catalyst: posexplode to (group, pos, x), one partial/final
+    groupBy(group, pos) aggregation (shuffle volume = groups x dim, not
+    corpus x dim), then the vector re-assembles from the sorted
+    per-position rows. ``precise`` routes the mean through the
+    DECIMAL-exact accumulator for oracle twins.
+    """
+    from cngi_prototype_spark.functions import exact
+
+    if method not in ("mean", "max"):
+        raise ValueError(f"pool method {method!r} (mean|max)")
+    ex = df.select(F.col(group_col).alias("_g"),
+                   F.posexplode(_dvec(F.col(vec_col))).alias("_p", "_x"))
+    if method == "mean":
+        agg = exact.mean(F.col("_x"), precise).alias("_v")
+    else:
+        agg = F.max("_x").alias("_v")
+    per_pos = ex.groupBy("_g", "_p").agg(
+        agg, F.count(F.lit(1)).alias("_n"))
+    return (per_pos.groupBy("_g")
+            .agg(F.array_sort(F.collect_list(F.struct("_p", "_v")))
+                 .alias("_s"),
+                 F.max("_n").alias("n_pooled"))
+            .select(F.col("_g").alias(group_col),
+                    F.transform("_s", lambda s: s["_v"])
+                    .alias("embedding"),
+                    "n_pooled"))
+
+
+def sql_pool_embeddings(group_expr: str = "vec_id % 50",
+                        method: str = "mean",
+                        precise: bool = True) -> str:
+    """DuckDB twin over the embeddings table: same posexplode →
+    per-(group, pos) aggregate → ordered re-assembly."""
+    from cngi_prototype_spark.functions.exact import sql_mean
+
+    val = (sql_mean("x") if (method == "mean" and precise)
+           else ("AVG(x)" if method == "mean" else "MAX(x)"))
+    return f"""
+    WITH ex AS (
+      SELECT {group_expr} AS g, i - 1 AS p,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    per_pos AS (
+      SELECT g, p, {val} AS v, COUNT(*) AS n
+      FROM ex GROUP BY g, p
+    )
+    SELECT g, list(v ORDER BY p) AS embedding, MAX(n) AS n_pooled
+    FROM per_pos GROUP BY g
+    """

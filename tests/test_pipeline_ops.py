@@ -427,3 +427,18 @@ def test_scrub_pii_masks_and_counts(spark):
     # kinds subset leaves other spans untouched
     only_mail = scrub_pii(df, kinds=["email"]).collect()[0]
     assert "<EMAIL>" in only_mail.text and "10.0.0.1" in only_mail.text
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    from cngi_prototype_spark.similarity.ann import pool_embeddings
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (0, [3.0, 4.0]), (1, [5.0, 6.0])],
+        "doc_id long, embedding array<double>")
+    mean = {r.doc_id: r for r in pool_embeddings(df).collect()}
+    assert mean[0].embedding == [2.0, 1.0] and mean[0].n_pooled == 2
+    assert mean[1].embedding == [5.0, 6.0] and mean[1].n_pooled == 1
+    mx = {r.doc_id: r for r in
+          pool_embeddings(df, method="max").collect()}
+    assert mx[0].embedding == [3.0, 4.0]
+    with pytest.raises(ValueError, match="mean|max"):
+        pool_embeddings(df, method="sum")
