@@ -948,6 +948,7 @@ from cngi_prototype_spark.text.analysis import (  # noqa: E402
     sql_quality_score,
     sql_token_frequencies,
     sql_token_stats,
+    sql_winnow_fingerprints,
     text_features,
     token_frequencies,
 )
@@ -1046,6 +1047,13 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'vocab', {sql_md5_num('token')}, CAST(rank AS BIGINT),
            CAST(n_occurrences * 1000000 + n_docs AS DOUBLE)
     FROM ({sql_token_frequencies(256)})
+    UNION ALL
+    -- winnowing fingerprints (MOSS rolling-hash, doc_id%7 subset):
+    -- value < 2^31 so the hash rides the double exactly
+    SELECT 'wfp', doc_id, CAST(pos AS BIGINT),
+           CAST(fingerprint AS DOUBLE)
+    FROM ({sql_winnow_fingerprints(5, 4)})
+    WHERE doc_id % 7 = 0
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,7 +1076,14 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("id_b"),
         (F.col("n_occurrences") * F.lit(1000000) + F.col("n_docs"))
         .cast("double").alias("jaccard"))
-    return jac.unionByName(contam).unionByName(chunk).unionByName(vocab)
+    from cngi_prototype_spark.text.analysis import winnow_fingerprints
+    wfp = winnow_fingerprints(
+        docs.filter(F.col("doc_id") % 7 == 0), k=5, window=4).select(
+        F.lit("wfp").alias("part"), F.col("doc_id").alias("id_a"),
+        F.col("pos").cast("long").alias("id_b"),
+        F.col("fingerprint").cast("double").alias("jaccard"))
+    return (jac.unionByName(contam).unionByName(chunk)
+            .unionByName(vocab).unionByName(wfp))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:

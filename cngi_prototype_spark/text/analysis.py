@@ -487,3 +487,104 @@ def sql_scrub_pii(kinds: list[str] | None = None) -> str:
         f"AS n_{k}" for k in kinds)
     return (f"SELECT doc_id, {scrubbed} AS text, {counts} "
             "FROM documents")
+
+
+# --- winnowing fingerprints (rolling hash) --------------------------------
+
+# polynomial rolling-hash parameters: B^k stays far below 2^53 for the
+# gate shapes and every intermediate is taken mod M, so Spark BIGINT
+# and DuckDB BIGINT arithmetic agree exactly (no overflow on either)
+WINNOW_B = 257
+WINNOW_M = 2_147_483_647  # 2^31 - 1
+
+
+def _char_codes(text: Column) -> Column:
+    # per-character code points of the normalized text
+    return F.transform(
+        F.split(F.lower(F.trim(text)), ""),
+        lambda ch: F.ascii(ch).cast("long"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm) → ``(doc_id, pos, fingerprint)``.
+
+    Hash every k-gram of characters with a polynomial rolling hash mod
+    2^31-1, then keep the MINIMUM hash of each window of ``window``
+    consecutive k-grams (rightmost minimum, the paper's robust
+    winnowing tie-break), distinct per document. Guarantees: any
+    shared substring of length >= window+k-1 yields a shared
+    fingerprint — the near-dup detection primitive that is robust to
+    insertions/reordering where exact hashing is not.
+
+    Pure Catalyst array expressions per row (no shuffle, no UDF):
+    embarrassingly parallel over the corpus like every op here.
+    """
+    codes = _char_codes(F.col(text_col))
+    n = F.size(codes)
+    gram = lambda i: F.aggregate(  # noqa: E731
+        F.slice(codes, i, k), F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(WINNOW_B) + c,
+                              F.lit(WINNOW_M)))
+    hashes = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    ).otherwise(F.array().cast("array<long>"))
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  hashes.alias("__h"))
+    nh = F.size(F.col("__h"))
+    win = F.when(
+        nh >= window,
+        F.transform(
+            F.sequence(F.lit(1), nh - (window - 1)),
+            lambda i: F.struct(
+                F.array_min(F.slice(F.col("__h"), i, window))
+                .alias("fp"), i.alias("w"))),
+    ).otherwise(F.array().cast("array<struct<fp:long,w:int>>"))
+    out = d.select("doc_id", F.explode(win).alias("s")) \
+        .select("doc_id", F.col("s.fp").alias("fingerprint"),
+                F.col("s.w").alias("w"))
+    # one row per distinct fingerprint, at its FIRST selecting window
+    return (out.groupBy("doc_id", "fingerprint")
+            .agg(F.min("w").alias("pos"))
+            .select("doc_id", "pos", "fingerprint"))
+
+
+def sql_winnow_fingerprints(k: int = 5, window: int = 4) -> str:
+    """DuckDB twin: same rolling hash (list_reduce fold with pmod at
+    every step), same window minima, same first-window position."""
+    codes = ("list_transform(regexp_split_to_array("
+             "lower(trim(text)), ''), ch -> CAST(ascii(ch) AS BIGINT))")
+    # this DuckDB's list_reduce has no init argument: prepend the zero
+    # seed so the fold starts from it (first element = accumulator)
+    gram = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"c[i:i+{k - 1}]), "
+            f"(acc, x) -> (acc * {WINNOW_B} + x) % {WINNOW_M})")
+    return f"""
+    WITH _wf_c AS (
+      SELECT doc_id, {codes} AS c FROM documents
+    ),
+    _wf_h AS (
+      SELECT doc_id,
+             CASE WHEN len(c) >= {k} THEN
+               list_transform(range(1, len(c) - {k - 1} + 1),
+                              i -> {gram})
+             ELSE [] END AS h
+      FROM _wf_c
+    ),
+    _wf_w AS (
+      SELECT doc_id, list_min(h[i:i+{window - 1}]) AS fingerprint,
+             CAST(i AS INT) AS w
+      FROM _wf_h, UNNEST(range(1, len(h) - {window - 1} + 1)) AS r(i)
+      WHERE len(h) >= {window}
+    )
+    SELECT doc_id, MIN(w) AS pos, fingerprint
+    FROM _wf_w GROUP BY doc_id, fingerprint
+    """

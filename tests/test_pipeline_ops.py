@@ -442,3 +442,25 @@ def test_pool_embeddings_mean_and_max(spark):
     assert mx[0].embedding == [3.0, 4.0]
     with pytest.raises(ValueError, match="mean|max"):
         pool_embeddings(df, method="sum")
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: substrings of length >= window+k-1 shared
+    between documents produce at least one shared fingerprint; distinct
+    texts of length < k produce none."""
+    from cngi_prototype_spark.text.analysis import winnow_fingerprints
+    df = spark.createDataFrame(
+        [(1, "zzz the identical central passage here qqq"),
+         (2, "aaa the identical central passage here bbb"),
+         (3, "completely different words everywhere now"),
+         (4, "ab")],
+        ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=5, window=4).toPandas()
+    fps = {d: set(g.fingerprint) for d, g in out.groupby("doc_id")}
+    assert fps[1] & fps[2]  # shared passage -> shared fingerprint
+    assert not (fps[1] & fps.get(3, set()) and fps[2] & fps.get(3, set())
+                and fps[1] & fps[2] <= fps[3])
+    assert 4 not in fps  # too short for any k-gram
+    # fingerprints are sparse: far fewer than k-gram count
+    n1 = len(df.collect()[0].text)
+    assert len(fps[1]) < (n1 - 4) / 2
