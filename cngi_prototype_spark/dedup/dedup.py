@@ -554,3 +554,62 @@ def sql_ngram_contamination(shingle_n: int = 8, min_overlap: int = 1,
     GROUP BY 1, 2
     HAVING COUNT(*) >= {min_overlap}
     """
+
+
+# --- end-to-end corpus dedup ----------------------------------------------
+
+
+def dedup_corpus(
+    df: DataFrame,
+    *,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-call corpus deduplication: candidates → exact verification →
+    connected components → keep decision. Returns the input rows plus
+    ``(canonical_id, is_kept)`` — filter ``is_kept`` for the deduped
+    corpus, or join on ``canonical_id`` for provenance.
+
+    ``method``:
+    - ``'exact'``   — md5 content identity only;
+    - ``'minhash'`` — banded MinHash-LSH candidates verified with exact
+      n-gram Jaccard >= ``threshold`` (the production near-dup path);
+    every stage is the correspondingly-gated operator, so this wrapper
+    adds composition, not new semantics. Scale bounds are the stages':
+    LSH shuffle ~ bucket collisions, verification ~ candidate pairs,
+    components ~ verified pairs.
+    """
+    if method == "exact":
+        groups = exact_dedup(df, text_col, id_col).select(
+            "text_hash", F.col("canonical_id").alias("__can"))
+        h = F.md5(F.lower(F.trim(F.col(text_col))))
+        # groups is distinct-hash-sized (can approach the corpus):
+        # a plain shuffle join, never broadcast
+        out = (df.withColumn("text_hash", h)
+               .join(groups, "text_hash")
+               .drop("text_hash"))
+    elif method == "minhash":
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, max_bucket=max_bucket)
+        pairs = ngram_jaccard_pairs(df, text_col, id_col,
+                                    shingle_n=shingle_n,
+                                    threshold=threshold,
+                                    candidates=cands)
+        clusters = duplicate_clusters(pairs)
+        out = df.join(
+            clusters.select(F.col("doc_id").alias(id_col),
+                            F.col("canonical_id").alias("__can")),
+            id_col, "left")
+    else:
+        raise ValueError(f"dedup method {method!r} (exact|minhash)")
+    return (out.withColumn(
+        "canonical_id", F.coalesce(F.col("__can"), F.col(id_col)))
+        .drop("__can")
+        .withColumn("is_kept", F.col("canonical_id") == F.col(id_col)))

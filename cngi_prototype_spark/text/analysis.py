@@ -588,3 +588,62 @@ def sql_winnow_fingerprints(k: int = 5, window: int = 4) -> str:
     SELECT doc_id, MIN(w) AS pos, fingerprint
     FROM _wf_w GROUP BY doc_id, fingerprint
     """
+
+
+# --- corpus quality filtering ---------------------------------------------
+
+
+def filter_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: list[str] | None = None,
+    min_chars: int = 50,
+    max_chars: int = 1_000_000,
+    max_pii: int | None = None,
+) -> DataFrame:
+    """C4/Gopher-style corpus filter: annotate every document with
+    ``keep`` and the FIRST reject ``reason`` (length_short/length_long/
+    quality/language/pii) — filter ``keep`` for the clean corpus, or
+    aggregate ``reason`` for the funnel report (see
+    :func:`filter_report`).
+
+    One projection over the text column (the staged text_features
+    expressions plus the PII counts when ``max_pii`` is set); no
+    shuffle, no UDF — the same embarrassingly-parallel contract as
+    every op in this module.
+    """
+    feats = text_features(df, text_col, id_col).select(
+        id_col, "n_chars", "quality", "lang_pred")
+    out = df.join(feats, id_col)
+    if max_pii is not None:
+        pii = scrub_pii(df, text_col=text_col, id_col=id_col).select(
+            id_col, (F.col("n_email") + F.col("n_ipv4")
+                     + F.col("n_phone")).alias("__n_pii"))
+        out = out.join(pii, id_col)
+    else:
+        out = out.withColumn("__n_pii", F.lit(0))
+    reason = (
+        F.when(F.col("n_chars") < min_chars, "length_short")
+        .when(F.col("n_chars") > max_chars, "length_long")
+        .when(F.col("quality") < min_quality, "quality"))
+    if languages is not None:
+        reason = reason.when(~F.col("lang_pred").isin(list(languages)),
+                             "language")
+    if max_pii is not None:
+        reason = reason.when(F.col("__n_pii") > max_pii, "pii")
+    out = out.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason").isNull()).drop("__n_pii")
+    return out
+
+
+def filter_report(filtered: DataFrame) -> DataFrame:
+    """Funnel report over :func:`filter_documents` output: docs per
+    outcome, ordered kept-first."""
+    return (filtered.groupBy(
+        F.coalesce("reason", F.lit("kept")).alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"))
+        .orderBy(F.col("outcome") != "kept", "outcome"))

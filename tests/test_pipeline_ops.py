@@ -464,3 +464,49 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     # fingerprints are sparse: far fewer than k-gram count
     n1 = len(df.collect()[0].text)
     assert len(fps[1]) < (n1 - 4) / 2
+
+
+def test_dedup_corpus_wrapper(spark):
+    from cngi_prototype_spark.dedup.dedup import dedup_corpus
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "the quick brown fox jumps over the lazy dog tonight"),
+         (4, "entirely different content with no overlap at all")],
+        ["doc_id", "text"])
+    ex = dedup_corpus(df, method="exact").toPandas().set_index("doc_id")
+    assert ex.loc[1].is_kept and not ex.loc[2].is_kept
+    assert ex.loc[2].canonical_id == 1
+    assert ex.loc[3].is_kept and ex.loc[4].is_kept  # near-dup survives exact
+    mh = dedup_corpus(df, method="minhash", threshold=0.5) \
+        .toPandas().set_index("doc_id")
+    assert mh.loc[1].is_kept and not mh.loc[2].is_kept
+    assert not mh.loc[3].is_kept  # near-dup collapses under minhash
+    assert mh.loc[3].canonical_id == 1
+    assert mh.loc[4].is_kept
+    assert len(mh) == 4  # all rows survive with provenance
+    with pytest.raises(ValueError, match="exact|minhash"):
+        dedup_corpus(df, method="simhash")
+
+
+def test_filter_documents_funnel(spark):
+    from cngi_prototype_spark.text.analysis import (
+        filter_documents, filter_report)
+    good = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for that with plenty of words to say")
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, "too short"),
+         (3, good + " contact me a@b.co 10.0.0.1 +1 555 123 4567"),
+         (4, "!!!! ???? #### %%%% " * 10)],
+        ["doc_id", "text"])
+    out = filter_documents(df, min_quality=0.5, max_pii=1,
+                           languages=["en", "und"])
+    pdf = out.toPandas().set_index("doc_id")
+    assert bool(pdf.loc[1].keep)
+    assert pdf.loc[2].reason == "length_short"
+    assert pdf.loc[3].reason == "pii"
+    assert pdf.loc[4].reason == "quality"
+    rep = {r.outcome: r.n_docs for r in filter_report(out).collect()}
+    assert rep == {"kept": 1, "length_short": 1, "pii": 1,
+                   "quality": 1}
