@@ -647,3 +647,40 @@ def append_zarr_vars(
                                      specs, vdims, chunk_of))
     zs.consolidate_metadata(store)
     return {"appended": [v.name for v in var_specs], "rows": n}
+
+
+def write_vis_zarr_partitions(
+    df: DataFrame,
+    store: str,
+    *,
+    partition_col: str = "ddi",
+    time_chunk: int = 100,
+    chan_chunk: int | None = None,
+    attrs: dict | None = None,
+    compressor: dict | None = {"id": "zlib", "level": 4},
+) -> dict:
+    """Write a multi-partition vis store — the mxds convention
+    (``convert_ms`` emits one ``xds<ddi>`` group per DDI;
+    ``read_vis(partition=...)`` selects one): each distinct
+    ``partition_col`` value becomes group ``xds<value>`` with its own
+    dim grid. Returns ``{partition_name: write_vis_zarr info}``.
+
+    The partition loop is a driver loop over DDI COUNT (handfuls, the
+    reference's own shape); each iteration's write is the fully
+    distributed group-per-chunk job, and the partition filter prunes
+    at the scan when ``df`` reads a ddi-partitioned store.
+    """
+    parts = sorted(r[0] for r in df.select(partition_col)
+                   .distinct().collect())
+    info: dict[str, dict] = {}
+    for p in parts:
+        name = f"xds{p}"
+        sub = df.filter(F.col(partition_col) == p).drop(partition_col)
+        part_attrs = dict(attrs or {})
+        part_attrs[partition_col] = int(p) if hasattr(p, "__int__") \
+            else p
+        info[name] = write_vis_zarr(
+            sub, store, name, time_chunk=time_chunk,
+            chan_chunk=chan_chunk, attrs=part_attrs,
+            compressor=compressor)
+    return info

@@ -364,3 +364,20 @@ def test_read_zarr_permuted_var_dims_raise(spark, tmp_path):
     zs.consolidate_metadata(root)
     with pytest.raises(Exception, match="not alignable"):
         read_zarr_xds(spark, root, "x", anchor="DATA").collect()
+
+
+def test_write_vis_zarr_partitions_mxds(spark, tmp_path):
+    from cngi_prototype_spark.sources.zarr_io import (
+        write_vis_zarr_partitions)
+    store = str(tmp_path / "vis.zarr")
+    src = (_vis_df(spark, nt=4).withColumn(
+        "ddi", (F.col("baseline") % 2)))
+    info = write_vis_zarr_partitions(src, store, time_chunk=2)
+    assert set(info) == {"xds0", "xds1"}
+    d = {r.partition: r for r in
+         describe_zarr_store(spark, store).collect()}
+    assert set(d) == {"xds0", "xds1"}
+    back0 = read_vis_zarr(spark, store, "xds0")
+    assert back0.select("baseline").distinct().count() == 2  # bl 0, 2
+    a = src.filter("ddi = 0").count()
+    assert back0.count() == a
