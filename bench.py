@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh",
     "semantic_dedup",
     "media_suite",
+    # round-7 additions
+    "pii_scrub",
+    "winnow_fingerprints",
+    "bpe_tokenize",
+    "embedding_pool",
+    "dedup_corpus",
 ]
 
 

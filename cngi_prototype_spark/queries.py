@@ -247,6 +247,36 @@ def describe_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(_zarr_roundtrip_part(spark, sf_dir))
 
 
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: full-corpus PII scrub (value-gated via the
+    text_features scrub columns)."""
+    from cngi_prototype_spark.text.analysis import scrub_pii
+    return scrub_pii(_docs(spark, sf_dir))
+
+
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: full-corpus winnowing fingerprints (value-gated via
+    the ngram_jaccard 'wfp' part on the doc_id%7 subset)."""
+    from cngi_prototype_spark.text.analysis import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def embedding_pool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: mean-pool embeddings into 50 groups (value-gated
+    via the embedding_neardup 'pool' part)."""
+    from cngi_prototype_spark.similarity.ann import pool_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb.withColumn("g", F.col("vec_id") % 50),
+                           group_col="g")
+
+
+def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry: the one-call minhash dedup wrapper (stages
+    individually value-gated)."""
+    from cngi_prototype_spark.dedup.dedup import dedup_corpus
+    return dedup_corpus(_docs(spark, sf_dir), threshold=0.5)
+
+
 @register("bpe_tokenize", None)  # iterative trainer: rows-only
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train (12 merges on the corpus vocabulary) + encode —
