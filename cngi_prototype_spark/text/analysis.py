@@ -512,6 +512,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    vectorize_above: int = 2048,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS algorithm) → ``(doc_id, pos, fingerprint)``.
@@ -524,9 +525,22 @@ def winnow_fingerprints(
     fingerprint — the near-dup detection primitive that is robust to
     insertions/reordering where exact hashing is not.
 
-    Pure Catalyst array expressions per row (no shuffle, no UDF):
-    embarrassingly parallel over the corpus like every op here.
+    Two-tier (the assign_cells pattern): at gate scale the rolling
+    hash is Catalyst array folds bit-mirrored by the DuckDB twin; above
+    ``vectorize_above`` rows an Arrow-batched numpy kernel computes the
+    identical values (sliding-window dot with one final mod — stepwise
+    ``pmod`` and mod-once are congruent and both land in [0, M), so
+    they are EQUAL; the intermediate fits int64: 255·Σ B^j < 2^63 for
+    k=5, B=257). Either way: no shuffle until the per-doc distinct,
+    embarrassingly parallel over the corpus.
     """
+    if int(k) > 7:
+        raise ValueError("k > 7 overflows the int64 vectorized kernel "
+                         "(255 * sum(B^j) must stay below 2^63)")
+    n_corpus = df.count()
+    if n_corpus > vectorize_above:
+        return _winnow_vectorized(df, text_col=text_col, id_col=id_col,
+                                  k=int(k), window=int(window))
     codes = _char_codes(F.col(text_col))
     n = F.size(codes)
     gram = lambda i: F.aggregate(  # noqa: E731
@@ -555,6 +569,51 @@ def winnow_fingerprints(
     return (out.groupBy("doc_id", "fingerprint")
             .agg(F.min("w").alias("pos"))
             .select("doc_id", "pos", "fingerprint"))
+
+
+def _winnow_vectorized(df: DataFrame, *, text_col: str, id_col: str,
+                       k: int, window: int) -> DataFrame:
+    """numpy route of :func:`winnow_fingerprints` (same values)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("fingerprint", T.LongType())])
+    powers = (WINNOW_B ** np.arange(k - 1, -1, -1)).astype(np.int64)
+
+    def batches(it):
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in it:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text).strip().lower()
+                # UTF-32 decode = one code point per char, exactly the
+                # per-char F.ascii of the expression route (not bytes)
+                c = np.frombuffer(t.encode("utf-32-le"),
+                                  dtype=np.uint32)
+                if c.size < k:
+                    continue
+                grams = (sliding_window_view(c.astype(np.int64), k)
+                         @ powers) % WINNOW_M
+                if grams.size < window:
+                    continue
+                wins = sliding_window_view(grams, window).min(axis=1)
+                # first selecting window per distinct fingerprint
+                fp, first = np.unique(wins, return_index=True)
+                ids.append(np.full(fp.size, did, np.int64))
+                poss.append((first + 1).astype(np.int32))
+                fps.append(fp.astype(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "fingerprint": np.concatenate(fps)})
+
+    return df.select(F.col(id_col).alias(id_col),
+                     F.col(text_col).alias(text_col))         .mapInPandas(batches, schema)
 
 
 def sql_winnow_fingerprints(k: int = 5, window: int = 4) -> str:

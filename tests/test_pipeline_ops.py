@@ -510,3 +510,21 @@ def test_filter_documents_funnel(spark):
     rep = {r.outcome: r.n_docs for r in filter_report(out).collect()}
     assert rep == {"kept": 1, "length_short": 1, "pii": 1,
                    "quality": 1}
+
+
+def test_winnow_routes_bit_equal(spark):
+    from cngi_prototype_spark.text.analysis import winnow_fingerprints
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "héllo wörld ünïcode résumé naïve and ascii mixed in"),
+         (3, "xy")],
+        ["doc_id", "text"])
+    key = ["doc_id", "pos", "fingerprint"]
+    a = winnow_fingerprints(df, vectorize_above=10 ** 9) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    b = winnow_fingerprints(df, vectorize_above=0) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.astype("int64").equals(b.astype("int64"))
+    with pytest.raises(ValueError, match="k > 7"):
+        winnow_fingerprints(df, k=9)
