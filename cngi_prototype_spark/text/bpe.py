@@ -51,11 +51,19 @@ def train_bpe_merges(
     *,
     text_col: str = "text",
     min_pair_count: int = 2,
+    driver_max_vocab: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus → ordered list of
     (left, right) symbol pairs. Ties break lexicographically
     (deterministic across partitionings); training stops early when no
     pair reaches ``min_pair_count``.
+
+    Hybrid (the union-find pattern): the corpus pass always runs
+    distributed, but the merge loop works on the VOCABULARY — below
+    ``driver_max_vocab`` distinct words it runs the identical algorithm
+    driver-side (one bounded collect instead of 2·n_merges
+    vocabulary-sized jobs); the DataFrame loop is the
+    larger-than-driver-memory route.
     """
     vocab = (df.select(F.explode(_tokens(F.col(text_col)))
                        .alias("word"))
@@ -64,6 +72,11 @@ def train_bpe_merges(
              .withColumn("syms", F.split(F.col("word"), ""))
              .select("cnt", "syms"))
     vocab = vocab.localCheckpoint(eager=True)
+    if vocab.count() <= driver_max_vocab:
+        rows = vocab.collect()
+        return _bpe_merges_local(
+            [(int(r["cnt"]), list(r["syms"])) for r in rows],
+            int(n_merges), int(min_pair_count))
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):
         pairs = vocab.select(
@@ -86,6 +99,39 @@ def train_bpe_merges(
         vocab = vocab.select(
             "cnt", _merge_pair_expr(F.col("syms"), a, b).alias("syms"))
         vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_merges_local(vocab: list[tuple[int, list[str]]],
+                      n_merges: int, min_pair_count: int
+                      ) -> list[tuple[str, str]]:
+    """Driver-side merge loop — same counts, same (count desc, pair
+    asc) tie-break, same greedy left-to-right rewrite as the
+    distributed loop."""
+    from collections import Counter
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        new_vocab = []
+        for cnt, syms in vocab:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab.append((cnt, out))
+        vocab = new_vocab
     return merges
 
 

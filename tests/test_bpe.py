@@ -89,3 +89,11 @@ def test_apply_bpe_matches_reference_encoder(spark, docs):
     # positions cover the corpus exactly
     n_words = sum(len(t.split()) for t in CORPUS)
     assert len(out) == n_words
+
+
+def test_distributed_loop_matches_local(spark, docs):
+    """Force the DataFrame merge loop (driver_max_vocab=0) — it must
+    produce the identical merges as the local/default path."""
+    local = train_bpe_merges(docs, 8)
+    dist = train_bpe_merges(docs, 8, driver_max_vocab=0)
+    assert local == dist
