@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "embedding_pool",
     "dedup_corpus",
+    "gopher_filter",
 ]
 
 

@@ -996,12 +996,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_text_features() -> str:
     from cngi_prototype_spark.text.analysis import sql_scrub_pii
+    from cngi_prototype_spark.text.gopher import (
+        sql_gopher_quality_filter,
+        sql_gopher_repetition,
+    )
     s = sql_token_stats("text")
     fp = sql_doc_fingerprint("text")
     scrub = (f"SELECT doc_id, md5(text) AS scrub_md5, n_email, "
              f"n_ipv4, n_phone FROM ({sql_scrub_pii()})")
     return f"""
-    WITH _scrub AS ({scrub})
+    WITH _scrub AS ({scrub}),
+    _grep AS ({sql_gopher_repetition()}),
+    _gqual AS ({sql_gopher_quality_filter()})
     SELECT documents.doc_id,
            {s['n_tokens']} AS n_tokens,
            {s['n_chars']} AS n_chars,
@@ -1015,26 +1021,52 @@ def _sql_text_features() -> str:
            _scrub.scrub_md5 AS scrub_md5,
            _scrub.n_email AS n_email,
            _scrub.n_ipv4 AS n_ipv4,
-           _scrub.n_phone AS n_phone
-    FROM documents JOIN _scrub ON _scrub.doc_id = documents.doc_id
+           _scrub.n_phone AS n_phone,
+           _grep.* EXCLUDE (doc_id, n_chars),
+           _gqual.* EXCLUDE (doc_id)
+    FROM documents
+    JOIN _scrub ON _scrub.doc_id = documents.doc_id
+    JOIN _grep ON _grep.doc_id = documents.doc_id
+    JOIN _gqual ON _gqual.doc_id = documents.doc_id
     """
 
 
-@register("text_features", _sql_text_features())
+@register("text_features", _sql_text_features)
 def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cngi_prototype_spark.text.analysis import scrub_pii
+    from cngi_prototype_spark.text.gopher import (
+        gopher_quality_filter,
+        gopher_repetition,
+    )
     docs = _docs(spark, sf_dir)
     tf = text_features(docs)
     sc = scrub_pii(docs).select(
         "doc_id", F.md5("text").alias("scrub_md5"),
         "n_email", "n_ipv4", "n_phone")
-    return tf.join(sc, "doc_id")
+    rep = gopher_repetition(docs).drop("n_chars")
+    qual = gopher_quality_filter(docs)
+    return tf.join(sc, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
 
 
 def text_features_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench entry: the original feature scope (the gate gained the
     PII-scrub columns for slot economy)."""
     return text_features(_docs(spark, sf_dir))
+
+
+@register("gopher_filter", None)  # value-gated via text_features parts
+def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape Gopher corpus filtering: repetition metrics +
+    the seven document-quality rules, one row per document with keep /
+    reason. Value-hashed (all columns) through the text_features gate;
+    this entry runs the operator pair at its production scope."""
+    from cngi_prototype_spark.text.gopher import (
+        gopher_quality_filter,
+        gopher_repetition,
+    )
+    docs = _docs(spark, sf_dir)
+    rep = gopher_repetition(docs)
+    return rep.join(gopher_quality_filter(docs), "doc_id")
 
 
 @register("dedup_exact", SQL_EXACT_DEDUP)

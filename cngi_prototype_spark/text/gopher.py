@@ -1,0 +1,418 @@
+"""Gopher repetition and document-quality filters.
+
+The repetition metrics and rule thresholds follow the published Gopher
+corpus-filtering rules (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", appendix A1.1) with
+the conventions used by open reimplementations:
+
+- duplicate line / paragraph fraction  = repeated occurrences (count−1
+  per distinct unit) over total units; the char variants put repeated
+  occurrences' characters over the document's total characters.
+- top n-gram character fraction (n = 2..4) = chars of the single most
+  frequent word n-gram times its count, over total chars — zero when
+  the top gram occurs once (a unique gram repeats nothing).
+- duplicated n-gram character fraction (n = 5..10) = chars of all
+  occurrences of grams that occur ≥ 2 times, over total chars (the
+  occurrence-count approximation; the span-overlap-aware variant
+  needs positional interval merging and is deliberately not used —
+  the approximation upper-bounds it and keeps the metric a pure
+  count aggregation).
+
+Every metric is exact integer arithmetic until one final BIGINT/BIGINT
+double division (IEEE-correctly-rounded in both Spark and DuckDB), so
+the SQL twins hash-match bit-for-bit.
+
+Scale design: one explode → two-level groupBy per unit family.  The
+first groupBy key is (doc, unit) so map-side partial aggregation
+collapses each document's repeats before the shuffle; the second is
+(doc).  Everything is embarrassingly parallel per document — no
+cross-document state, no windows over the corpus, no UDFs.
+
+Beyond-reference tier: casangi/cngi_prototype has no text operators;
+these exist for the LLM-training-data pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cngi_prototype_spark.text.analysis import _sql_tokens, _tokens
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+# Gopher's "must contain ≥ 2 of" stop set (distinct from the
+# language-ID stopword lists in analysis.py).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+BULLET_RE = "^[-*•‣▪►]"
+ELLIPSIS_END_RE = "(\\.\\.\\.|…)$"
+
+
+def _lines(text: Column, sep: str) -> Column:
+    """Non-empty trimmed units after splitting on ``sep``."""
+    return F.filter(F.transform(F.split(text, sep), lambda s: F.trim(s)),
+                    lambda s: s != "")
+
+
+def _sql_lines(text: str, sep: str) -> str:
+    return (f"list_filter(list_transform(regexp_split_to_array({text},"
+            f" '{sep}'), s -> trim(s)), s -> s <> '')")
+
+
+def _nonempty_tokens(text: Column) -> Column:
+    return F.filter(_tokens(text), lambda t: t != "")
+
+
+def _sql_nonempty_tokens(text: str) -> str:
+    return f"list_filter({_sql_tokens(text)}, t -> t <> '')"
+
+
+def _unit_stats(df: DataFrame, unit: Column, *, id_col: str,
+                prefix: str) -> DataFrame:
+    """(doc → exploded unit → count) → per-doc repeated-occurrence sums.
+
+    Repeats collapse map-side in the first groupBy (partial count), so
+    the shuffle carries one row per distinct unit per doc.
+    """
+    ex = df.select(F.col(id_col), F.col("n_chars"),
+                   F.explode(unit).alias("u"))
+    cnt = ex.groupBy(id_col, "n_chars", "u").agg(F.count(F.lit(1)).alias("c"))
+    rep = F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
+    out = cnt.groupBy(id_col, "n_chars").agg(
+        F.sum("c").alias("n_units"),
+        F.sum(rep).alias("n_rep"),
+        F.sum(rep * F.length("u")).alias("n_rep_chars"))
+    frac = (F.col("n_rep").cast("double")
+            / F.col("n_units").cast("double"))
+    cfrac = F.when(F.col("n_chars") > 0,
+                   F.col("n_rep_chars").cast("double")
+                   / F.col("n_chars").cast("double")).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        frac.alias(f"dup_{prefix}_frac"),
+        cfrac.alias(f"dup_{prefix}_char_frac"))
+
+
+def _sql_unit_stats(source: str, unit_list: str, *, prefix: str) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_{prefix}_frac,
+           CASE WHEN MAX(n_chars) > 0 THEN
+             CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * length(u) ELSE 0 END)
+                  AS DOUBLE) / CAST(MAX(n_chars) AS DOUBLE)
+           ELSE 0e0 END AS dup_{prefix}_char_frac
+    FROM (
+      SELECT doc_id, n_chars, u, COUNT(*) AS c
+      FROM (SELECT doc_id, n_chars,
+                   unnest({unit_list}) AS u FROM {source})
+      GROUP BY doc_id, n_chars, u
+    )
+    GROUP BY doc_id
+    """
+
+
+def gopher_repetition(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """Per-document Gopher repetition metrics, wide form.
+
+    Output: ``id_col``, ``n_chars``, ``dup_line_frac``,
+    ``dup_line_char_frac``, ``dup_para_frac``, ``dup_para_char_frac``,
+    ``top_{n}gram_char_frac`` for n in ``top_ns``,
+    ``dup_{n}gram_char_frac`` for n in ``dup_ns``.  Missing structure
+    (no lines, too few tokens for an n-gram) yields 0.0, so every input
+    document appears exactly once.
+    """
+    text = F.col(text_col)
+    base = df.select(F.col(id_col), F.length(text).alias("n_chars"),
+                     text.alias("__text"))
+
+    lines = _unit_stats(
+        base.withColumn("__u", _lines(F.col("__text"), "\n")),
+        F.col("__u"), id_col=id_col, prefix="line")
+    paras = _unit_stats(
+        base.withColumn("__u", _lines(F.col("__text"), "\n\n")),
+        F.col("__u"), id_col=id_col, prefix="para")
+
+    all_ns = tuple(top_ns) + tuple(dup_ns)
+    toks = base.select(
+        id_col, "n_chars", _nonempty_tokens(F.col("__text")).alias("t"))
+    grams = (toks
+             .select(id_col, "n_chars", "t",
+                     F.explode(F.array(*[F.lit(n) for n in all_ns]))
+                     .alias("n"))
+             .select(id_col, "n_chars", "n", F.explode(
+                 F.when(F.size("t") >= F.col("n"), F.transform(
+                     F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
+                     lambda i: F.array_join(F.slice("t", i, F.col("n")),
+                                            " ")))
+                 .otherwise(F.array().cast("array<string>"))).alias("gram")))
+    gcnt = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    # winner = max (count, gram): ties break to the lexicographically
+    # LAST gram — any deterministic rule works, this one is one struct
+    # max in both engines.
+    stats = gcnt.groupBy(id_col, "n_chars", "n").agg(
+        F.max(F.struct("c", "gram")).alias("w"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+              .otherwise(F.lit(0))).alias("dupc"))
+    top_chars = F.when(F.col("w.c") > 1,
+                       F.col("w.c") * F.length("w.gram")).otherwise(F.lit(0))
+    gram_cols = []
+    for n in top_ns:
+        gram_cols.append(
+            (F.max(F.when(F.col("n") == n, top_chars)).cast("double")
+             / F.col("n_chars").cast("double"))
+            .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        gram_cols.append(
+            (F.max(F.when(F.col("n") == n, F.col("dupc"))).cast("double")
+             / F.col("n_chars").cast("double"))
+            .alias(f"dup_{n}gram_char_frac"))
+    gram_wide = stats.groupBy(id_col, "n_chars").agg(*gram_cols)
+
+    out = (base.select(id_col, "n_chars")
+           .join(lines, id_col, "left")
+           .join(paras, id_col, "left")
+           .join(gram_wide.drop("n_chars"), id_col, "left"))
+    fracs = ([f"dup_{p}_frac" for p in ("line", "para")]
+             + [f"dup_{p}_char_frac" for p in ("line", "para")]
+             + [f"top_{n}gram_char_frac" for n in top_ns]
+             + [f"dup_{n}gram_char_frac" for n in dup_ns])
+    return out.select(
+        id_col, "n_chars",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in fracs])
+
+
+def sql_gopher_repetition(
+    *,
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+    source: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition` (same integer sums,
+    same final divisions, same tie-break)."""
+    all_ns = ", ".join(str(n) for n in tuple(top_ns) + tuple(dup_ns))
+    top_cols = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN n = {n} THEN top_chars END) AS DOUBLE)"
+        f" / CAST(n_chars AS DOUBLE) AS top_{n}gram_char_frac"
+        for n in top_ns)
+    dup_cols = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN n = {n} THEN dupc END) AS DOUBLE)"
+        f" / CAST(n_chars AS DOUBLE) AS dup_{n}gram_char_frac"
+        for n in dup_ns)
+    fracs = ([f"dup_{p}_frac" for p in ("line", "para")]
+             + [f"dup_{p}_char_frac" for p in ("line", "para")]
+             + [f"top_{n}gram_char_frac" for n in top_ns]
+             + [f"dup_{n}gram_char_frac" for n in dup_ns])
+    coalesced = ",\n           ".join(
+        f"COALESCE({c}, 0e0) AS {c}" for c in fracs)
+    line_src = ("(SELECT doc_id, n_chars, " + _sql_lines("text", "\\n")
+                + " AS __u FROM base)")
+    para_src = ("(SELECT doc_id, n_chars, " + _sql_lines("text", "\\n\\n")
+                + " AS __u FROM base)")
+    lstats = _sql_unit_stats(line_src, "__u", prefix="line")
+    pstats = _sql_unit_stats(para_src, "__u", prefix="para")
+    ne_toks = _sql_nonempty_tokens("text")
+    return f"""
+    WITH __src AS ({source}),
+    base AS (SELECT doc_id, length(text) AS n_chars, text FROM __src),
+    lstats AS ({lstats}),
+    pstats AS ({pstats}),
+    toks AS (SELECT doc_id, n_chars, {ne_toks} AS t FROM base),
+    grams AS (
+      SELECT doc_id, n_chars, n,
+             unnest(list_transform(range(1, greatest(len(t) - n + 2, 1)),
+               i -> array_to_string(
+                      t[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ')))
+               AS gram
+      FROM toks CROSS JOIN (SELECT unnest([{all_ns}]) AS n)
+    ),
+    gcnt AS (SELECT doc_id, n_chars, n, gram, COUNT(*) AS c
+             FROM grams GROUP BY doc_id, n_chars, n, gram),
+    gstats AS (
+      SELECT doc_id, n_chars, n,
+             CASE WHEN (MAX(struct_pack(c := c, gram := gram))).c > 1
+               THEN (MAX(struct_pack(c := c, gram := gram))).c
+                    * length((MAX(struct_pack(c := c, gram := gram))).gram)
+               ELSE 0 END AS top_chars,
+             SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dupc
+      FROM gcnt GROUP BY doc_id, n_chars, n
+    ),
+    gwide AS (
+      SELECT doc_id,
+           {top_cols},
+           {dup_cols}
+      FROM gstats GROUP BY doc_id, n_chars
+    )
+    SELECT base.doc_id, base.n_chars,
+           {coalesced}
+    FROM base
+    LEFT JOIN lstats ON lstats.doc_id = base.doc_id
+    LEFT JOIN pstats ON pstats.doc_id = base.doc_id
+    LEFT JOIN gwide ON gwide.doc_id = base.doc_id
+    """
+
+
+# --- Gopher document-quality rules (pure projection) -----------------------
+
+GOPHER_THRESHOLDS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    max_bullet_line_frac=0.9,
+    max_ellipsis_end_frac=0.3,
+    min_alpha_word_frac=0.8,
+    min_stop_hits=2,
+)
+
+_RULES = ("words", "mean_word_len", "symbol", "bullet", "ellipsis",
+          "alpha", "stopword")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Gopher document-level quality rules: annotate every document with
+    the seven rule booleans, ``keep`` (all pass) and the FIRST failing
+    ``reason``.  One narrow projection — no shuffle, no UDF; filter on
+    ``keep`` for the clean corpus.
+
+    Raw features ride along (``n_words``, ``mean_word_len``,
+    ``symbol_word_ratio``, ``bullet_line_frac``, ``ellipsis_end_frac``,
+    ``alpha_word_frac``, ``stop_hits``) so the rules are auditable.
+    """
+    th = {**GOPHER_THRESHOLDS, **thresholds}
+    text = F.col(text_col)
+    toks = _nonempty_tokens(text)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                          F.lit(0), lambda a, x: a + x)
+    # try_divide: NULL on n_words == 0, matching DuckDB's `/` (Spark 4
+    # ANSI mode would raise instead).
+    mean_wl = F.try_divide(sum_len.cast("double"), n_words.cast("double"))
+    n_hash = F.length(text) - F.length(F.expr(
+        f"replace({text_col}, '#', '')"))
+    n_ellipsis = (F.length(text) - F.length(F.expr(
+        f"replace({text_col}, '...', '')"))) / F.lit(3)
+    symbol_ratio = F.try_divide((n_hash + n_ellipsis).cast("double"),
+                                n_words.cast("double"))
+    lines = _lines(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda s: s.rlike(BULLET_RE)))
+    n_ell_end = F.size(F.filter(
+        lines, lambda s: s.rlike(ELLIPSIS_END_RE)))
+    bullet_frac = F.when(n_lines > 0, n_bullet.cast("double")
+                         / n_lines.cast("double")).otherwise(F.lit(0.0))
+    ell_frac = F.when(n_lines > 0, n_ell_end.cast("double")
+                      / n_lines.cast("double")).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.try_divide(n_alpha.cast("double"),
+                              n_words.cast("double"))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+
+    ok = {
+        "words": (n_words >= th["min_words"])
+        & (n_words <= th["max_words"]),
+        "mean_word_len": (mean_wl >= th["min_mean_word_len"])
+        & (mean_wl <= th["max_mean_word_len"]),
+        "symbol": symbol_ratio <= th["max_symbol_word_ratio"],
+        "bullet": bullet_frac <= th["max_bullet_line_frac"],
+        "ellipsis": ell_frac <= th["max_ellipsis_end_frac"],
+        "alpha": alpha_frac >= th["min_alpha_word_frac"],
+        "stopword": stop_hits >= th["min_stop_hits"],
+    }
+    expr = None
+    for r in _RULES:
+        expr = (F.when(~ok[r], r) if expr is None
+                else expr.when(~ok[r], r))
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_end_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        *[ok[r].alias(f"ok_{r}") for r in _RULES],
+        expr.alias("reason"),
+    ).withColumn("keep", F.col("reason").isNull())
+
+
+def sql_gopher_quality_filter(
+    *,
+    source: str = "SELECT doc_id, text FROM documents",
+    **thresholds,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_filter` (identical token
+    split, regexes, integer counts and e-notation thresholds)."""
+    th = {**GOPHER_THRESHOLDS, **thresholds}
+    toks = _sql_nonempty_tokens("text")
+    lines = _sql_lines("text", "\\n")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    # e-notation literals only (decimal-literal trap)
+    e = lambda x: f"{float(x):e}"  # noqa: E731
+    conds = {
+        "words": f"(n_words >= {th['min_words']}"
+                 f" AND n_words <= {th['max_words']})",
+        "mean_word_len": f"(mean_word_len >= {e(th['min_mean_word_len'])}"
+                         f" AND mean_word_len <= {e(th['max_mean_word_len'])})",
+        "symbol": f"symbol_word_ratio <= {e(th['max_symbol_word_ratio'])}",
+        "bullet": f"bullet_line_frac <= {e(th['max_bullet_line_frac'])}",
+        "ellipsis": f"ellipsis_end_frac <= {e(th['max_ellipsis_end_frac'])}",
+        "alpha": f"alpha_word_frac >= {e(th['min_alpha_word_frac'])}",
+        "stopword": f"stop_hits >= {th['min_stop_hits']}",
+    }
+    ok_cols = ",\n           ".join(
+        f"{conds[r]} AS ok_{r}" for r in _RULES)
+    reason = "CASE " + " ".join(
+        f"WHEN NOT {conds[r]} THEN '{r}'" for r in _RULES) + " ELSE NULL END"
+    return f"""
+    WITH __src AS ({source}),
+    feats AS (
+      SELECT doc_id,
+             len({toks}) AS n_words,
+             CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+               / CAST(len({toks}) AS DOUBLE) AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS DOUBLE) / CAST(len({toks}) AS DOUBLE)
+               AS symbol_word_ratio,
+             CASE WHEN len({lines}) > 0 THEN
+               CAST(len(list_filter({lines},
+                      s -> regexp_matches(s, '{BULLET_RE}'))) AS DOUBLE)
+                 / CAST(len({lines}) AS DOUBLE) ELSE 0e0 END
+               AS bullet_line_frac,
+             CASE WHEN len({lines}) > 0 THEN
+               CAST(len(list_filter({lines},
+                      s -> regexp_matches(s, '{ELLIPSIS_END_RE}'))) AS DOUBLE)
+                 / CAST(len({lines}) AS DOUBLE) ELSE 0e0 END
+               AS ellipsis_end_frac,
+             CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))
+                  AS DOUBLE) / CAST(len({toks}) AS DOUBLE)
+               AS alpha_word_frac,
+             len(list_filter({toks}, t -> t IN ({stops}))) AS stop_hits
+      FROM __src
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_end_frac, alpha_word_frac, stop_hits,
+           {ok_cols},
+           {reason} AS reason,
+           ({reason}) IS NULL AS keep
+    FROM feats
+    """
