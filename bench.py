@@ -409,8 +409,8 @@ def main() -> None:
             ladder = {"error": f"{type(e).__name__}: {e}"}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "bench_total",
+    detail = {
+        "metric": "bench_detail",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -419,7 +419,41 @@ def main() -> None:
         "ladder": ladder,
         "sf": sf,
         "cpus": cpus,
-    }))
+    }
+    # Full detail goes to a committed file AND an early stdout line.
+    # The driver records only the TAIL (~2000 chars) of stdout, so the
+    # FINAL printed line must stay small: round 7's detail-rich single
+    # line overflowed the window and BENCH_r07 recorded parsed=null.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    compact_chiles = {
+        k: chiles.get(k) for k in (
+            "vs_baseline", "vs_baseline_skew", "taps_per_s_core",
+            "taps_per_s_core_skew", "baseline_taps_per_s_core", "n_vis")
+    } if chiles else None
+    summary = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "chiles": compact_chiles,
+        "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs},
+        "sf": sf,
+        "cpus": cpus,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 1750:  # progressive shrink, never overflow the window
+        summary["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        summary.pop("noise", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1950, f"bench summary line {len(line)}B"
+    print(line)
 
 
 def _chiles_in_subprocess(sf_dir: str, cpus: int):
@@ -475,7 +509,7 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
     _run(img_s)
     skew_runs: list[float] = []
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.time()
         _run(img_s)
         skew_runs.append(round(time.time() - t0, 3))

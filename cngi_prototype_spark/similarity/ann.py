@@ -526,9 +526,8 @@ def sql_ivf_topk(centroids: list[list[float]], k: int = 5, nprobe: int = 4,
     """
 
 
-def cosine_pairs_lsh(
+def _lsh_tag(
     corpus: DataFrame,
-    threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -538,20 +537,10 @@ def cosine_pairs_lsh(
     vectorize_above: int = 2048,
     n_rows: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs at corpus scale: hyperplane-LSH banding
-    generates candidates, exact (BLAS) cosine verifies within buckets.
-
-    This is the PRIMARY near-dup path for large corpora — the all-pairs
-    :func:`cosine_pairs` is O(n²·d/B) and serves as the exact oracle /
-    small-corpus tool. Shape: each vector lands in ``num_bands``
-    buckets (band, sig); only same-bucket pairs are scored, so work is
-    Σ_buckets |bucket|²·d and shuffle is ``num_bands × corpus`` — no
-    block cross-join anywhere in the plan. A pair is emitted once
-    (DISTINCT over bands). Recall follows the standard banding curve
-    1 − (1 − p^r)^b with p = 1 − θ/π; more bands → higher recall.
-    Skewed buckets (near-duplicate clusters) re-rank in one task each —
-    at extreme skew, split hot buckets by a salt on min(id) upstream.
-    """
+    """Hyperplane-LSH signature tagging shared by
+    :func:`cosine_pairs_lsh` and :func:`cosine_lsh_skipped_vectors`:
+    returns ``(vid, uv, band, sig)`` — each vector unit-normalized and
+    replicated into ``num_bands`` (band, sig) buckets."""
     import pandas as pd
 
     planes = [[_plane(seed, b * planes_per_band + p, dim)
@@ -629,11 +618,60 @@ def cosine_pairs_lsh(
         tagged = unit.select("vid", "uv", bands).select(
             "vid", "uv", F.col("bs.band").alias("band"),
             F.col("bs.sig").alias("sig"))
+    return tagged
 
-    packed = (tagged.select("band", "sig", F.struct("vid", "uv").alias("s"))
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    vectorize_above: int = 2048,
+    n_rows: int | None = None,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs at corpus scale: hyperplane-LSH banding
+    generates candidates, exact (BLAS) cosine verifies within buckets.
+
+    This is the PRIMARY near-dup path for large corpora — the all-pairs
+    :func:`cosine_pairs` is O(n²·d/B) and serves as the exact oracle /
+    small-corpus tool. Shape: each vector lands in ``num_bands``
+    buckets (band, sig); only same-bucket pairs are scored, so work is
+    Σ_buckets |bucket|²·d and shuffle is ``num_bands × corpus`` — no
+    block cross-join anywhere in the plan. A pair is emitted once
+    (DISTINCT over bands). Recall follows the standard banding curve
+    1 − (1 − p^r)^b with p = 1 − θ/π; more bands → higher recall.
+
+    ``max_bucket`` bounds the verify stage: a (band, sig) bucket larger
+    than it (a degenerate boilerplate cluster, or many near-zero
+    vectors sharing a signature) is SKIPPED rather than scored — both
+    its |bucket|²·d task and its |bucket|² output rows are scale-killers
+    (the same guardrail as ``minhash_lsh_candidates``'s ``max_bucket``
+    and SemDeDup's ``max_cluster``). Skipped vectors were never
+    pair-checked; surface them with
+    :func:`cosine_lsh_skipped_vectors` (same arguments) so a dedup
+    pipeline can distinguish "no near-dup found" from "not examined".
+    """
+    import pandas as pd
+
+    tagged = _lsh_tag(corpus, id_col, vec_col, dim, num_bands,
+                      planes_per_band, seed, vectorize_above, n_rows)
+
+    # the size gate runs BEFORE collect_list (window count over the
+    # same keys the groupBy shuffles on — one exchange, spillable sort,
+    # no re-partition): filtering AFTER the agg would still build the
+    # over-cap bucket's array in a single reducer task
+    sized = tagged.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    ).filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
+    packed = (sized.select("band", "sig", F.struct("vid", "uv").alias("s"))
               .groupBy("band", "sig")
               .agg(F.array_sort(F.collect_list("s")).alias("ss"))
-              .filter(F.size("ss") > 1)
               .select(F.transform("ss", lambda s: s["vid"]).alias("ids"),
                       F.flatten(F.transform("ss", lambda s: s["uv"])).alias("flat")))
 
@@ -666,6 +704,34 @@ def cosine_pairs_lsh(
     pairs = packed.mapInPandas(lambda it: (bucket_pairs(pdf) for pdf in it),
                                out_schema)
     return pairs.distinct()
+
+
+def cosine_lsh_skipped_vectors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    vectorize_above: int = 2048,
+    n_rows: int | None = None,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Honesty flag for :func:`cosine_pairs_lsh`'s ``max_bucket``
+    guardrail: returns ``(vec_id, band, sig, bucket_n)`` for every
+    vector that fell in an over-cap bucket and was therefore NEVER
+    pair-checked in that band. Call with the SAME arguments as the
+    pairs run; a pipeline left-anti-joins or flags these so "no pair
+    emitted" is not silently read as "verified unique" (the SemDeDup
+    ``cell_skipped`` convention, see :func:`semantic_dedup`)."""
+    tagged = _lsh_tag(corpus, id_col, vec_col, dim, num_bands,
+                      planes_per_band, seed, vectorize_above, n_rows)
+    return (tagged
+            .withColumn("bucket_n", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "sig")))
+            .filter(F.col("bucket_n") > max_bucket)
+            .select(F.col("vid").alias("vec_id"), "band", "sig", "bucket_n"))
 
 
 def sql_cosine_pairs_lsh(threshold: float = 0.9, dim: int = 64,

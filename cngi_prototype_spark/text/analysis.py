@@ -513,6 +513,7 @@ def winnow_fingerprints(
     k: int = 5,
     window: int = 4,
     vectorize_above: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS algorithm) → ``(doc_id, pos, fingerprint)``.
@@ -537,7 +538,11 @@ def winnow_fingerprints(
     if int(k) > 7:
         raise ValueError("k > 7 overflows the int64 vectorized kernel "
                          "(255 * sum(B^j) must stay below 2^63)")
-    n_corpus = df.count()
+    # tier routing needs only a size ESTIMATE — pass n_rows when df is
+    # a derived pipeline so the count() doesn't force the whole
+    # upstream lineage to evaluate first (the cosine_pairs_lsh escape
+    # hatch); on a plain table scan count() is metadata-cheap
+    n_corpus = int(n_rows) if n_rows is not None else df.count()
     if n_corpus > vectorize_above:
         return _winnow_vectorized(df, text_col=text_col, id_col=id_col,
                                   k=int(k), window=int(window))

@@ -528,3 +528,58 @@ def test_winnow_routes_bit_equal(spark):
     assert a.astype("int64").equals(b.astype("int64"))
     with pytest.raises(ValueError, match="k > 7"):
         winnow_fingerprints(df, k=9)
+
+
+def test_lsh_max_bucket_caps_degenerate_cluster(spark):
+    """1000 identical vectors form one degenerate (band, sig) bucket in
+    every band: with max_bucket below the cluster size the verify stage
+    must skip it (bounded task input — no |bucket|^2 scoring, no
+    ~500k output pairs), and cosine_lsh_skipped_vectors must flag every
+    member; distinct small clusters still pair normally."""
+    from cngi_prototype_spark.similarity.ann import (
+        cosine_lsh_skipped_vectors, cosine_pairs_lsh)
+    rng = np.random.default_rng(3)
+    hot = rng.normal(size=64)
+    other = rng.normal(size=64)
+    rows = [(i, hot.tolist()) for i in range(1000)]
+    rows += [(2000 + j, (other + 1e-3 * rng.normal(size=64)).tolist())
+             for j in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=64, num_bands=4, planes_per_band=6,
+              n_rows=len(rows), max_bucket=100)
+    pairs = cosine_pairs_lsh(df, threshold=0.6, **kw).toPandas()
+    # the hot cluster was never scored; the small cluster fully paired
+    assert not ((pairs.id_a < 1000) & (pairs.id_b < 1000)).any()
+    assert ((pairs.id_a >= 2000) & (pairs.id_b >= 2000)).sum() == 6
+    skipped = cosine_lsh_skipped_vectors(df, **kw).toPandas()
+    assert set(skipped.vec_id) == set(range(1000))
+    assert (skipped.bucket_n == 1000).all()
+    # uncapped, the same input yields the quadratic pair set
+    kw_open = dict(kw, max_bucket=10 ** 9)
+    n_open = cosine_pairs_lsh(df, threshold=0.6, **kw_open).count()
+    assert n_open == 1000 * 999 // 2 + 6
+    assert cosine_lsh_skipped_vectors(df, **kw_open).count() == 0
+
+
+def test_tier_routing_n_rows_hint_skips_upstream_eval(spark):
+    """With n_rows passed, tier routing must not run ANY job: building
+    the plan over a poisoned upstream (raises on execution) succeeds;
+    the count() fallback path would detonate it."""
+    from cngi_prototype_spark.similarity.ann import cosine_pairs_lsh
+    from cngi_prototype_spark.text.analysis import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+
+    def boom(_it):
+        raise RuntimeError("upstream evaluated during plan construction")
+        yield  # pragma: no cover
+
+    poisoned = docs.mapInPandas(boom, docs.schema)
+    winnow_fingerprints(poisoned, n_rows=5)            # no job -> no raise
+    winnow_fingerprints(poisoned, n_rows=10 ** 6)      # either tier
+
+    emb = spark.createDataFrame([(1, [1.0] * 64)],
+                                "vec_id long, embedding array<double>")
+    pe = emb.mapInPandas(boom, emb.schema)
+    cosine_pairs_lsh(pe, n_rows=5)
+    cosine_pairs_lsh(pe, n_rows=10 ** 6)
