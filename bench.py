@@ -347,6 +347,7 @@ def main() -> None:
         "ngram_jaccard": Q.ngram_jaccard_bench_q,  # pairs-only (no contam part)
         "describe_partitions": Q.describe_partitions_bench_q,  # no zarr IO part
         "text_features": Q.text_features_bench_q,  # no PII-scrub part
+        "bpe_tokenize": Q.bpe_train_encode_q,  # production train+encode
     }
     # Per-query noise insurance (round-5 finding: single-shot timings in
     # the shared session are host-steal-dominated — four queries recorded

@@ -277,12 +277,35 @@ def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs(spark, sf_dir), threshold=0.5)
 
 
-@register("bpe_tokenize", None)  # iterative trainer: rows-only
+def _sql_bpe_tokenize() -> str:
+    from cngi_prototype_spark.text.bpe import BPE_GATE_MERGES, sql_apply_bpe
+    return sql_apply_bpe(BPE_GATE_MERGES)
+
+
+@register("bpe_tokenize", _sql_bpe_tokenize)
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE train (12 merges on the corpus vocabulary) + encode —
-    trainer and encoder are verified against an in-test reference
-    implementation (tests/test_bpe.py); the iterative merge loop is
-    not practically SQL-expressible, hence rows-only."""
+    """BPE ENCODE value gate: the distributed encoder (distinct-word
+    mapInPandas + broadcast join back) runs the fixed well-formed
+    BPE_GATE_MERGES list, whose lowest-rank-first loop is provably
+    equal to the nested-replace DuckDB twin (see sql_apply_bpe).
+    Restricted to printable-ASCII words on both sides (position-
+    preserving row filter). The iterative TRAINER stays rows-gated
+    (bpe_train_encode) + unit-verified against an in-test reference
+    (tests/test_bpe.py)."""
+    from cngi_prototype_spark.text.bpe import BPE_GATE_MERGES, apply_bpe
+    docs = _docs(spark, sf_dir)
+    return (apply_bpe(docs, BPE_GATE_MERGES)
+            .filter(F.col("word").rlike(r"^[\x21-\x7b]+$"))
+            .select("doc_id", "token_pos", "word",
+                    F.concat_ws(" ", "bpe_tokens").alias("bpe")))
+
+
+@register("bpe_train_encode", None)  # iterative trainer: rows-only
+def bpe_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production BPE: train (12 merges on the corpus vocabulary) +
+    encode. The trainer's iterative merge loop is not practically
+    SQL-expressible, hence rows-only; the ENCODER it feeds is
+    value-gated under bpe_tokenize with a fixed merge list."""
     from cngi_prototype_spark.text.bpe import apply_bpe, train_bpe_merges
     docs = _docs(spark, sf_dir)
     merges = train_bpe_merges(docs, 12)
@@ -896,26 +919,17 @@ def spec_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# spec_fit_small: VALUE evidence for the Gauss-Newton gaussian fit via
-# truth recovery (same pattern as self_cal_small): spectra are exact
+# spec_fit truth-recovery part: VALUE evidence for the Gauss-Newton
+# gaussian fit (same pattern as self_cal_small): spectra are exact
 # noise-free gaussians y = A·exp(-((x-mu)/sigma)^2/2), so the fit
 # converges to the generating parameters to its 1e-12 tolerance and the
 # oracle is the closed-form truth; rms_err rounds to exactly 0.
+# Rides the beam_fit gate as its 'specfit' union part (driver-slot
+# economy — its standalone slot was re-spent on bpe_tokenize).
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "spec_fit_small",
-    """
-    SELECT CAST(range AS INT) AS grp,
-           (ROUND(5.0 + 0.5 * range, 6) + 0.0) AS amp,
-           (ROUND(17.0 + 1.1 * range, 6) + 0.0) AS center,
-           (ROUND(3.0 + 0.25 * range, 6) + 0.0) AS sigma,
-           0.0 AS rms_err
-    FROM range(5)
-    """,
-)
-def spec_fit_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spec_fit_small_part(spark: SparkSession) -> DataFrame:
     spectra = spark.range(5 * 40).select(
         (F.col("id") / 40).cast("int").alias("grp"),
         (F.col("id") % 40).cast("double").alias("x"))
@@ -926,10 +940,12 @@ def spec_fit_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectra = spectra.withColumn("y", a * F.exp(-0.5 * t * t))
     out = spec_fit(spectra, ["grp"], "x", "y")
     return out.select(
-        "grp", (F.round("amp", 6) + F.lit(0.0)).alias("amp"),
-        (F.round("center", 6) + F.lit(0.0)).alias("center"),
-        (F.round("sigma", 6) + F.lit(0.0)).alias("sigma"),
-        (F.round("rms_err", 6) + F.lit(0.0)).alias("rms_err"))
+        F.lit("specfit").alias("method"),
+        F.col("grp").cast("int").alias("chan"),
+        (F.round("amp", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("center", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("sigma", 6) + F.lit(0.0)).alias("v3"),
+        (F.round("rms_err", 6) + F.lit(0.0)).alias("v4"))
 
 
 # ---------------------------------------------------------------------------
@@ -4538,11 +4554,22 @@ def _bf_ok(rec_maj, rec_min, rec_theta_deg, truth, rel_tol, ang_tol):
     "beam_fit",
     """
     SELECT * FROM (VALUES
-      ('contour', 0, TRUE, TRUE, TRUE),
-      ('contour', 1, TRUE, TRUE, TRUE),
-      ('moment', 0, TRUE, TRUE, TRUE),
-      ('moment', 1, TRUE, TRUE, TRUE)
-    ) AS t(method, chan, ok_major, ok_minor, ok_pa)
+      ('contour', 0, 1.0, 1.0, 1.0, 0.0),
+      ('contour', 1, 1.0, 1.0, 1.0, 0.0),
+      ('moment', 0, 1.0, 1.0, 1.0, 0.0),
+      ('moment', 1, 1.0, 1.0, 1.0, 0.0)
+    ) AS t(method, chan, v1, v2, v3, v4)
+    UNION ALL
+    -- spec_fit truth-recovery part (its former standalone gate,
+    -- merged here for driver-slot economy): exact noise-free
+    -- gaussians, so Gauss-Newton converges to the generating
+    -- parameters and the oracle is the closed-form truth
+    SELECT 'specfit', CAST(range AS INT),
+           (ROUND(5.0 + 0.5 * range, 6) + 0.0),
+           (ROUND(17.0 + 1.1 * range, 6) + 0.0),
+           (ROUND(3.0 + 0.25 * range, 6) + 0.0),
+           0.0
+    FROM range(5)
     """,
 )
 def beam_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4551,20 +4578,25 @@ def beam_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_col="beam")
     rl = fit_gaussian_rl(planes, ["chan"], value_col="beam",
                          cell_arcsec=(1.0, 1.0))
+
+    def _vd(cols):  # ok_* booleans ride the union as 1.0/0.0
+        return [c.cast("double").alias(f"v{i + 1}")
+                for i, c in enumerate(cols)] + [F.lit(0.0).alias("v4")]
+
     parts = []
     for ch, truth in _BF_BEAMS.items():
         m = mom.filter(F.col("chan") == ch).select(
             F.lit("moment").alias("method"), F.col("chan").cast("int").alias("chan"),
-            *_bf_ok(F.col("major") * _SQRT_8LN2, F.col("minor") * _SQRT_8LN2,
-                    F.degrees("theta"), truth, 1.0e-4, 1.0e-4))
+            *_vd(_bf_ok(F.col("major") * _SQRT_8LN2, F.col("minor") * _SQRT_8LN2,
+                        F.degrees("theta"), truth, 1.0e-4, 1.0e-4)))
         # fit_gaussian_rl reports PA east-of-north (reference convention)
         # = theta - 90
         r = rl.filter(F.col("chan") == ch).select(
             F.lit("contour").alias("method"), F.col("chan").cast("int").alias("chan"),
-            *_bf_ok(F.col("major"), F.col("minor"), F.col("pa") + F.lit(90.0),
-                    truth, 0.06, 2.0))
+            *_vd(_bf_ok(F.col("major"), F.col("minor"), F.col("pa") + F.lit(90.0),
+                        truth, 0.06, 2.0)))
         parts += [m, r]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.unionByName(_spec_fit_small_part(spark))

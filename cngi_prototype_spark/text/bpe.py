@@ -191,3 +191,74 @@ def apply_bpe(
     ).filter(F.length("word") > 0)
     return base.join(F.broadcast(encoded), "word").select(
         id_col, "token_pos", "word", "bpe_tokens")
+
+
+# Fixed well-formed merge list for the cross-engine value gate: every
+# merge's parts are single characters or products of STRICTLY EARLIER
+# merges, and every product string is produced by exactly one merge.
+# Under that property the classic lowest-rank-first encode loop
+# (apply_bpe) is equivalent to applying the merges sequentially in rank
+# order, each left-to-right — because merging rank k only creates
+# adjacencies involving its product, and any merge consuming that
+# product has rank > k, no later application can enable an earlier
+# merge. Sequential left-to-right is exactly what nested string
+# `replace` computes, which makes the encoder SQL-expressible.
+BPE_GATE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("in", "g"), ("o", "u"),
+    ("the", "r"),
+]
+
+
+def _check_well_formed(merges: list[tuple[str, str]]) -> None:
+    known: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for part in (a, b):
+            if len(part) > 1 and part not in known:
+                raise ValueError(
+                    f"merge {i} part {part!r} is neither a single char "
+                    f"nor the product of an earlier merge")
+        prod = a + b
+        if prod in known:
+            raise ValueError(f"duplicate product {prod!r} at merge {i}")
+        known.add(prod)
+
+
+def sql_apply_bpe(merges: list[tuple[str, str]],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  table: str = "documents") -> str:
+    """DuckDB twin of :func:`apply_bpe` for a WELL-FORMED fixed merge
+    list (validated): wrap each symbol in ``|`` delimiters, apply each
+    merge as one left-to-right non-overlapping ``replace`` (each symbol
+    carries its own delimiters, so adjacent matches never share a
+    boundary character), then unwrap. Restricted to printable-ASCII
+    words below ``|`` (0x7c) so per-char splitting and the delimiter
+    are engine-independent — the gate filters BOTH sides identically.
+    """
+    from cngi_prototype_spark.text.analysis import _sql_tokens
+
+    _check_well_formed(merges)
+    expr = "s"
+    for a, b in merges:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, i - 1 AS token_pos, t[i] AS word
+      FROM (SELECT {id_col}, {_sql_tokens(text_col)} AS t FROM {table}),
+           UNNEST(range(1, len(t) + 1)) AS r(i)
+      WHERE len(t[i]) > 0 AND regexp_matches(t[i], '^[\\x21-\\x7b]+$')
+    ),
+    w AS (
+      SELECT {id_col}, token_pos, word,
+             array_to_string(list_transform(str_split(word, ''),
+                                            c -> '|' || c || '|'),
+                             '') AS s
+      FROM toks
+    ),
+    m AS (SELECT {id_col}, token_pos, word, {expr} AS s FROM w)
+    SELECT {id_col}, token_pos, word,
+           array_to_string(str_split(substr(s, 2, len(s) - 2), '||'),
+                           ' ') AS bpe
+    FROM m
+    """

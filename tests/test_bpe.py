@@ -97,3 +97,47 @@ def test_distributed_loop_matches_local(spark, docs):
     local = train_bpe_merges(docs, 8)
     dist = train_bpe_merges(docs, 8, driver_max_vocab=0)
     assert local == dist
+
+
+def _seq_encode(word, merges):
+    """Sequential-in-rank-order reference (the nested-replace twin's
+    semantics): each merge applied everywhere, left to right."""
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_gate_merges_sequential_equals_lowest_rank_first(spark):
+    """The bpe_tokenize value gate rests on this equivalence: for the
+    WELL-FORMED fixed merge list, apply_bpe's lowest-rank-first loop
+    equals the sequential replace the DuckDB twin computes — checked
+    over adversarial words (cascades, triples, overlaps) and random
+    strings from the merge alphabet."""
+    import random
+
+    from cngi_prototype_spark.text.bpe import (
+        BPE_GATE_MERGES, _check_well_formed)
+
+    _check_well_formed(BPE_GATE_MERGES)
+    rng = random.Random(11)
+    words = ["ther", "anther", "thethe", "ingesting", "andand",
+             "ononon", "restorestores", "atat", "thither", "ou"]
+    words += ["".join(rng.choice("theinandorsgu")
+                      for _ in range(rng.randint(1, 14)))
+              for _ in range(300)]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               ["doc_id", "text"])
+    got = {r.word: r.bpe_tokens
+           for r in apply_bpe(df, BPE_GATE_MERGES).collect()}
+    for w in set(words):
+        assert got[w] == _seq_encode(w, BPE_GATE_MERGES), w
