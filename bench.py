@@ -229,7 +229,13 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
 # ---------------------------------------------------------------------------
 
 LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
-                  "ann_cosine_topk", "uv_grid_kernel"]
+                  "ann_cosine_topk", "uv_grid_kernel",
+                  # pipeline tier (see the replica-decorrelation note in
+                  # _build_ladder_dir: the 10x corpus keeps each shard's
+                  # dup structure while shards stay mutually dissimilar,
+                  # so pair-forming ops measure scaling, not blowup)
+                  "semantic_dedup", "dedup_corpus", "bpe_train_encode",
+                  "winnow_fingerprints", "embedding_neardup_lsh"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -254,7 +260,7 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
         for t in sorted(_LADDER_REPL)
         if os.path.exists(os.path.join(sf_dir, t + ".parquet")))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{mult}|{mtimes}".encode()
+        f"{os.path.abspath(sf_dir)}|{mult}|{mtimes}|v3".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"sparkgraft_ladder_{key}")
     done = os.path.join(out, "_LADDER_OK")
@@ -271,6 +277,46 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
             big = big.withColumn(
                 idcol, (F.col(idcol) + F.col("_k") * F.lit(stride))
                 .cast(dict(df.dtypes)[idcol]))
+        # Replica decorrelation, so pair-forming ops (dedup, near-dup,
+        # jaccard) measure SCALING rather than a 100x pair blowup from
+        # 10 verbatim copies: each replica keeps its INTERNAL duplicate
+        # structure but replicas are mutually dissimilar.
+        # - documents: a per-replica suffix letter on every token is a
+        #   token-level bijection (within-shard shingle equality — and
+        #   hence Jaccard/MinHash structure — is preserved exactly),
+        #   while cross-shard shingle overlap drops to zero.
+        # - embeddings: a per-(replica, dim) sign flip is an orthogonal
+        #   transform (within-shard cosines exact), while cross-shard
+        #   cosines decay toward 0 (random +/- half the dims).
+        # Replica 0 stays verbatim in both cases.
+        if table == "documents":
+            big = big.withColumn(
+                "text",
+                F.when(F.col("_k") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        "text", r"(\S+)",
+                        F.concat(F.lit("$1"),
+                                 F.char(F.lit(97) + F.col("_k") % 26)))))
+        elif table == "embeddings":
+            # signed permutation per replica (literals -> codegen):
+            # permutation kills correlation through structured heavy
+            # dims that a sign flip alone leaves aligned
+            import random as _rnd
+
+            dim = len(df.select("embedding").head()[0])
+
+            def _shard(k: int):
+                r = _rnd.Random(10_000 + k)
+                p = list(range(dim))
+                r.shuffle(p)
+                return F.array(*[
+                    F.element_at("embedding", p[j] + 1)
+                    * F.lit(r.choice((-1.0, 1.0))) for j in range(dim)])
+
+            pe = F.col("embedding")
+            for k in range(1, mult):
+                pe = F.when(F.col("_k") == k, _shard(k)).otherwise(pe)
+            big = big.withColumn("embedding", pe)
         big.drop("_k").write.mode("overwrite")             .parquet(f"{out}/{table}.parquet")
     for table in _LADDER_LINK:
         src = f"{sf_dir}/{table}.parquet"
@@ -280,12 +326,48 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def _ladder_neardup_lsh(spark, sf_dir: str):
+    # threshold 0.6 (not the gate's 0.4): heavy-tailed embedding dims
+    # leave ~5e-4 of CROSS-shard pairs above cos 0.4 under ANY
+    # orthogonal decorrelation (measured; the N(0, 1/sqrt(d)) floor),
+    # which at 10x would add a quadratic pair term that measures the
+    # synthetic replica construction, not the operator's scaling. At
+    # 0.6 (4.8 sigma) cross-shard leakage is ~1e-6.
+    from cngi_prototype_spark.similarity.ann import cosine_pairs_lsh
+    return cosine_pairs_lsh(Q._t(spark, sf_dir, "embeddings"),
+                            threshold=0.6, dim=64, num_bands=4,
+                            planes_per_band=6)
+
+
+_LADDER_SEM_CENTROIDS: dict[str, list] = {}
+
+
+def _ladder_semantic_dedup(spark, sf_dir: str):
+    # same production shape as Q.semantic_dedup_q (train once per
+    # corpus, memoized), threshold 0.6 for the cross-shard floor above
+    from cngi_prototype_spark.similarity.ann import (
+        semantic_dedup, train_ivf_centroids)
+    emb = Q._t(spark, sf_dir, "embeddings")
+    if sf_dir not in _LADDER_SEM_CENTROIDS:
+        _LADDER_SEM_CENTROIDS[sf_dir] = train_ivf_centroids(
+            emb, n_centroids=8)
+    return semantic_dedup(emb, _LADDER_SEM_CENTROIDS[sf_dir],
+                          threshold=0.6)
+
+
+LADDER_OVERRIDES = {
+    "embedding_neardup_lsh": _ladder_neardup_lsh,
+    "semantic_dedup": _ladder_semantic_dedup,
+}
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
     out: dict[str, dict] = {}
     for name in LADDER_QUERIES:
-        fn = qs.get(name) or getattr(Q, f"{name}_q")
+        fn = (LADDER_OVERRIDES.get(name) or qs.get(name)
+              or getattr(Q, f"{name}_q"))
         _run(fn(spark, sf_dir))  # codegen/JIT warm at small scale
         t_small = None
         for _ in range(2):
