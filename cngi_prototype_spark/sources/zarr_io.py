@@ -33,8 +33,13 @@ dask layout the reference relies on, re-expressed for Spark:
   driver funnel). Variables over a dim subset (e.g. per-(time,
   baseline) scalars) are reduced first and written on their own
   chunk grid. The driver writes only metadata + 1-D coords, then
-  consolidates. Requires a shared filesystem across executors (local
-  mode, NFS, or a fuse-mounted object store), like any zarr writer.
+  consolidates. Store paths may live on a shared filesystem (local
+  mode, NFS) or an object store: URL-scheme paths ("s3://bucket/...")
+  dispatch through zarr_store's filesystem layer (fsspec/s3fs when
+  installed, or a registered PrefixMappedFS over a fuse mount) and
+  the resolved FS client rides inside each pickled ZarrArray, so
+  executor tasks talk to the store directly — the reference's own S3
+  reach (cngi/dio/read_vis.py:70-179).
 """
 
 from __future__ import annotations
@@ -110,6 +115,7 @@ def write_zarr_xds(
     """
     spark = df.sparkSession
     chunks = dict(chunks or {})
+    fs = zs.filesystem_for(store)
     gpath = os.path.join(store, group)
 
     # ---- coords: sorted distincts per dim (metadata-sized collect)
@@ -131,14 +137,14 @@ def write_zarr_xds(
 
     # ---- metadata first: group, coord arrays, var arrays (executors
     # then only ever write chunk files)
-    if not os.path.exists(os.path.join(store, ".zgroup")):
-        zs.create_group(store)
-    zs.create_group(gpath, attrs=dict(attrs or {}))
+    if not fs.exists(os.path.join(store, ".zgroup")):
+        zs.create_group(store, fs=fs)
+    zs.create_group(gpath, attrs=dict(attrs or {}), fs=fs)
     for d in dim_cols:
         ca = zs.ZarrArray.create(
             os.path.join(gpath, d), (shape[d],),
             (max(shape[d], 1),), coords[d].dtype,
-            compressor=compressor, attrs={DIM_ATTR: [d]})
+            compressor=compressor, attrs={DIM_ATTR: [d]}, fs=fs)
         ca.write_full(coords[d])
     arrays: dict[str, zs.ZarrArray] = {}
     for v in var_specs:
@@ -147,7 +153,7 @@ def write_zarr_xds(
             tuple(shape[d] for d in v.dims),
             tuple(chunk_of[d] for d in v.dims),
             v.dtype, compressor=compressor, fill_value=v.fill,
-            attrs={DIM_ATTR: list(v.dims)})
+            attrs={DIM_ATTR: list(v.dims)}, fs=fs)
 
     # ---- dense dim indices via broadcast joins on the coord tables
     idx = df
@@ -177,7 +183,7 @@ def write_zarr_xds(
         if dims == tuple(dim_cols):
             n_rows = n
     if consolidate:
-        zs.consolidate_metadata(store)
+        zs.consolidate_metadata(store, fs=fs)
     return {"shape": shape, "chunks": chunk_of, "rows": n_rows}
 
 
@@ -226,7 +232,8 @@ def _write_var_chunks(sub: DataFrame, arrays: list[zs.ZarrArray],
 def _discover(store: str, group: str, anchor_name: str | None = None):
     """(dims, coord arrays, var arrays, group attrs, anchor) from one
     metadata read (consolidated when present)."""
-    cons = zs.read_consolidated(store)
+    fs = zs.filesystem_for(store)
+    cons = zs.read_consolidated(store, fs=fs)
     gpath = os.path.join(store, group)
     if cons is not None:
         prefix = f"{group}/" if group else ""
@@ -236,14 +243,14 @@ def _discover(store: str, group: str, anchor_name: str | None = None):
                         and k[len(prefix):].count("/") == 1
                         and k.endswith(".zarray")})
         arrays = {n: zs.open_array(store, f"{group}/{n}" if group else n,
-                                   consolidated=cons) for n in names}
+                                   consolidated=cons, fs=fs) for n in names}
         gattrs = cons.get(prefix + ".zattrs", {})
     else:
-        names = [n for n in zs.list_children(gpath)
-                 if zs.is_array(os.path.join(gpath, n))]
-        arrays = {n: zs.ZarrArray.open(os.path.join(gpath, n))
+        names = [n for n in zs.list_children(gpath, fs=fs)
+                 if zs.is_array(os.path.join(gpath, n), fs=fs)]
+        arrays = {n: zs.ZarrArray.open(os.path.join(gpath, n), fs=fs)
                   for n in names}
-        gattrs = zs.group_attrs(gpath)
+        gattrs = zs.group_attrs(gpath, fs=fs)
     if not arrays:
         raise FileNotFoundError(f"no arrays under {gpath}")
     # anchor variable defines the table's dim grid: prefer the var
@@ -541,9 +548,10 @@ def describe_zarr_store(spark: SparkSession, store: str) -> DataFrame:
     """Per-partition summary of a zarr store (describe_vis parity):
     partition name, dims, shape, chunk shape, #variables, logical
     bytes. Pure metadata — one .zmetadata read, no chunk IO."""
-    cons = zs.read_consolidated(store)
+    fs = zs.filesystem_for(store)
+    cons = zs.read_consolidated(store, fs=fs)
     if cons is None:
-        parts = zs.list_children(store)
+        parts = zs.list_children(store, fs=fs)
     else:
         parts = sorted({k.split("/")[0] for k in cons if "/" in k})
     rows = []
@@ -584,6 +592,7 @@ def append_zarr_vars(
     name raise instead of silently overwriting.
     """
     spark = df.sparkSession
+    fs = zs.filesystem_for(store)
     dims, coords, data, _, anchor = _discover(store, group)
     gpath = os.path.join(store, group)
     for v in var_specs:
@@ -606,7 +615,7 @@ def append_zarr_vars(
             tuple(shape[d] for d in v.dims),
             tuple(chunk_of[d] for d in v.dims),
             v.dtype, compressor=compressor, fill_value=v.fill,
-            attrs={DIM_ATTR: list(v.dims)})
+            attrs={DIM_ATTR: list(v.dims)}, fs=fs)
 
     idx = df
     for d in dims:
@@ -645,7 +654,7 @@ def append_zarr_vars(
                 *[F.first(c, ignorenulls=True).alias(c) for c in cols])
         n = max(n, _write_var_chunks(sub, [arrays[v.name] for v in specs],
                                      specs, vdims, chunk_of))
-    zs.consolidate_metadata(store)
+    zs.consolidate_metadata(store, fs=fs)
     return {"appended": [v.name for v in var_specs], "rows": n}
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Iterator
 
@@ -43,6 +44,152 @@ import numpy as np
 
 ZARR_FORMAT = 2
 _STDLIB_CODECS = ("zlib", "gzip", "bz2", "lzma")
+
+
+# --------------------------------------------------------------------------
+# filesystems
+#
+# The reference opens vis.zarr stores directly from S3 (anon or keyed,
+# /root/reference/cngi/dio/read_vis.py:70-179 via s3fs); this layer
+# gives the store the same reach. Paths with a URL scheme
+# ("s3://bucket/store", "gs://...", "hdfs://...") dispatch to an
+# fsspec-backed filesystem; plain paths (and file://) stay on the
+# direct-os hot path. The FS object rides INSIDE each ZarrArray (and
+# in zarr_io task closures), so Spark executors — separate Python
+# processes with no shared registry — get a working client by
+# unpickling: FsspecFS pickles as (protocol, options) and rebuilds its
+# client lazily per process.
+
+
+class LocalFS:
+    """Direct-os filesystem (default). Accepts plain paths and
+    ``file://`` URLs."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return path[7:] if path.startswith("file://") else path
+
+    def open(self, path: str, mode: str = "rb"):
+        return open(self._p(path), mode)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+
+LOCAL = LocalFS()
+
+
+class PrefixMappedFS(LocalFS):
+    """Maps ``scheme://...`` URLs onto a local directory — the
+    filesystem-mocked object store used by the S3 round-trip tests, and
+    a ready adapter for fuse mounts (``s3fs-fuse``/``gcsfuse``:
+    register the scheme against the mount point and remote stores open
+    with zero code changes). Picklable, so executor tasks resolve the
+    same mapping."""
+
+    def __init__(self, scheme: str, root: str):
+        self.scheme = scheme
+        self.root = root
+
+    def _p(self, path: str) -> str:
+        pre = f"{self.scheme}://"
+        if path.startswith(pre):
+            return os.path.join(self.root, path[len(pre):])
+        return path
+
+
+class FsspecFS:
+    """fsspec/s3fs-backed filesystem for object stores. The client is
+    built lazily in each process and dropped on pickle (fsspec clients
+    hold sockets/locks); ``storage_options`` carry credentials/anon
+    exactly like the reference's ``read_vis(..., s3_anon=...)``."""
+
+    def __init__(self, protocol: str, storage_options: dict | None = None):
+        self.protocol = protocol
+        self.storage_options = dict(storage_options or {})
+        self._client = None
+
+    def __getstate__(self):
+        return {"protocol": self.protocol,
+                "storage_options": self.storage_options}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._client = None
+
+    def _c(self):
+        if self._client is None:
+            try:
+                import fsspec
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"{self.protocol}:// stores need fsspec (plus the "
+                    f"protocol package, e.g. s3fs for s3://); install "
+                    f"them on driver and executors, or mount the bucket "
+                    f"(s3fs-fuse/gcsfuse) and register a PrefixMappedFS"
+                ) from e
+            self._client = fsspec.filesystem(self.protocol,
+                                             **self.storage_options)
+        return self._client
+
+    def open(self, path: str, mode: str = "rb"):
+        return self._c().open(path, mode)
+
+    def exists(self, path: str) -> bool:
+        return self._c().exists(path)
+
+    def makedirs(self, path: str) -> None:
+        # object stores have no directories; best-effort for buckets
+        try:
+            self._c().makedirs(path, exist_ok=True)
+        except Exception:
+            pass
+
+    def listdir(self, path: str) -> list[str]:
+        c = self._c()
+        if not c.exists(path):
+            return []
+        return sorted(p.rstrip("/").rsplit("/", 1)[-1]
+                      for p in c.ls(path, detail=False))
+
+    def isdir(self, path: str) -> bool:
+        return self._c().isdir(path)
+
+
+_FS_FACTORIES: dict[str, Any] = {}
+_SCHEME_RE = re.compile(r"^([a-z0-9+.-]+)://", re.IGNORECASE)
+
+
+def register_filesystem(scheme: str, fs_or_factory: Any) -> None:
+    """Bind a URL scheme to a filesystem instance or a
+    ``factory(path) -> fs`` callable (overrides the fsspec default —
+    e.g. credentials: ``register_filesystem('s3',
+    FsspecFS('s3', {'anon': True}))``, or a fuse mount via
+    :class:`PrefixMappedFS`)."""
+    _FS_FACTORIES[scheme] = fs_or_factory
+
+
+def filesystem_for(path: str):
+    """Resolve the filesystem for a store path (driver-side, once per
+    store open/write; the result travels to executors by pickle)."""
+    m = _SCHEME_RE.match(path)
+    if not m or m.group(1).lower() == "file":
+        return LOCAL
+    scheme = m.group(1).lower()
+    bound = _FS_FACTORIES.get(scheme)
+    if bound is not None:
+        return bound(path) if callable(bound) else bound
+    return FsspecFS(scheme)
 
 
 # --------------------------------------------------------------------------
@@ -148,13 +295,13 @@ def _decode_fill(fill: Any, dtype: np.dtype) -> Any:
     return fill
 
 
-def _json_dump(path: str, obj: dict) -> None:
-    with open(path, "w") as f:
+def _json_dump(path: str, obj: dict, fs: Any = LOCAL) -> None:
+    with fs.open(path, "w") as f:
         json.dump(obj, f, indent=2, sort_keys=True)
 
 
-def _json_load(path: str) -> dict:
-    with open(path) as f:
+def _json_load(path: str, fs: Any = LOCAL) -> dict:
+    with fs.open(path, "r") as f:
         return json.load(f)
 
 
@@ -176,19 +323,25 @@ class ZarrArray:
     order: str = "C"
     dimension_separator: str = "."
     attrs: dict = field(default_factory=dict)
+    fs: Any = field(default=None, repr=False, compare=False)
+
+    def _fs(self):
+        return self.fs if self.fs is not None else LOCAL
 
     # -- open / create ----------------------------------------------------
 
     @classmethod
     def open(cls, path: str, *, meta: dict | None = None,
-             attrs: dict | None = None) -> "ZarrArray":
+             attrs: dict | None = None, fs: Any = None) -> "ZarrArray":
         """Open an existing array; ``meta``/``attrs`` may be passed from
         consolidated metadata to skip the per-array JSON reads."""
+        if fs is None:
+            fs = filesystem_for(path)
         if meta is None:
-            meta = _json_load(os.path.join(path, ".zarray"))
+            meta = _json_load(os.path.join(path, ".zarray"), fs)
         if attrs is None:
             zattrs = os.path.join(path, ".zattrs")
-            attrs = _json_load(zattrs) if os.path.exists(zattrs) else {}
+            attrs = _json_load(zattrs, fs) if fs.exists(zattrs) else {}
         if meta.get("zarr_format") != ZARR_FORMAT:
             raise ValueError(f"not a zarr v2 array: {path}")
         if meta.get("order", "C") != "C":
@@ -208,6 +361,7 @@ class ZarrArray:
             order=meta.get("order", "C"),
             dimension_separator=meta.get("dimension_separator", "."),
             attrs=attrs,
+            fs=fs,
         )
 
     @classmethod
@@ -222,19 +376,22 @@ class ZarrArray:
         fill_value: Any = None,
         attrs: dict | None = None,
         dimension_separator: str = ".",
+        fs: Any = None,
     ) -> "ZarrArray":
         dtype = np.dtype(dtype)
         if len(chunks) != len(shape):
             raise ValueError("chunks rank != shape rank")
-        os.makedirs(path, exist_ok=True)
+        if fs is None:
+            fs = filesystem_for(path)
+        fs.makedirs(path)
         arr = cls(path=path, shape=tuple(int(s) for s in shape),
                   chunks=tuple(int(c) for c in chunks), dtype=dtype,
                   compressor=compressor, fill_value=fill_value,
                   dimension_separator=dimension_separator,
-                  attrs=dict(attrs or {}))
-        _json_dump(os.path.join(path, ".zarray"), arr.zarray_meta())
+                  attrs=dict(attrs or {}), fs=fs)
+        _json_dump(os.path.join(path, ".zarray"), arr.zarray_meta(), fs)
         if arr.attrs:
-            _json_dump(os.path.join(path, ".zattrs"), arr.attrs)
+            _json_dump(os.path.join(path, ".zattrs"), arr.attrs, fs)
         return arr
 
     def zarray_meta(self) -> dict:
@@ -277,12 +434,12 @@ class ZarrArray:
         """Full-chunk-shape array (v2 pads edge chunks to chunk shape);
         missing chunk file → fill_value."""
         f = self._chunk_file(idx)
-        if not os.path.exists(f):
+        if not self._fs().exists(f):
             fill = self.fill_value
             if fill is None:
                 fill = 0
             return np.full(self.chunks, fill, dtype=self.dtype)
-        with open(f, "rb") as fh:
+        with self._fs().open(f, "rb") as fh:
             raw = _decompress(fh.read(), self.compressor)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
 
@@ -297,7 +454,7 @@ class ZarrArray:
             data = full
         buf = _compress(np.ascontiguousarray(data).tobytes(),
                         self.compressor)
-        with open(self._chunk_file(idx), "wb") as fh:
+        with self._fs().open(self._chunk_file(idx), "wb") as fh:
             fh.write(buf)
 
     # -- region / full IO -------------------------------------------------
@@ -342,76 +499,87 @@ class ZarrArray:
 # groups + consolidated metadata
 
 
-def create_group(path: str, attrs: dict | None = None) -> None:
-    os.makedirs(path, exist_ok=True)
-    _json_dump(os.path.join(path, ".zgroup"), {"zarr_format": ZARR_FORMAT})
+def create_group(path: str, attrs: dict | None = None,
+                 fs: Any = None) -> None:
+    fs = filesystem_for(path) if fs is None else fs
+    fs.makedirs(path)
+    _json_dump(os.path.join(path, ".zgroup"), {"zarr_format": ZARR_FORMAT},
+               fs)
     if attrs:
-        _json_dump(os.path.join(path, ".zattrs"), attrs)
+        _json_dump(os.path.join(path, ".zattrs"), attrs, fs)
 
 
-def group_attrs(path: str) -> dict:
+def group_attrs(path: str, fs: Any = None) -> dict:
+    fs = filesystem_for(path) if fs is None else fs
     zattrs = os.path.join(path, ".zattrs")
-    return _json_load(zattrs) if os.path.exists(zattrs) else {}
+    return _json_load(zattrs, fs) if fs.exists(zattrs) else {}
 
 
-def is_array(path: str) -> bool:
-    return os.path.exists(os.path.join(path, ".zarray"))
+def is_array(path: str, fs: Any = None) -> bool:
+    fs = filesystem_for(path) if fs is None else fs
+    return fs.exists(os.path.join(path, ".zarray"))
 
 
-def is_group(path: str) -> bool:
-    return os.path.exists(os.path.join(path, ".zgroup"))
+def is_group(path: str, fs: Any = None) -> bool:
+    fs = filesystem_for(path) if fs is None else fs
+    return fs.exists(os.path.join(path, ".zgroup"))
 
 
-def list_children(path: str) -> list[str]:
+def list_children(path: str, fs: Any = None) -> list[str]:
     """Immediate child array/group names, sorted."""
+    fs = filesystem_for(path) if fs is None else fs
     out = []
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return out
-    for name in sorted(os.listdir(path)):
+    for name in fs.listdir(path):
         sub = os.path.join(path, name)
-        if is_array(sub) or is_group(sub):
+        if is_array(sub, fs) or is_group(sub, fs):
             out.append(name)
     return out
 
 
-def consolidate_metadata(root: str) -> dict:
+def consolidate_metadata(root: str, fs: Any = None) -> dict:
     """Walk the store and write ``.zmetadata`` (v2 consolidated format:
     every .zgroup/.zarray/.zattrs keyed by relative path). One metadata
     read per store open afterwards — the S3/object-store essential."""
+    fs = filesystem_for(root) if fs is None else fs
     metadata: dict[str, Any] = {}
 
     def walk(path: str, prefix: str) -> None:
         for fname in (".zgroup", ".zarray", ".zattrs"):
             f = os.path.join(path, fname)
-            if os.path.exists(f):
-                metadata[prefix + fname] = _json_load(f)
-        if is_array(path):
+            if fs.exists(f):
+                metadata[prefix + fname] = _json_load(f, fs)
+        if is_array(path, fs):
             return
-        for name in sorted(os.listdir(path)):
+        for name in fs.listdir(path):
             sub = os.path.join(path, name)
-            if os.path.isdir(sub):
+            if fs.isdir(sub):
                 walk(sub, f"{prefix}{name}/")
 
     walk(root, "")
     doc = {"zarr_consolidated_format": 1, "metadata": metadata}
-    _json_dump(os.path.join(root, ".zmetadata"), doc)
+    _json_dump(os.path.join(root, ".zmetadata"), doc, fs)
     return doc
 
 
-def read_consolidated(root: str) -> dict | None:
+def read_consolidated(root: str, fs: Any = None) -> dict | None:
+    fs = filesystem_for(root) if fs is None else fs
     f = os.path.join(root, ".zmetadata")
-    if not os.path.exists(f):
+    if not fs.exists(f):
         return None
-    doc = _json_load(f)
+    doc = _json_load(f, fs)
     if doc.get("zarr_consolidated_format") != 1:
         return None
     return doc["metadata"]
 
 
 def open_array(root: str, name: str,
-               consolidated: dict | None = None) -> ZarrArray:
+               consolidated: dict | None = None,
+               fs: Any = None) -> ZarrArray:
     """Open ``root/name`` (name may be nested "grp/arr"); consolidated
     metadata (from :func:`read_consolidated`) skips the JSON reads."""
+    fs = filesystem_for(root) if fs is None else fs
     path = os.path.join(root, name) if name else root
     if consolidated is not None:
         key = f"{name}/" if name else ""
@@ -419,5 +587,6 @@ def open_array(root: str, name: str,
         if meta is None:
             raise KeyError(f"no array {name!r} in consolidated metadata")
         return ZarrArray.open(path, meta=meta,
-                              attrs=consolidated.get(key + ".zattrs", {}))
-    return ZarrArray.open(path)
+                              attrs=consolidated.get(key + ".zattrs", {}),
+                              fs=fs)
+    return ZarrArray.open(path, fs=fs)
