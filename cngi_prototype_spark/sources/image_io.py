@@ -266,10 +266,10 @@ def convert_image_artifacts(
         for f in files:
             if os.path.isdir(f):
                 raise NotImplementedError(
-                    f"{f} is a legacy casacore image table — converting "
-                    "it needs the casatools 'image' tool "
-                    "(convert_image.py:52); export to FITS "
-                    "(ia.tofits) or run the reference converter first")
+                    f"{f} is a legacy casacore image table — use "
+                    "sources.casa_image_adapter.convert_casa_image "
+                    "(python-casacore backed), or export to FITS "
+                    "(ia.tofits) for this path")
         for f in files:
             m = re.search(r"\.tt(\d+)(\.[^.]+)?$", f)
             tt = int(m.group(1)) if m else 0
