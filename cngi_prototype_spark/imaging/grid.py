@@ -384,18 +384,25 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     # uv coverage concentrates taps in few (plane, u-slab) groups;
     # each group is one task's serial unit, so the heaviest group sets
     # the stage's wall-clock. Probe the per-group row counts and
-    # sub-salt only the heavy ones (count > 1.5x mean) proportionally
-    # to their weight — the consumer already sums multiple partials
-    # per slab, so extra fat rows only cost their emission. This is
-    # stats-driven re-planning in the AQE spirit, done where AQE can't
-    # see (skew inside a single aggregate's groups).
+    # sub-salt ONLY groups that exceed a core's fair share: the stage's
+    # wall-clock is ~max(total/npart, max_group), so a group is a
+    # straggler only when its count approaches total/npart — splitting
+    # anything smaller (the old 1.5x-mean trigger: round-7's
+    # vs_baseline_skew regression) pays the per-row value-hash +
+    # broadcast-join toll on EVERY row for zero wall-clock gain; 512
+    # groups over 32 cores absorb a 3x-mean group in ordinary task
+    # scheduling. Hot groups split into ~half-fair-share sub-buckets.
+    # This is stats-driven re-planning in the AQE spirit, done where
+    # AQE can't see (skew inside a single aggregate's groups).
     hot: dict[int, int] = {}
     if salt_probe and n_groups <= 65536:
         cnts = src.groupBy(gkey.alias("_g")).count().collect()
         if cnts:
-            mean = sum(r["count"] for r in cnts) / len(cnts)
-            hot = {int(r["_g"]): min(npart, int(np.ceil(r["count"] / mean)))
-                   for r in cnts if r["count"] > 1.5 * mean}
+            total = sum(r["count"] for r in cnts)
+            fair = max(1.0, total / max(1, npart))
+            hot = {int(r["_g"]):
+                   min(npart, int(np.ceil(r["count"] / (fair / 2.0))))
+                   for r in cnts if r["count"] > 0.75 * fair}
     if hot:
         # per-group salt factor via a BROADCAST join, never an inline
         # CASE chain: a 100+-branch conditional on the key expression
@@ -413,10 +420,15 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         # share _k, so a key-only hash would put the whole cell in one
         # sub-bucket and the straggler would survive salting; value
         # bits spread it (the consumer sums partial slabs, so a cell
-        # split across partials is exact by construction)
+        # split across partials is exact by construction). Cold rows
+        # skip the 3-column hash entirely (lazy CASE branch) — with a
+        # handful of hot groups the toll must not land on every row.
+        cold = (F.lit(0).cast("long") if nsub == 1
+                else F.pmod(F.xxhash64("_k"), F.lit(nsub)))
         gkey = (F.col("_g0") * F.lit(mult)
-                + F.pmod(F.xxhash64("_k", "_wr", "_wi"),
-                         F.coalesce(F.col("_hsub"), F.lit(nsub))))
+                + F.when(F.col("_hsub").isNotNull(),
+                         F.pmod(F.xxhash64("_k", "_wr", "_wi"),
+                                F.col("_hsub"))).otherwise(cold))
     elif nsub > 1:
         gkey = gkey * F.lit(nsub) + F.pmod(F.xxhash64("_k"), F.lit(nsub))
     aggs = [F.collect_list(F.struct("_k", "_wr", "_wi")).alias("_rows")]

@@ -361,6 +361,13 @@ def test_dense_gridder_salt_probe_parity(spark):
     n = 6000
     uu = rng.uniform(-9000, 9000, (4, n)).mean(0)
     vv = rng.uniform(-9000, 9000, (4, n)).mean(0)
+    # pin 60% of rows into one tiny uv neighborhood: that (plane,
+    # u-slab) group holds >> total/npart rows, so the fair-share
+    # trigger (grid.py) MUST classify it hot — the test then proves
+    # the engaged salt path is value-identical, not just the no-op one
+    kcold = n * 6 // 10
+    uu[:kcold] = rng.uniform(-40.0, 40.0, kcold)
+    vv[:kcold] = rng.uniform(-40.0, 40.0, kcold)
     pdf = pd.DataFrame({
         "u": uu, "v": vv, "freq": np.full(n, 1.0e9),
         "chan": np.zeros(n, np.int32),
