@@ -655,25 +655,43 @@ def cosine_pairs_lsh(
     pair-checked; surface them with
     :func:`cosine_lsh_skipped_vectors` (same arguments) so a dedup
     pipeline can distinguish "no near-dup found" from "not examined".
+    When the (estimated) corpus size is itself <= ``max_bucket`` the
+    cap cannot bind and its counting pass is skipped — an ``n_rows``
+    under-estimate below ``max_bucket`` therefore disables the cap.
     """
     import pandas as pd
 
+    # one size estimate serves both tier routing (inside _lsh_tag) and
+    # the can-the-cap-bind check below
+    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
     tagged = _lsh_tag(corpus, id_col, vec_col, dim, num_bands,
-                      planes_per_band, seed, vectorize_above, n_rows)
+                      planes_per_band, seed, vectorize_above, n_corpus)
 
     # the size gate runs BEFORE collect_list (window count over the
     # same keys the groupBy shuffles on — one exchange, spillable sort,
     # no re-partition): filtering AFTER the agg would still build the
-    # over-cap bucket's array in a single reducer task
-    sized = tagged.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-    ).filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
-    packed = (sized.select("band", "sig", F.struct("vid", "uv").alias("s"))
-              .groupBy("band", "sig")
-              .agg(F.array_sort(F.collect_list("s")).alias("ss"))
-              .select(F.transform("ss", lambda s: s["vid"]).alias("ids"),
-                      F.flatten(F.transform("ss", lambda s: s["uv"])).alias("flat")))
+    # over-cap bucket's array in a single reducer task. When the whole
+    # corpus fits under max_bucket the cap CANNOT bind, so the window
+    # pass (an extra within-partition sort) is skipped entirely.
+    if n_corpus > max_bucket:
+        src = tagged.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        ).filter((F.col("bucket_n") > 1)
+                 & (F.col("bucket_n") <= max_bucket))
+        packed = (src.select("band", "sig",
+                             F.struct("vid", "uv").alias("s"))
+                  .groupBy("band", "sig")
+                  .agg(F.array_sort(F.collect_list("s")).alias("ss")))
+    else:
+        packed = (tagged.select("band", "sig",
+                                F.struct("vid", "uv").alias("s"))
+                  .groupBy("band", "sig")
+                  .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+                  .filter(F.size("ss") > 1))
+    packed = packed.select(
+        F.transform("ss", lambda s: s["vid"]).alias("ids"),
+        F.flatten(F.transform("ss", lambda s: s["uv"])).alias("flat"))
 
     import pyspark.sql.types as T
 

@@ -159,5 +159,5 @@ def test_convert_image_artifacts_casacore_dir_raises(spark, tmp_path):
     from cngi_prototype_spark.sources.image_io import (
         convert_image_artifacts)
     os.makedirs(tmp_path / "bar.image")
-    with pytest.raises(NotImplementedError, match="casatools"):
+    with pytest.raises(NotImplementedError, match="convert_casa_image"):
         convert_image_artifacts(spark, str(tmp_path / "bar.image"))
