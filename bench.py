@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "embedding_pool",
     "dedup_corpus",
     "gopher_filter",
+    # round-8 additions
+    "pack_sequences",
+    "corpus_mixture",
 ]
 
 
@@ -235,7 +238,8 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # dup structure while shards stay mutually dissimilar,
                   # so pair-forming ops measure scaling, not blowup)
                   "semantic_dedup", "dedup_corpus", "bpe_train_encode",
-                  "winnow_fingerprints", "embedding_neardup_lsh"]
+                  "winnow_fingerprints", "embedding_neardup_lsh",
+                  "pack_sequences"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",

@@ -1101,6 +1101,21 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   num_hashes=8, bands=4, shingle_n=3)
 
 
+_PACK_L = 37  # gate-scope sequence length (production uses 2048-8192)
+_MIX_FRACS = {"en": 0.61, "de": 0.29, "fr": 0.83, "es": 0.47,
+              "zh": 0.11}
+
+
+def _sql_pack_sequences_part() -> str:
+    from cngi_prototype_spark.text.training import sql_pack_sequences
+    return sql_pack_sequences(_PACK_L, eod_tokens=1)
+
+
+def _sql_mix_part() -> str:
+    from cngi_prototype_spark.text.training import sql_stratified_sample
+    return sql_stratified_sample(_MIX_FRACS, by="lang", seed=5)
+
+
 @register(
     "ngram_jaccard",
     f"""
@@ -1132,6 +1147,20 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(fingerprint AS DOUBLE)
     FROM ({sql_winnow_fingerprints(5, 4)})
     WHERE doc_id % 7 = 0
+    UNION ALL
+    -- sequence packing (GPT concat-and-chunk at seq_len=37): the
+    -- whole placement (tok_start, tok_end, seq_offset) packs exactly
+    -- into one double (< 2e11 < 2^53)
+    SELECT 'pack', doc_id, seq_id,
+           CAST((CAST(tok_start AS BIGINT) * 100000 + tok_end) * 1000
+                + seq_offset AS DOUBLE)
+    FROM ({_sql_pack_sequences_part()})
+    UNION ALL
+    -- deterministic mixture sampling (md5 keep-gate per lang):
+    -- kept rows by (doc, lang), value rides n_chars
+    SELECT 'mix', doc_id, {sql_md5_num('lang')},
+           CAST(n_chars AS DOUBLE)
+    FROM ({_sql_mix_part()})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,8 +1189,26 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("wfp").alias("part"), F.col("doc_id").alias("id_a"),
         F.col("pos").cast("long").alias("id_b"),
         F.col("fingerprint").cast("double").alias("jaccard"))
+    from cngi_prototype_spark.text.training import (
+        pack_sequences, stratified_sample)
+    # sequence packing: the full placement (tok_start, tok_end,
+    # seq_offset) packs exactly into one double (< 2e11 < 2^53)
+    pack = pack_sequences(docs, _PACK_L, eod_tokens=1).select(
+        F.lit("pack").alias("part"), F.col("doc_id").alias("id_a"),
+        F.col("seq_id").alias("id_b"),
+        ((F.col("tok_start").cast("long") * 100000
+          + F.col("tok_end")).cast("double") * 1000
+         + F.col("seq_offset")).alias("jaccard"))
+    # deterministic mixture sampling: kept rows by (doc, lang), value
+    # rides n_chars so row identity is content-checked
+    mix = stratified_sample(docs, _MIX_FRACS, by="lang",
+                            seed=5).select(
+        F.lit("mix").alias("part"), F.col("doc_id").alias("id_a"),
+        md5_num(F.col("lang")).alias("id_b"),
+        F.col("n_chars").cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
-            .unionByName(vocab).unionByName(wfp))
+            .unionByName(vocab).unionByName(wfp)
+            .unionByName(pack).unionByName(mix))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,6 +1233,33 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard)."""
     return chunk_documents(_docs(spark, sf_dir),
                            chunk_tokens=128, overlap=16)
+
+
+@register("pack_sequences", None)  # production shape: rows-only
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape sequence packing (2048-token training
+    sequences; value-gated at seq_len=37 via the 'pack' part of
+    ngram_jaccard)."""
+    from cngi_prototype_spark.text.training import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), 2048)
+
+
+@register("corpus_mixture", None)  # trained fractions: rows-only
+def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape mixture sampling: per-lang fractions computed
+    from the corpus' own counts under temperature 2 reweighting
+    (low-resource boosted), then the deterministic md5 keep-gate
+    (value-gated with fixed fractions via the 'mix' part of
+    ngram_jaccard). The counts collect is strata-sized metadata."""
+    from cngi_prototype_spark.text.training import (
+        mixture_fractions, stratified_sample)
+    docs = _docs(spark, sf_dir)
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    fracs = mixture_fractions(counts, temperature=2.0,
+                              target_total=sum(counts.values()) // 2)
+    return stratified_sample(docs, fracs, by="lang", seed=11)
 
 
 @register("decontaminate", None)  # production 8-gram shape: rows-only
