@@ -277,3 +277,30 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_stratified_sample_is_pure_projection(spark):
+    # deterministic sampling must add ZERO shuffles — the keep gate is
+    # a hash filter, so it composes into any upstream scan for free
+    from cngi_prototype_spark.text.training import stratified_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = stratified_sample(docs, {"en": 0.5, "fr": 0.2}, seed=3)
+    assert count_exchanges(df) == 0
+
+
+def test_pack_sequences_no_corpus_sized_window(spark):
+    """The packing cumsum must never run a global (unpartitioned)
+    window over the CORPUS: the only unpartitioned window sits on the
+    bucket-size aggregate (<= n_buckets rows). In the formatted plan
+    that means every Window whose partition spec is empty reads from an
+    aggregate, and the corpus-side window is partitioned by bucket."""
+    from cngi_prototype_spark.plans import explain_formatted
+    from cngi_prototype_spark.text.training import pack_sequences
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_sequences(docs, 128)
+    plan = explain_formatted(df)
+    # the per-document window is partitioned by the bucket column
+    assert re.search(r"Window.*partitionBy.*_b|PartitionSpec.*_b"
+                     r"|windowspecdefinition\(_b", plan, re.S), plan
+    # the broadcast of the bucket-offset table is what joins it back
+    assert has_broadcast_join(df)
