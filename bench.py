@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "direction_rotate",
     "dirty_image",
     "uv_degrid",
+    "uv_degrid_kernel",
     "predict_component",
     "mosaic_image",
     "synthesis_imaging_cube",

@@ -44,6 +44,8 @@ def degrid_visibilities(
     pol: str = "pol",
     out: tuple[str, str] = ("model_re", "model_im"),
     precise: bool = False,
+    variant: str = "explode",
+    slab_w: int = 64,
 ) -> DataFrame:
     """Append interpolated model visibilities read from a sparse uv grid.
 
@@ -51,7 +53,19 @@ def degrid_visibilities(
     columns, mirroring the gridder's bounds skip. ``precise`` switches
     the per-row tap sums to the 1e-9-quantized BIGINT form (see
     grid.py) so the DuckDB twin hash-matches.
+
+    ``variant="kernel"`` is the dense-slab production path (the
+    gridder's Arrow-kernel twin run in the adjoint direction): vis rows
+    and the grid cells they read cogroup per (chan, pol, u-slab), the
+    slab densifies once, and every row's support² taps gather in one
+    vectorized LUT pass — no taps×rows explosion, no cell equi-join.
+    Values match the explode path to float addition order
+    (parity-tested); the explode path remains the oracle form.
     """
+    if variant == "kernel":
+        return _degrid_kernel(vis_df, grid_df, gp, row_id=row_id, u=u,
+                              v=v, freq=freq, chan=chan, pol=pol,
+                              out=out, slab_w=slab_w)
     u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
     geom = (vis_df
             .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
@@ -99,6 +113,125 @@ def degrid_visibilities(
     # row_id; Spark plans a shuffle join and AQE may still localize it
     # at runtime when the *actual* size is small, which is the only safe
     # place for that decision.
+    return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
+        keyed, on=row_id, how="left")
+
+
+def _degrid_kernel(
+    vis_df: DataFrame,
+    grid_df: DataFrame,
+    gp: GridParms,
+    *,
+    row_id: str,
+    u: str,
+    v: str,
+    freq: str,
+    chan: str,
+    pol: str,
+    out: tuple[str, str],
+    slab_w: int,
+) -> DataFrame:
+    """Dense-slab degrid (see :func:`degrid_visibilities`
+    ``variant="kernel"``).
+
+    Scale shape: one cogroup shuffle keyed by (chan, pol, u-slab).
+    The vis side partitions exactly (each row reads one slab ± the
+    half-kernel halo, which the GRID side replicates into adjacent
+    slabs — ≤ 1+⌈2·half/slab_w⌉ copies per cell, the halo-exchange
+    pattern); task memory is one (slab_w+2·half, n_v) complex slab
+    plus a bounded row chunk. Parallelism = planes × n_u/slab_w
+    groups, the same knob the gridder's fat-row path uses.
+    """
+    W = int(slab_w)
+    half, support, ov = gp.half, gp.support, gp.oversampling
+    n_v = gp.n_v
+    cgk = gp.kernel_1d()
+    ius = np.arange(-half, support - half)
+    didx = np.arange(256)
+    raw = np.abs(ov * ius[None, :] + (didx[:, None] - 128))
+    lut = np.where(raw < len(cgk), cgk[np.minimum(raw, len(cgk) - 1)],
+                   0.0)
+
+    u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
+    geom = (vis_df
+            .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_v_c", F.floor(v_pos + F.lit(0.5)).cast("int"))
+            .withColumn("_du", F.floor(
+                (F.col("_u_c") - u_pos) * F.lit(float(ov))
+                + F.lit(0.5)).cast("int"))
+            .withColumn("_dv", F.floor(
+                (F.col("_v_c") - v_pos) * F.lit(float(ov))
+                + F.lit(0.5)).cast("int")))
+    in_bounds = ((F.col("_u_c") + half < gp.n_u)
+                 & (F.col("_u_c") - half >= 0)
+                 & (F.col("_v_c") + half < gp.n_v)
+                 & (F.col("_v_c") - half >= 0))
+    geom = geom.withColumn("_ok", in_bounds)
+
+    vsel = (geom.filter("_ok")
+            .select(row_id, chan, pol, "_u_c", "_v_c", "_du", "_dv")
+            .withColumn("_s", (F.col("_u_c") / W).cast("int")))
+    gsel = (grid_df
+            .select(chan, pol, "u_idx", "v_idx", "grid_re", "grid_im",
+                    F.explode(F.sequence(
+                        F.floor((F.col("u_idx") - half) / W).cast("int"),
+                        F.floor((F.col("u_idx") + half) / W).cast("int")))
+                    .alias("_s"))
+            .filter(F.col("_s") >= 0))
+
+    rid_type = vis_df.schema[row_id].dataType
+    schema = T.StructType([
+        T.StructField(row_id, rid_type),
+        T.StructField(out[0], T.DoubleType()),
+        T.StructField(out[1], T.DoubleType()),
+    ])
+
+    def slab_fn(key: tuple, vpdf: pd.DataFrame,
+                gpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vpdf):
+            return pd.DataFrame({row_id: pd.Series(dtype="int64"),
+                                 out[0]: pd.Series(dtype="float64"),
+                                 out[1]: pd.Series(dtype="float64")})
+        s = int(key[2])
+        base = s * W - half
+        h = W + 2 * half
+        plane = np.zeros((h, n_v), np.complex128)
+        if len(gpdf):
+            ui = gpdf["u_idx"].to_numpy(np.int64) - base
+            keep = (ui >= 0) & (ui < h)
+            plane[ui[keep],
+                  gpdf["v_idx"].to_numpy(np.int64)[keep]] = (
+                gpdf["grid_re"].to_numpy(np.float64)[keep]
+                + 1j * gpdf["grid_im"].to_numpy(np.float64)[keep])
+        uc = vpdf["_u_c"].to_numpy(np.int64)
+        vc = vpdf["_v_c"].to_numpy(np.int64)
+        fu = lut[vpdf["_du"].to_numpy(np.int64) + 128]  # (n, support)
+        fv = lut[vpdf["_dv"].to_numpy(np.int64) + 128]
+        n = len(uc)
+        acc = np.empty(n, np.complex128)
+        norm = np.empty(n, np.float64)
+        B = 32768  # bounds the (B, support, support) gather temporaries
+        for a in range(0, n, B):
+            b = min(n, a + B)
+            U = (uc[a:b, None] - base) + ius[None, :]
+            V = vc[a:b, None] + ius[None, :]
+            G = plane[U[:, :, None], V[:, None, :]]
+            Wt = fu[a:b][:, :, None] * fv[a:b][:, None, :]
+            norm[a:b] = Wt.sum((1, 2))
+            acc[a:b] = (Wt * G).sum((1, 2))
+        with np.errstate(invalid="ignore"):
+            model = np.where(norm > 0, acc / np.where(norm > 0, norm, 1),
+                             np.nan + 0j)
+        res = pd.DataFrame({row_id: vpdf[row_id].to_numpy(),
+                            out[0]: model.real, out[1]: model.imag})
+        bad = norm <= 0
+        if bad.any():  # NULL, not NaN — the explode-path convention
+            res.loc[bad, [out[0], out[1]]] = None
+        return res
+
+    keyed = (vsel.groupBy(chan, pol, "_s")
+             .cogroup(gsel.groupBy(chan, pol, "_s"))
+             .applyInPandas(slab_fn, schema))
     return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
         keyed, on=row_id, how="left")
 

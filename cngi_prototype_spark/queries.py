@@ -3549,6 +3549,23 @@ def uv_degrid_taps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("row_id").alias("event_id"), "model_re", "model_im")
 
 
+@register("uv_degrid_kernel", None)  # production fast path: rows-only
+def uv_degrid_kernel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-slab degrid (the cogroup kernel variant) fed by the
+    kernel-variant gridder — the all-fast-path major-cycle prediction.
+    Value parity with the oracle explode path is unit-tested
+    (tests/test_degrid.py kernel-variant parity, incl. slab-halo
+    crossings and out-of-bounds NULLs); the explode form stays the
+    hash-gated oracle (uv_degrid)."""
+    grid, _ = grid_visibilities(_uv_vis(spark, sf_dir), _GP,
+                                variant="kernel")
+    vis = _uv_vis_keyed(spark, sf_dir).withColumnRenamed("event_id",
+                                                         "row_id")
+    out = degrid_visibilities(vis, grid, _GP, variant="kernel")
+    return out.select(F.col("row_id").alias("event_id"),
+                      "model_re", "model_im")
+
+
 @register("predict_modelvis", None)  # forward FFT at production shape
 def predict_modelvis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = spark.createDataFrame(

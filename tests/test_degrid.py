@@ -109,3 +109,51 @@ def test_predict_modelvis_point_source_amplitude(spark):
     ok = ~pd.isna(out.model_re)
     assert ok.sum() > 30
     np.testing.assert_allclose(amp[ok], 2.0, rtol=0.05)
+
+
+@pytest.mark.parametrize("slab_w", [8, 64])
+def test_degrid_kernel_variant_matches_explode(spark, slab_w):
+    """The dense-slab cogroup path must reproduce the explode path
+    (and the numpy spec) for every row, including out-of-bounds NULLs,
+    empty-grid-cell regions, multiple planes, and slab-halo crossings
+    (slab_w=8 puts kernel footprints across slab boundaries)."""
+    rng = np.random.default_rng(13)
+    grid = {(c, p): (rng.normal(size=(32, 32))
+                     + 1j * rng.normal(size=(32, 32)))
+            for c in range(2) for p in range(2)}
+    frames = []
+    for (c, p), g in grid.items():
+        ui, vi = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        keep = rng.random(ui.size) < 0.7  # sparse grid: missing cells
+        frames.append(pd.DataFrame({
+            "chan": c, "pol": p,
+            "u_idx": ui.ravel()[keep], "v_idx": vi.ravel()[keep],
+            "grid_re": g.real.ravel()[keep],
+            "grid_im": g.imag.ravel()[keep]}))
+        g.real.ravel()[~keep] = 0.0  # spec: absent cell == 0
+        g.imag.ravel()[~keep] = 0.0
+    grid_pdf = pd.concat(frames, ignore_index=True)
+    n = 400
+    vis = pd.DataFrame({
+        "row_id": np.arange(n),
+        # +-6000 m maps to u_pos 16 +- 25.6 cells: a real mix of
+        # in-bounds rows and out-of-bounds NULLs
+        "u": rng.uniform(-6e3, 6e3, n), "v": rng.uniform(-6e3, 6e3, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": rng.integers(0, 2, n).astype(np.int32),
+        "pol": rng.integers(0, 2, n).astype(np.int32),
+    })
+    vdf = spark.createDataFrame(vis)
+    gdf = spark.createDataFrame(grid_pdf)
+    key = "row_id"
+    a = degrid_visibilities(vdf, gdf, GP).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = degrid_visibilities(vdf, gdf, GP, variant="kernel",
+                            slab_w=slab_w).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == n
+    assert (a.model_re.isna() == b.model_re.isna()).all()
+    m = ~a.model_re.isna()
+    assert np.allclose(a.model_re[m], b.model_re[m], rtol=0, atol=1e-9)
+    assert np.allclose(a.model_im[m], b.model_im[m], rtol=0, atol=1e-9)
+    assert m.sum() > 100 and (~m).sum() > 10  # both regimes exercised
