@@ -339,9 +339,11 @@ def _ladder_neardup_lsh(spark, sf_dir: str):
     # synthetic replica construction, not the operator's scaling. At
     # 0.6 (4.8 sigma) cross-shard leakage is ~1e-6.
     from cngi_prototype_spark.similarity.ann import cosine_pairs_lsh
+    # vectorize_above=0: both rungs must measure the production BLAS
+    # route (the small rung is 2000 rows, under the gate-twin tier cut)
     return cosine_pairs_lsh(Q._t(spark, sf_dir, "embeddings"),
                             threshold=0.6, dim=64, num_bands=4,
-                            planes_per_band=6)
+                            planes_per_band=6, vectorize_above=0)
 
 
 _LADDER_SEM_CENTROIDS: dict[str, list] = {}

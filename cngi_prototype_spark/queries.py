@@ -1573,9 +1573,14 @@ def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup path alone (bench entry; gate-checked inside the
-    merged ``embedding_neardup`` union)."""
+    merged ``embedding_neardup`` union). ``vectorize_above=0`` forces
+    the production BLAS signature route — at real corpus sizes
+    (n > 2048) that is the only route, but the sf0.1 embeddings table
+    is 2000 rows, which silently benchmarks the interpreted
+    gate-twin expressions instead (measured ~4x the BLAS route)."""
     return cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4,
-                            dim=64, num_bands=4, planes_per_band=6)
+                            dim=64, num_bands=4, planes_per_band=6,
+                            vectorize_above=0)
 
 
 # ---------------------------------------------------------------------------
