@@ -359,7 +359,7 @@ def _ladder_semantic_dedup(spark, sf_dir: str):
         _LADDER_SEM_CENTROIDS[sf_dir] = train_ivf_centroids(
             emb, n_centroids=8)
     return semantic_dedup(emb, _LADDER_SEM_CENTROIDS[sf_dir],
-                          threshold=0.6)
+                          threshold=0.6, assign_max_codegen_k=0)
 
 
 LADDER_OVERRIDES = {

@@ -1561,8 +1561,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _SEM_PROD_CENTROIDS:
         _SEM_PROD_CENTROIDS[sf_dir] = train_ivf_centroids(
             emb, n_centroids=8)
+    # production path: BLAS assignment (assign_max_codegen_k=0); the
+    # expression-twin route stays on the VALUE-gated parts of
+    # embedding_neardup. This gate is rows-only, and the row count is
+    # one-per-vector regardless of assignment.
     return semantic_dedup(emb, _SEM_PROD_CENTROIDS[sf_dir],
-                          threshold=0.4)
+                          threshold=0.4, assign_max_codegen_k=0)
 
 
 def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -913,6 +913,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 100_000,
+    assign_max_codegen_k: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse k-means
     clustering of the embedding space, then within-cluster cosine
@@ -942,7 +943,9 @@ def semantic_dedup(
 
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       _dvec(F.col(vec_col)).alias("v"))
-    c = assign_cells(c, centroids, vec_col="v")
+    akw = ({} if assign_max_codegen_k is None
+           else {"max_codegen_k": assign_max_codegen_k})
+    c = assign_cells(c, centroids, vec_col="v", **akw)
     counted = c.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("cell")))
     sized = counted.filter(F.col("_n") <= max_cluster)
