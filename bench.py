@@ -160,8 +160,14 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
     # replicate each event into REP distinct visibilities (distinct uv
     # sample per replica) so gridding work dominates the fixed per-plane
-    # costs (FFT, image materialization) the way it does at full CHILES
-    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "256"))
+    # costs (FFT, image materialization) the way it does at full CHILES.
+    # rep=512 (round 8; was 256): at 25.6M vis the fixed per-plane tail
+    # was still ~15% of the 6.6 s run, overstating vs_baseline against
+    # a reference figure that amortizes those costs over 45 min — at
+    # 51.2M vis (~0.12% of CHILES) the tail drops below the run-to-run
+    # host-steal noise. Same workload shape, larger sample; the
+    # declared_fraction field records it.
+    rep = int(os.environ.get("SPARK_GRAFT_CHILES_REP", "512"))
     n_vis = ev.count() * rep
     r = F.col("_rep")
     eid = F.col("event_id") * rep + r
