@@ -239,3 +239,120 @@ def stream_clean_chunks(
     return chunk_documents(clean.drop("__h"), text_col=text,
                            id_col=id_col, chunk_tokens=chunk_tokens,
                            overlap=overlap)
+
+
+# --------------------------------------------------------------------------
+# incremental NEAR-dup dedup (MinHash/LSH over a persistent bucket store)
+
+
+def neardup_dedup_batch(
+    new_docs: DataFrame,
+    seen_buckets: DataFrame | None,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental near-dup step: ``(kept_docs, new_buckets)``.
+
+    A new document is a near-duplicate iff ANY of its MinHash band
+    buckets already exists in ``seen_buckets`` (the standard LSH
+    candidate rule) OR collides with an earlier-id document of the
+    same batch. Kept documents contribute their buckets to the store;
+    duplicates contribute nothing (the canonical representative's
+    buckets already cover the cluster — identical to what the batch
+    ``minhash_lsh_candidates`` + components pipeline keeps).
+
+    Deterministic: within a batch, bucket ownership goes to the MIN
+    doc_id, so replaying the same batches always keeps the same docs —
+    the property the incremental-equals-batch test pins.
+
+    Scale shape: signatures are a projection; the dedup decision is one
+    left-anti join per batch against the store keyed (band, bhash) —
+    shuffle bounded by bands × batch plus matching store buckets; no
+    driver state. The store itself is a plain DataFrame/table the
+    caller persists (see :func:`stream_dedup_neardup`).
+    """
+    from cngi_prototype_spark.dedup.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(new_docs, text, id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh{b * rows_per_band + r}")
+            for r in range(rows_per_band)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    melted = (sigs.select(id_col, *band_cols)
+              .select(id_col, F.explode(F.array(*[
+                  F.struct(F.lit(b).alias("band"),
+                           F.col(f"band{b}").alias("bhash"))
+                  for b in range(bands)])).alias("bb"))
+              .select(id_col, "bb.band", "bb.bhash"))
+    # hit the persistent store
+    if seen_buckets is not None:
+        hits_store = (melted.join(seen_buckets.select("band", "bhash"),
+                                  ["band", "bhash"], "left_semi")
+                      .select(id_col).distinct())
+    else:
+        hits_store = melted.select(id_col).limit(0)
+    # within-batch collisions: bucket owner = min doc_id; later ids
+    # sharing a bucket are duplicates of it
+    w_owner = (melted.groupBy("band", "bhash")
+               .agg(F.min(id_col).alias("_owner")))
+    hits_batch = (melted.join(w_owner, ["band", "bhash"])
+                  .filter(F.col(id_col) > F.col("_owner"))
+                  .select(id_col).distinct())
+    dup_ids = hits_store.unionByName(hits_batch).distinct()
+    kept = new_docs.join(dup_ids, id_col, "left_anti")
+    new_buckets = (melted.join(dup_ids, id_col, "left_anti")
+                   .select("band", "bhash").distinct())
+    return kept, new_buckets
+
+
+def stream_dedup_neardup(
+    stream_df: DataFrame,
+    kept_path: str,
+    bucket_path: str,
+    checkpoint: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Streaming near-duplicate dedup — the live twin of the MinHash/
+    LSH batch pipeline: kept documents append to ``kept_path`` and
+    their band buckets to ``bucket_path`` (the persistent store each
+    micro-batch consults).
+
+    Shaped as ``foreachBatch`` + the :func:`neardup_dedup_batch` core
+    rather than a chained-stateful-operator query on purpose: the
+    doc-level keep decision needs ALL of a document's bucket lookups,
+    and two same-batch near-dups can split bucket ownership under
+    ``dropDuplicatesWithinWatermark``, dropping BOTH — the incremental
+    join form is deterministic (min-id ownership) and provably equal
+    to replaying the batches through the batch rule. Returns the
+    unstarted writer; callers add ``.trigger(...)`` and ``.start()``.
+    """
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os as _os
+        seen = None
+        if _os.path.exists(bucket_path):
+            seen = spark.read.parquet(bucket_path)
+        kept, new_b = neardup_dedup_batch(
+            batch_df, seen, text=text, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+        kept.write.mode("append").parquet(kept_path)
+        new_b.write.mode("append").parquet(bucket_path)
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))

@@ -361,3 +361,87 @@ def test_stream_clean_chunks_pipeline_state_bounded(spark):
         assert final["numRowsTotal"] <= 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_neardup_incremental_equals_batch(spark, tmp_path):
+    """Replaying document batches through neardup_dedup_batch must keep
+    exactly the canonical set the batch MinHash/LSH pipeline keeps on
+    the full corpus (min-id representative per duplicate cluster)."""
+    from cngi_prototype_spark.dedup.dedup import (
+        duplicate_clusters, minhash_lsh_candidates)
+    from cngi_prototype_spark.streaming.stream_ops import (
+        neardup_dedup_batch)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    docs = []
+    for i in range(12):
+        if i % 3 == 0:
+            docs.append((i, base))                       # dup cluster
+        elif i % 3 == 1:
+            docs.append((i, base.replace("dog", f"cat{i}")))  # near-dup
+        else:
+            docs.append((i, f"totally different text number {i} "
+                            f"with unique words alpha{i} beta{i}"))
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # batch truth: LSH candidates -> components -> min-id canonical
+    cand = minhash_lsh_candidates(full)
+    comp = duplicate_clusters(cand.select("id_a", "id_b"))
+    batch_kept = {r.doc_id for r in full.join(
+        comp.filter("doc_id != canonical_id"), "doc_id",
+        "left_anti").collect()}
+
+    # incremental replay in three arrival orders/batchings
+    for cut in ((4, 8), (1, 6), (12,)):
+        seen = None
+        inc_kept = set()
+        lo = 0
+        for hi in list(cut) + [12]:
+            if hi <= lo:
+                continue
+            b = spark.createDataFrame(docs[lo:hi], ["doc_id", "text"])
+            kept, new_b = neardup_dedup_batch(b, seen)
+            inc_kept |= {r.doc_id for r in kept.select("doc_id").collect()}
+            nb = new_b.toPandas()
+            seen_pdf = (nb if seen is None
+                        else __import__("pandas").concat(
+                            [seen.toPandas(), nb], ignore_index=True))
+            seen = spark.createDataFrame(seen_pdf.drop_duplicates())
+            lo = hi
+        assert inc_kept == batch_kept, cut
+
+
+def test_stream_dedup_neardup_end_to_end(spark, tmp_path):
+    import os
+    import time as _t
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_dedup_neardup)
+
+    base = ("pack my box with five dozen liquor jugs while the band "
+            "played on and the crowd cheered loudly all night long")
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, base), (1, "unrelated first words entirely distinct")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    stream = spark.readStream.schema(schema).parquet(
+        str(tmp_path / "in"))
+    writer = stream_dedup_neardup(
+        stream, str(tmp_path / "kept"), str(tmp_path / "buckets"),
+        str(tmp_path / "ck"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # second arrival: one near-dup of doc 0, one fresh doc
+    spark.createDataFrame(
+        [(2, base.replace("jugs", "cups")), (3, "another fresh doc "
+          "with its own vocabulary zeta omega")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert kept == {0, 1, 3}  # 2 recognized as near-dup ACROSS batches
