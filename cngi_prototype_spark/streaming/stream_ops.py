@@ -345,12 +345,22 @@ def stream_dedup_neardup(
         import os as _os
         seen = None
         if _os.path.exists(bucket_path):
-            seen = spark.read.parquet(bucket_path)
+            seen = (spark.read.parquet(bucket_path)
+                    .filter(F.col("_batch") < batch_id))
         kept, new_b = neardup_dedup_batch(
             batch_df, seen, text=text, id_col=id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
-        kept.write.mode("append").parquet(kept_path)
-        new_b.write.mode("append").parquet(bucket_path)
+        # exactly-once on foreachBatch REPLAYS: outputs land in a
+        # _batch=<id> partition with dynamic overwrite, so re-running a
+        # failed batch replaces its own partition instead of appending
+        # twice; the store read above excludes the current batch id for
+        # the same reason (a partial previous attempt must not shadow
+        # its own rows as "seen")
+        for df, path in ((kept, kept_path), (new_b, bucket_path)):
+            (df.withColumn("_batch", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch").parquet(path))
 
     return (stream_df.writeStream
             .outputMode("append")

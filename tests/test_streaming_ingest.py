@@ -445,3 +445,30 @@ def test_stream_dedup_neardup_end_to_end(spark, tmp_path):
     kept = {r.doc_id for r in
             spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert kept == {0, 1, 3}  # 2 recognized as near-dup ACROSS batches
+
+
+def test_stream_dedup_neardup_replay_idempotent(spark, tmp_path):
+    """foreachBatch can re-run a batch after failure; the _batch
+    dynamic-overwrite sink must make a replay REPLACE its own output
+    instead of appending twice (simulated with a fresh checkpoint over
+    the same input, which re-delivers batch 0)."""
+    import os
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_dedup_neardup)
+
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, "some document words here"), (1, "other words entirely")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    for ck in ("ck1", "ck2"):  # second run = full replay of batch 0
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "in"))
+        q = stream_dedup_neardup(
+            stream, str(tmp_path / "kept"), str(tmp_path / "buckets"),
+            str(tmp_path / ck)).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+    kept = spark.read.parquet(str(tmp_path / "kept")).toPandas()
+    assert sorted(kept.doc_id) == [0, 1]  # no duplicates from replay
