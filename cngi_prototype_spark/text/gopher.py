@@ -296,34 +296,54 @@ def gopher_quality_filter(
     """
     th = {**GOPHER_THRESHOLDS, **thresholds}
     text = F.col(text_col)
-    toks = _nonempty_tokens(text)
-    n_words = F.size(toks)
-    sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
-                          F.lit(0), lambda a, x: a + x)
+    # Stage the computation through projection boundaries (the minhash
+    # __sh pattern): every metric references the tokenize/line-split
+    # ARRAYS, and without the boundary Catalyst re-inlines the
+    # split+filter into each of the ~20 referencing expressions
+    # (CollapseProject keeps multi-referenced non-cheap aliases, so the
+    # boundary holds and the text tokenizes ONCE per row).
+    staged = df.select(
+        id_col, text.alias("__text"),
+        _nonempty_tokens(text).alias("__toks"),
+        _lines(text, "\n").alias("__lines"))
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    text = F.col("__text")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (F.length(text)
+                  - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    # second boundary: the scalar metrics (aggregates over the arrays)
+    # are themselves referenced by 2-3 rule expressions each
+    m = staged.select(
+        id_col,
+        F.size(toks).alias("__nw"),
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0), lambda a, x: a + x).alias("__sumlen"),
+        (n_hash + n_ellipsis).alias("__nsym"),
+        F.size(lines).alias("__nl"),
+        F.size(F.filter(lines, lambda s: s.rlike(BULLET_RE)))
+        .alias("__nbul"),
+        F.size(F.filter(lines, lambda s: s.rlike(ELLIPSIS_END_RE)))
+        .alias("__nell"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .alias("__nalpha"),
+        F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+        .alias("__nstop"))
+    n_words = F.col("__nw")
     # try_divide: NULL on n_words == 0, matching DuckDB's `/` (Spark 4
     # ANSI mode would raise instead).
-    mean_wl = F.try_divide(sum_len.cast("double"), n_words.cast("double"))
-    n_hash = F.length(text) - F.length(F.expr(
-        f"replace({text_col}, '#', '')"))
-    n_ellipsis = (F.length(text) - F.length(F.expr(
-        f"replace({text_col}, '...', '')"))) / F.lit(3)
-    symbol_ratio = F.try_divide((n_hash + n_ellipsis).cast("double"),
+    mean_wl = F.try_divide(F.col("__sumlen").cast("double"),
+                           n_words.cast("double"))
+    symbol_ratio = F.try_divide(F.col("__nsym").cast("double"),
                                 n_words.cast("double"))
-    lines = _lines(text, "\n")
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(
-        lines, lambda s: s.rlike(BULLET_RE)))
-    n_ell_end = F.size(F.filter(
-        lines, lambda s: s.rlike(ELLIPSIS_END_RE)))
-    bullet_frac = F.when(n_lines > 0, n_bullet.cast("double")
+    n_lines = F.col("__nl")
+    bullet_frac = F.when(n_lines > 0, F.col("__nbul").cast("double")
                          / n_lines.cast("double")).otherwise(F.lit(0.0))
-    ell_frac = F.when(n_lines > 0, n_ell_end.cast("double")
+    ell_frac = F.when(n_lines > 0, F.col("__nell").cast("double")
                       / n_lines.cast("double")).otherwise(F.lit(0.0))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    alpha_frac = F.try_divide(n_alpha.cast("double"),
+    alpha_frac = F.try_divide(F.col("__nalpha").cast("double"),
                               n_words.cast("double"))
-    stop_hits = F.size(F.filter(
-        toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    stop_hits = F.col("__nstop")
 
     ok = {
         "words": (n_words >= th["min_words"])
@@ -340,7 +360,7 @@ def gopher_quality_filter(
     for r in _RULES:
         expr = (F.when(~ok[r], r) if expr is None
                 else expr.when(~ok[r], r))
-    return df.select(
+    return m.select(
         id_col,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
