@@ -144,12 +144,22 @@ def grid_visibilities(
     n_planes: int | None = None,
     dense_planes: bool = False,
     salt_probe: bool = False,
+    with_psf: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid visibilities → ``(grid_df, sum_weight_df)``.
 
     grid_df: one row per touched cell ``(chan, pol, u_idx, v_idx,
     grid_re, grid_im)``; sum_weight_df: ``(chan, pol, sum_weight)``.
     ``re=None`` grids the weights themselves (PSF mode, SG:62-67).
+
+    ``with_psf=True`` (explode variant) adds a ``psf_re`` column —
+    the weight-sampling grid — to the SAME aggregation, so a CLEAN
+    setup's image+PSF pair costs one gridding pass instead of two.
+    Caveat vs a separate ``make_psf`` pass: rows whose weighted DATA
+    is entirely zero/null never reach the fused aggregation (the
+    nonzero filter runs before the tap explosion on the data path),
+    so such rows contribute to a standalone PSF but not the fused one
+    — parity-tested for the ordinary nonzero-data case.
     """
     prepared = _prepare(df, gp, u, v, freq, weight, re, im)
     cgk = gp.kernel_1d()
@@ -227,22 +237,26 @@ def grid_visibilities(
             F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
             for iu, iv in gp.taps()
         ])
-        e = prepared.select(
-            chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im",
-            F.explode(taps).alias("_tap"),
-        )
+        sel = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re",
+               "_wd_im"]
+        if with_psf:
+            sel.append(weight)
+        e = prepared.select(*sel, F.explode(taps).alias("_tap"))
         conv = (
             _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
             * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iv") * gp.oversampling + F.col("_dv"))
         )
+        aggs = [agg(conv * F.col("_wd_re")).alias("grid_re"),
+                agg(conv * F.col("_wd_im")).alias("grid_im")]
+        if with_psf:
+            aggs.append(agg(conv * F.col(weight)).alias("psf_re"))
         grid = (
             e.groupBy(
                 chan, pol,
                 (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
                 (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"),
             )
-            .agg(agg(conv * F.col("_wd_re")).alias("grid_re"),
-                 agg(conv * F.col("_wd_im")).alias("grid_im"))
+            .agg(*aggs)
         )
         return grid, sum_weight
 

@@ -219,6 +219,76 @@ def make_grid(vis_df: DataFrame, gp: GridParms, *,
                              **cols)
 
 
+def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
+                       image_size: tuple[int, int] | None = None,
+                       weight: str = "imaging_weight",
+                       **cols) -> DataFrame:
+    """Dirty image AND its PSF from ONE gridding pass →
+    ``(chan, pol, l_idx, m_idx, image, psf)``.
+
+    A CLEAN setup needs both; gridding them separately scans and
+    shuffles the visibilities twice and then joins the two cubes per
+    pixel. The fused form adds the weight-sampling (``psf_re``) column
+    to the image gridder's aggregation (grid.py ``with_psf``) and runs
+    both FFTs inside one per-plane task, so no second pass, no
+    image⋈psf join, and the output feeds ``deconvolve_point_clean``
+    directly (pass it as BOTH arguments — the join is skipped for the
+    same DataFrame). Parity with make_image + make_psf is unit-tested;
+    see grid.py's with_psf caveat on all-zero-data rows.
+    """
+    grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
+                                   variant="explode", with_psf=True,
+                                   **cols)
+    n_u, n_v = gp.n_u, gp.n_v
+    crop = image_size or (n_u, n_v)
+    chan, pol = cols.get("chan", "chan"), cols.get("pol", "pol")
+    schema = T.StructType([
+        T.StructField(chan, T.IntegerType()),
+        T.StructField(pol, T.IntegerType()),
+        T.StructField("l_idx", T.IntegerType()),
+        T.StructField("m_idx", T.IntegerType()),
+        T.StructField("image", T.DoubleType()),
+        T.StructField("psf", T.DoubleType()),
+    ])
+    joined = grid.join(F.broadcast(sumw), on=[chan, pol], how="left")
+
+    def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ui = pdf["u_idx"].to_numpy(int)
+        vi = pdf["v_idx"].to_numpy(int)
+        sw = pdf["sum_weight"].iloc[0]
+        if sw is None or pd.isna(sw) or sw == 0:
+            sw = 1.0
+        lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
+        cu = pswf((np.arange(n_u) - n_u // 2)
+                  / (n_u // 2))[0][lo_u:lo_u + crop[0]]
+        cv = pswf((np.arange(n_v) - n_v // 2)
+                  / (n_v // 2))[0][lo_v:lo_v + crop[1]]
+        corr = np.outer(cu, cv)
+        outs = []
+        for re_col, im_col in (("grid_re", "grid_im"), ("psf_re", None)):
+            g = np.zeros((n_u, n_v), np.complex128)
+            vals = pdf[re_col].to_numpy(float).astype(np.complex128)
+            if im_col is not None:
+                vals = vals + 1j * pdf[im_col].to_numpy(float)
+            g[ui, vi] = vals
+            img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
+            img = img[lo_u:lo_u + crop[0],
+                      lo_v:lo_v + crop[1]].real * (n_u * n_v)
+            outs.append(img / sw / corr)
+        li, mi = np.meshgrid(np.arange(crop[0]), np.arange(crop[1]),
+                             indexing="ij")
+        return pd.DataFrame({
+            chan: np.full(outs[0].size, key[0], np.int32),
+            pol: np.full(outs[0].size, key[1], np.int32),
+            "l_idx": li.ravel().astype(np.int32),
+            "m_idx": mi.ravel().astype(np.int32),
+            "image": outs[0].ravel(),
+            "psf": outs[1].ravel(),
+        })
+
+    return joined.groupBy(chan, pol).applyInPandas(plane, schema)
+
+
 def make_psf(vis_df: DataFrame, gp: GridParms, *,
              image_size: tuple[int, int] | None = None,
              weight: str = "imaging_weight", variant: str = "explode",

@@ -115,3 +115,42 @@ def test_make_grid_named_surface(spark):
     p2 = g2.toPandas().sort_values(["u_idx", "v_idx"]).reset_index(drop=True)
     assert len(p1) == len(p2) and np.allclose(p1.grid_re, p2.grid_re)
     assert np.isclose(s1.toPandas().sum_weight[0], s2.toPandas().sum_weight[0])
+
+
+def test_make_image_and_psf_matches_separate_passes(spark):
+    """The fused single-pass image+PSF must reproduce make_image and
+    make_psf per pixel (nonzero data everywhere — see grid.py's
+    with_psf caveat on all-zero-data rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.imaging.grid import GridParms
+    from cngi_prototype_spark.imaging.image import (
+        make_image, make_image_and_psf, make_psf)
+
+    gp = GridParms(n_u=32, n_v=32, cell_u=4.0e-5, cell_v=4.0e-5,
+                   support=7, oversampling=100)
+    rng = np.random.default_rng(8)
+    n = 500
+    vis = spark.createDataFrame(pd.DataFrame({
+        "u": rng.uniform(-2500, 2500, n),
+        "v": rng.uniform(-2500, 2500, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": rng.integers(0, 2, n).astype(np.int32),
+        "pol": np.zeros(n, np.int32),
+        "data_re": rng.normal(size=n) + 3.0,  # bounded away from 0
+        "data_im": rng.normal(size=n),
+        "imaging_weight": rng.uniform(0.5, 2.0, n),
+    })).persist()
+    key = ["chan", "pol", "l_idx", "m_idx"]
+    fused = make_image_and_psf(vis, gp, image_size=(24, 24)) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    img = make_image(vis, gp, image_size=(24, 24)) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    psf = make_psf(vis, gp, image_size=(24, 24)) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    vis.unpersist()
+    assert len(fused) == len(img) == len(psf) > 0
+    assert np.allclose(fused.image, img.image, rtol=0, atol=1e-9)
+    assert np.allclose(fused.psf, psf.psf, rtol=0, atol=1e-9)
