@@ -2193,9 +2193,10 @@ from cngi_prototype_spark.imaging.deconvolve import deconvolve_point_clean  # no
 @register("hogbom_clean", None)
 def hogbom_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = _uv_vis(spark, sf_dir)
-    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
-    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
-    out = deconvolve_point_clean(img, psf, gain=0.1, threshold=0.05, niter=50)
+    fused = make_image_and_psf(vis, _GP, image_size=(48, 48),
+                               weight="weight")
+    out = deconvolve_point_clean(fused, fused, gain=0.1, threshold=0.05,
+                                 niter=50)
     return out.filter((F.col("model") != 0) | (F.col("l_idx") % 8 == 0))
 
 
@@ -2207,9 +2208,9 @@ def fast_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cngi_prototype_spark.imaging.fastresolve import (
         deconvolve_fast_resolve as _dfr)
     vis = _uv_vis(spark, sf_dir)
-    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
-    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
-    return _dfr(img, psf, noise_var=0.25, prior_power=2.5)
+    fused = make_image_and_psf(vis, _GP, image_size=(48, 48),
+                               weight="weight")
+    return _dfr(fused, fused, noise_var=0.25, prior_power=2.5)
 
 
 def msclean_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2217,9 +2218,10 @@ def msclean_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     as hogbom_clean, 3 scales, value-gated at small size via the
     'msclean' part of hogbom_small."""
     vis = _uv_vis(spark, sf_dir)
-    img = make_image(vis, _GP, image_size=(48, 48), weight="weight")
-    psf = make_psf(vis, _GP, image_size=(48, 48), weight="weight")
-    return deconvolve_multiterm_clean(img, psf, scales=[0.0, 2.0, 4.0],
+    fused = make_image_and_psf(vis, _GP, image_size=(48, 48),
+                               weight="weight")
+    return deconvolve_multiterm_clean(fused, fused,
+                                      scales=[0.0, 2.0, 4.0],
                                       gain=0.1, threshold=0.05, niter=30)
 
 
