@@ -366,3 +366,101 @@ def stream_dedup_neardup(
             .outputMode("append")
             .option("checkpointLocation", checkpoint)
             .foreachBatch(step))
+
+
+# --------------------------------------------------------------------------
+# incremental sequence packing (training-set assembly over live ingest)
+
+
+def stream_pack_sequences(
+    stream_df: DataFrame,
+    out_path: str,
+    offset_path: str,
+    checkpoint: str,
+    seq_len: int,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    eod_tokens: int = 1,
+):
+    """Streaming twin of ``text.training.pack_sequences``: documents
+    arriving in micro-batches are appended to the SAME virtual token
+    stream, so sequence ids continue across batches exactly as if the
+    whole corpus had been packed at once (equal-to-batch property,
+    provided arrival order is the packing order — streaming packs in
+    ARRIVAL order, the natural semantics for an ingest pipeline).
+
+    The only cross-batch state is the stream's token offset — one
+    number, persisted as a tiny one-row parquet keyed by batch id (the
+    exactly-once convention of :func:`stream_dedup_neardup`: a replay
+    overwrites its own ``_batch`` partition and re-reads the offset as
+    of the PREVIOUS batch). Within a batch the cumsum runs the same
+    distributed bucket-offset scheme as the batch operator — the driver
+    never sees per-document work.
+    """
+    from pyspark.sql import functions as _F
+
+    from cngi_prototype_spark.text.training import pack_sequences
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        base = 0
+        if _os.path.exists(offset_path):
+            prev = (spark.read.parquet(offset_path)
+                    .filter(_F.col("_batch") < batch_id)
+                    .agg(_F.max_by("offset", "_batch")).collect()[0][0])
+            base = int(prev) if prev is not None else 0
+        placed = pack_sequences(batch_df, seq_len, text_col=text,
+                                id_col=id_col, eod_tokens=eod_tokens)
+        # shift this batch's placements by the stream offset. seq ids
+        # are NOT simply shifted (the offset is in tokens, not
+        # sequences): re-derive them from the absolute token position.
+        start_abs = (_F.col("seq_id") * seq_len + _F.col("seq_offset")
+                     - _F.col("tok_start") + _F.lit(base))
+        # every placement row of a doc reconstructs the SAME absolute
+        # start; collapse to one row per doc before re-exploding over
+        # the shifted span (else multi-sequence docs duplicate)
+        shifted = (placed
+                   .select(id_col, "n_tokens", start_abs.alias("_s"))
+                   .dropDuplicates([id_col])
+                   .select(
+                       id_col, "n_tokens", "_s",
+                       _F.explode(_F.sequence(
+                           _F.floor(_F.col("_s") / seq_len).cast("long"),
+                           _F.floor((_F.col("_s") + _F.col("n_tokens")
+                                     - 1) / seq_len).cast("long")))
+                       .alias("seq_id")))
+        out = shifted.select(
+            id_col, "seq_id",
+            _F.greatest(_F.lit(0), (_F.col("seq_id") * seq_len
+                                    - _F.col("_s")).cast("int"))
+            .alias("tok_start"),
+            _F.least(_F.col("n_tokens"),
+                     ((_F.col("seq_id") + 1) * seq_len - _F.col("_s"))
+                     .cast("int")).alias("tok_end"),
+            _F.greatest(_F.lit(0), (_F.col("_s") - _F.col("seq_id")
+                                    * seq_len).cast("int"))
+            .alias("seq_offset"),
+            "n_tokens")
+        (out.withColumn("_batch", _F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(out_path))
+        # advance the stream offset by this batch's total stride
+        total = (batch_df.select(
+            _F.sum(_F.size(_F.filter(
+                _F.split(_F.lower(_F.trim(_F.col(text))), r"\s+"),
+                lambda t: _F.length(t) > 0)) + _F.lit(int(eod_tokens)))
+            .alias("n")).collect()[0]["n"]) or 0
+        (spark.createDataFrame([(int(base + total),)], "offset long")
+         .withColumn("_batch", _F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(offset_path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))

@@ -472,3 +472,40 @@ def test_stream_dedup_neardup_replay_idempotent(spark, tmp_path):
         q.awaitTermination(120)
     kept = spark.read.parquet(str(tmp_path / "kept")).toPandas()
     assert sorted(kept.doc_id) == [0, 1]  # no duplicates from replay
+
+
+def test_stream_pack_sequences_equals_batch(spark, tmp_path):
+    """Batches arriving through stream_pack_sequences must produce
+    exactly the placements of batch pack_sequences over the
+    concatenated corpus (arrival order = packing order), with sequence
+    ids continuing across the batch boundary — including a document
+    that spans it."""
+    import os
+
+    from cngi_prototype_spark.text.training import pack_sequences
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_pack_sequences)
+
+    L = 4
+    docs = [(0, "a b c d e"), (1, "f g"),            # batch 1
+            (2, "h i j k l m n o p"), (3, "q")]      # batch 2
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in")
+    writer = None
+    for lo, hi in ((0, 2), (2, 4)):
+        spark.createDataFrame(docs[lo:hi], schema).coalesce(1) \
+            .write.mode("append").parquet(str(tmp_path / "in"))
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "in"))
+        writer = stream_pack_sequences(
+            stream, str(tmp_path / "out"), str(tmp_path / "off"),
+            str(tmp_path / "ck"), L)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+    cols = ["doc_id", "seq_id", "tok_start", "tok_end", "seq_offset",
+            "n_tokens"]
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out"))
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, pack_sequences(
+        spark.createDataFrame(docs, schema), L).select(*cols).collect()))
+    assert got == want
