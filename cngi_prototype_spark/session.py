@@ -60,3 +60,14 @@ def initialize_framework(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def get_framework_client() -> SparkSession | None:
+    """Return the active processing-framework client —
+    ``GetFrameworkClient`` parity
+    (``/root/reference/cngi/direct/framework.py:79-93`` returns the
+    live dask ``Client``); here the framework is Spark, so the client
+    is the active :class:`SparkSession` (``None`` when no session has
+    been initialized, matching the reference's unset-scheduler case).
+    """
+    return SparkSession.getActiveSession()
