@@ -122,3 +122,28 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # unknown stratum drops by default
     d = stratified_sample(df.withColumn("lang", df.lang), {"xx": 1.0})
     assert d.count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.lists(st.sampled_from(["tok", "a", "bb", "ccc"]),
+                           max_size=12).map(" ".join)),
+        min_size=1, max_size=25, unique_by=lambda d: d[0]),
+    L=st.integers(1, 9),
+    eod=st.integers(0, 3),
+)
+def test_pack_sequences_property_matches_reference(spark, docs, L, eod):
+    """Property form of the reference-packer check: any id set
+    (sparse, unordered), any seq_len/eod, docs of any token count
+    including empty."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     pack_sequences(df, L, eod_tokens=eod,
+                                    n_buckets=3).collect()))
+    assert got == _ref_pack(docs, L, eod)
