@@ -304,3 +304,14 @@ def test_pack_sequences_no_corpus_sized_window(spark):
                      r"|windowspecdefinition\(_b", plan, re.S), plan
     # the broadcast of the bucket-offset table is what joins it back
     assert has_broadcast_join(df)
+
+
+def test_degrid_kernel_variant_no_cross_join(spark):
+    # the dense-slab cogroup path must candidate via the (chan, pol,
+    # u-slab) shuffle — never a cross join, never a broadcast of the
+    # row-keyed side
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.uv_degrid_kernel_q(spark, SF)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroups" in plan
