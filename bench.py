@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # round-8 additions
     "pack_sequences",
     "corpus_mixture",
+    "dedup_spans",
 ]
 
 

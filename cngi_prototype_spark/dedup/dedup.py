@@ -613,3 +613,73 @@ def dedup_corpus(
         "canonical_id", F.coalesce(F.col("__can"), F.col(id_col)))
         .drop("__can")
         .withColumn("is_kept", F.col("canonical_id") == F.col(id_col)))
+
+
+# --- exact-substring (duplicate span) removal ------------------------------
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> DataFrame:
+    """ExactSubstr-style duplicate span removal (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): any TOKEN ``n``-gram occurring more than once corpus-wide
+    keeps only its first occurrence (min ``(doc_id, position)``); every
+    other occurrence's token range is removed and each document rebuilt
+    from its surviving tokens →
+    ``(doc_id, n_tokens, n_removed, text_dedup)``.
+
+    This is the distributed hash form of the paper's suffix-array
+    method (the suffix array is single-machine): fingerprint every
+    n-gram, one shuffle on the fingerprint picks keepers, and the
+    union of removed TOKEN INDICES per document handles overlapping /
+    adjacent duplicate spans with no explicit merge step. The C4
+    three-sentence rule (``text.c4.c4_span_dedup``) is the
+    sentence-level sibling; this one catches sub-sentence boilerplate
+    the sentence splitter hides. Scale: shuffle ∝ corpus token count
+    (one md5 per position) with map-side combine — the same bound as
+    the Gopher n-gram metrics.
+    """
+    from cngi_prototype_spark.text.analysis import _tokens
+
+    text = F.col(text_col)
+    docs = df.select(
+        F.col(id_col).alias("_doc"),
+        F.filter(_tokens(text), lambda t: t != "").alias("_t"))
+    toks = docs.select("_doc",
+                       F.posexplode_outer("_t").alias("_idx", "_tok"))
+    spans = docs.select("_doc", F.explode(
+        F.when(F.size("_t") >= n, F.transform(
+            F.sequence(F.lit(1), F.size("_t") - n + 1),
+            lambda i: F.struct(
+                (i - 1).alias("i"),
+                F.md5(F.array_join(F.slice("_t", i, n), " "))
+                .alias("h"))))
+        .otherwise(F.array().cast(
+            "array<struct<i:int,h:string>>"))).alias("sp"))
+    occ = spans.select("_doc", F.col("sp.i").alias("_i"),
+                       F.col("sp.h").alias("_h"))
+    keeper = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
+    dups = (occ.join(keeper, "_h")
+            .filter(~((F.col("_doc") == F.col("_k._doc"))
+                      & (F.col("_i") == F.col("_k._i")))))
+    removed = dups.select(
+        "_doc", F.explode(F.sequence(
+            F.col("_i"), F.col("_i") + n - 1)).alias("_idx")).distinct()
+    kept = toks.join(removed, ["_doc", "_idx"], "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count("_tok").alias("_n_kept"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+            lambda x: x["_tok"]), " ").alias("text_dedup"))
+    out = (docs.select("_doc", F.size("_t").alias("n_tokens"))
+           .join(rebuilt, "_doc", "left"))
+    return out.select(
+        F.col("_doc").alias(id_col), "n_tokens",
+        (F.col("n_tokens")
+         - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"))

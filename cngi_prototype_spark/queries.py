@@ -1085,6 +1085,15 @@ def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.join(gopher_quality_filter(docs), "doc_id")
 
 
+@register("dedup_spans", None)  # token-index union rebuild: rows-only
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span removal (Lee et al. 2021) at 8-gram
+    production shape — reference-implementation parity unit-tested
+    (tests/test_pipeline_ops.py exactsubstr)."""
+    from cngi_prototype_spark.dedup.dedup import remove_duplicate_spans
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=8)
+
+
 @register("dedup_exact", SQL_EXACT_DEDUP)
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))

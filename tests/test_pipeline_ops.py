@@ -583,3 +583,52 @@ def test_tier_routing_n_rows_hint_skips_upstream_eval(spark):
     pe = emb.mapInPandas(boom, emb.schema)
     cosine_pairs_lsh(pe, n_rows=5)
     cosine_pairs_lsh(pe, n_rows=10 ** 6)
+
+
+def test_remove_duplicate_spans_exactsubstr(spark):
+    """Token-level duplicate-span removal against a pure-python
+    reference: first occurrence survives, later occurrences lose
+    exactly their span tokens, overlapping duplicate spans merge via
+    the index-set union, short docs pass through untouched."""
+    from cngi_prototype_spark.dedup.dedup import remove_duplicate_spans
+
+    boiler = "one two three four five"           # 5-token boilerplate
+    docs = [
+        (0, f"alpha {boiler} beta"),             # first occurrence: kept
+        (1, f"gamma {boiler} delta"),            # dup: span removed
+        (2, f"{boiler} {boiler}"),               # two dups, adjacent
+        (3, "tiny doc"),                         # shorter than n
+        (4, f"eps {boiler} zeta {boiler} eta"),  # two dups in one doc
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, n=5).collect()}
+
+    def ref():
+        toks = {d: [t for t in s.lower().split() if t] for d, s in docs}
+        occ = {}
+        for d in sorted(toks):
+            ts = toks[d]
+            for i in range(len(ts) - 4):
+                occ.setdefault(tuple(ts[i:i + 5]), []).append((d, i))
+        rm = {d: set() for d in toks}
+        for g, sites in occ.items():
+            for d, i in sites[1:] if len(sites) > 1 else []:
+                pass
+        for g, sites in occ.items():
+            keeper = min(sites)
+            for s in sites:
+                if s != keeper:
+                    rm[s[0]].update(range(s[1], s[1] + 5))
+        return {d: " ".join(t for i, t in enumerate(ts)
+                            if i not in rm[d])
+                for d, ts in toks.items()}
+
+    want = ref()
+    for d in want:
+        assert out[d].text_dedup == want[d], d
+    assert out[0].n_removed == 0
+    assert out[1].n_removed == 5
+    assert out[2].n_removed >= 5  # at least one whole span gone
+    assert out[3].n_removed == 0 and out[3].text_dedup == "tiny doc"
+    assert out[4].n_removed == 10
