@@ -215,7 +215,15 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     # The persist cost is returned so BENCH json can report it and the
     # timed section is provably gridding-only.
     t0 = time.time()
-    vis = vis.persist()
+    # serialized-with-spill, not the deserialized default: at rep=512
+    # the cached columnar batches alone are multi-GB, and round 8's
+    # driver bench died of Java heap OOM when they competed with 32
+    # concurrent collect_list aggregation buffers in the default 8g
+    # JVM. MEMORY_AND_DISK (serialized in PySpark) keeps the hot path
+    # in memory when it fits and degrades to disk instead of dying;
+    # materialize_sec reports the cost either way.
+    from pyspark import StorageLevel
+    vis = vis.persist(StorageLevel.MEMORY_AND_DISK)
     vis.count()
     mat_sec = round(time.time() - t0, 3)
     # salt_probe: one counting pass over the (persisted) rows at plan
@@ -465,13 +473,23 @@ def main() -> None:
             last_run[key] = el  # final single shot, for drift compare
         return best
 
+    # a single failing query must never cost the whole artifact (round
+    # 8 shipped NO bench json because one tier crashed the process):
+    # record the error and keep going — the final line always prints.
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs.get(name) or getattr(Q, f"{name}_q", None)
         if fn is None:
             continue
-        timings[name] = _timed_min(fn, spark, sf_dir, key=name)
+        try:
+            timings[name] = _timed_min(fn, spark, sf_dir, key=name)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    timings["imaging_major_cycle"] = _timed_min(major_cycle, spark, sf_dir)
+    try:
+        timings["imaging_major_cycle"] = _timed_min(major_cycle, spark, sf_dir)
+    except Exception as e:
+        errors["imaging_major_cycle"] = f"{type(e).__name__}: {e}"[:200]
 
     # noise indicator: q1 re-measured at the END of the shared session,
     # compared single-shot against q1's LAST single shot at the start
@@ -484,17 +502,29 @@ def main() -> None:
     q1_end = round(time.time() - t0, 3)
     noise = {
         "q1_rerun_end_sec": q1_end,
-        "q1_drift": round(q1_end / last_run["q1_pricing_summary"], 3),
+        "q1_drift": round(q1_end / last_run["q1_pricing_summary"], 3)
+        if last_run.get("q1_pricing_summary") else None,
         "runs_per_query": runs,
     }
 
     if chiles is None:
-        # fallback: measure in-process (degraded but recorded as such)
-        spark.catalog.clearCache()
-        chiles = _chiles_tier(sf_dir, cpus, gc_quiet)
-        chiles["in_process_fallback"] = chiles_err
-    timings["imaging_chiles_frac"] = chiles.pop("_uniform_sec")
-    timings["imaging_chiles_frac_skew"] = chiles.pop("_skew_sec")
+        # fallback: measure in-process (degraded but recorded as such).
+        # GUARDED: this re-run shares the main session's JVM (heap size
+        # fixed at session start), so the exact OOM that killed the
+        # subprocess can recur here — round 8's unguarded fallback
+        # crashed the process and no bench line printed at all. A dead
+        # chiles tier now degrades to chiles: {"error": ...} in the
+        # artifact instead of costing the whole round its bench.
+        try:
+            spark.catalog.clearCache()
+            chiles = _chiles_tier(sf_dir, cpus, gc_quiet)
+            chiles["in_process_fallback"] = chiles_err
+        except Exception as e:
+            chiles = {"error": f"subprocess: {chiles_err}; in-process "
+                               f"{type(e).__name__}: {e}"[:300]}
+    if "_uniform_sec" in chiles:
+        timings["imaging_chiles_frac"] = chiles.pop("_uniform_sec")
+        timings["imaging_chiles_frac_skew"] = chiles.pop("_skew_sec")
 
     ladder = None
     ladder_mult = int(os.environ.get("SPARK_GRAFT_LADDER", "10"))
@@ -511,6 +541,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors or None,
         "noise": noise,
         "chiles": chiles,
         "ladder": ladder,
@@ -528,28 +559,44 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
-    compact_chiles = {
-        k: chiles.get(k) for k in (
-            "vs_baseline", "vs_baseline_skew", "taps_per_s_core",
-            "taps_per_s_core_skew", "baseline_taps_per_s_core", "n_vis")
-    } if chiles else None
+    if chiles and "error" in chiles:
+        compact_chiles = {"error": str(chiles["error"])[:200]}
+    elif chiles:
+        compact_chiles = {
+            k: chiles.get(k) for k in (
+                "vs_baseline", "vs_baseline_skew", "taps_per_s_core",
+                "taps_per_s_core_skew", "baseline_taps_per_s_core",
+                "n_vis")}
+    else:
+        compact_chiles = None
     summary = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "errors": errors or None,
         "chiles": compact_chiles,
         "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs},
         "sf": sf,
         "cpus": cpus,
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(summary, separators=(",", ":"))
-    if len(line) >= 1750:  # progressive shrink, never overflow the window
-        summary["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        summary.pop("noise", None)
+    # progressive shrink, NEVER overflow the driver's ~2000-char stdout
+    # tail window and NEVER crash (an assert here would trade a
+    # too-long line for no line at all): drop precision, then optional
+    # fields, then the per-query map itself.
+    for trim in range(4):
         line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 1950, f"bench summary line {len(line)}B"
+        if len(line) < 1750:
+            break
+        if trim == 0:
+            summary["queries"] = {k: round(v, 1)
+                                  for k, v in timings.items()}
+        elif trim == 1:
+            summary.pop("noise", None)
+            summary.pop("errors", None)
+        else:
+            summary["queries"] = {"n_timed": len(timings)}
     print(line)
 
 
@@ -562,12 +609,24 @@ def _chiles_in_subprocess(sf_dir: str, cpus: int):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--chiles-tier"],
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-                 "SPARK_GRAFT_CPUS": str(cpus)},
+                 "SPARK_GRAFT_CPUS": str(cpus),
+                 # rep=512 (51.2M vis) needs more than the 8g unit-test
+                 # default: round 8's driver bench OOMed the skew tier
+                 # (Java heap) at 8g. The box has 128 GiB; 32g fits the
+                 # persisted vis + 32 concurrent fat-row buffers with
+                 # headroom while staying far from the 64g GC-thrash
+                 # regime measured on shuffle-heavy queries. An explicit
+                 # SPARK_GRAFT_MEM still wins.
+                 "SPARK_GRAFT_MEM": os.environ.get("SPARK_GRAFT_MEM",
+                                                   "32g")},
             capture_output=True, text=True, timeout=1800)
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line), None
+                parsed = json.loads(line)
+                if "error" in parsed:
+                    return None, str(parsed["error"])
+                return parsed, None
         return None, f"no JSON in child stdout (rc={proc.returncode})"
     except Exception as e:
         return None, f"{type(e).__name__}: {e}"
@@ -650,8 +709,25 @@ if __name__ == "__main__":
     if "--chiles-tier" in sys.argv:
         _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        print(json.dumps(_chiles_tier(
-            _sf, _cpus,
-            {"spark.driver.extraJavaOptions": "-Xlog:disable"})))
+        try:
+            print(json.dumps(_chiles_tier(
+                _sf, _cpus,
+                {"spark.driver.extraJavaOptions": "-Xlog:disable"})))
+        except Exception as e:  # parent parses {"error": ...} cleanly
+            print(json.dumps(
+                {"error": f"{type(e).__name__}: {e}"[:300]}))
+            sys.exit(1)
     else:
-        main()
+        try:
+            main()
+        except Exception as e:
+            # last-resort contract keeper: the driver records the tail
+            # of stdout as BENCH_r{N}.json — a crash with no JSON line
+            # (round 8) is strictly worse than a line that says what
+            # died.
+            print(json.dumps({
+                "metric": "bench_total", "value": -1.0, "unit": "sec",
+                "queries": {},
+                "error": f"{type(e).__name__}: {e}"[:400],
+            }, separators=(",", ":")))
+            sys.exit(1)

@@ -46,6 +46,7 @@ def degrid_visibilities(
     precise: bool = False,
     variant: str = "explode",
     slab_w: int = 64,
+    salt_probe: bool = False,
 ) -> DataFrame:
     """Append interpolated model visibilities read from a sparse uv grid.
 
@@ -65,7 +66,8 @@ def degrid_visibilities(
     if variant == "kernel":
         return _degrid_kernel(vis_df, grid_df, gp, row_id=row_id, u=u,
                               v=v, freq=freq, chan=chan, pol=pol,
-                              out=out, slab_w=slab_w)
+                              out=out, slab_w=slab_w,
+                              salt_probe=salt_probe)
     u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
     geom = (vis_df
             .withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
@@ -130,6 +132,7 @@ def _degrid_kernel(
     pol: str,
     out: tuple[str, str],
     slab_w: int,
+    salt_probe: bool = False,
 ) -> DataFrame:
     """Dense-slab degrid (see :func:`degrid_visibilities`
     ``variant="kernel"``).
@@ -141,6 +144,17 @@ def _degrid_kernel(
     pattern); task memory is one (slab_w+2·half, n_v) complex slab
     plus a bounded row chunk. Parallelism = planes × n_u/slab_w
     groups, the same knob the gridder's fat-row path uses.
+
+    ``salt_probe=True`` adds the hot-slab valve (the gridder's
+    ``salt_probe``, mirrored): centrally-condensed uv coverage piles
+    most rows into the central slabs, and a cogroup group is both one
+    task's serial unit AND one ``applyInPandas`` in-memory frame —
+    unvalved, one hot slab is an unbounded straggler. One counting
+    pass probes per-(chan, pol, slab) vis counts; groups past a core's
+    fair share (or past the ~64 MB frame budget) sub-bucket by a row
+    hash, with the GRID side replicated once per sub-bucket — grid
+    replication is cheap because a slab holds at most
+    (slab_w + 2·half) · n_v cells regardless of vis count.
     """
     W = int(slab_w)
     half, support, ov = gp.half, gp.support, gp.oversampling
@@ -229,11 +243,65 @@ def _degrid_kernel(
             res.loc[bad, [out[0], out[1]]] = None
         return res
 
-    keyed = (vsel.groupBy(chan, pol, "_s")
-             .cogroup(gsel.groupBy(chan, pol, "_s"))
+    keys = [chan, pol, "_s"]
+    if salt_probe:
+        spark = vis_df.sparkSession
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cnts = [((int(r[chan]), int(r[pol]), int(r["_s"])), int(r["count"]))
+                for r in vsel.groupBy(chan, pol, "_s").count().collect()]
+        hot = _slab_salt_map(cnts, npart)
+        if hot:
+            hot_df = spark.createDataFrame(
+                [(c, p, s, n) for (c, p, s), n in hot.items()],
+                schema=f"{chan} int, {pol} int, _s int, _hsub int")
+            # vis: rows of a hot group spread over _hsub sub-buckets by
+            # a row-id hash; cold groups skip the hash (lazy branch).
+            # Broadcast join, never an inline CASE chain (grid.py's
+            # codegen-cliff finding).
+            vsel = (vsel.join(F.broadcast(hot_df), on=keys, how="left")
+                    .withColumn("_sub", F.when(
+                        F.col("_hsub").isNotNull(),
+                        F.pmod(F.xxhash64(row_id), F.col("_hsub"))
+                        .cast("int")).otherwise(F.lit(0)))
+                    .drop("_hsub"))
+            # grid: one slab copy per sub-bucket (halo-bounded, cheap)
+            gsel = (gsel.join(F.broadcast(hot_df), on=keys, how="left")
+                    .withColumn("_sub", F.explode(F.sequence(
+                        F.lit(0),
+                        F.coalesce(F.col("_hsub"), F.lit(1)) - 1)))
+                    .drop("_hsub"))
+            keys = keys + ["_sub"]
+    keyed = (vsel.groupBy(*keys)
+             .cogroup(gsel.groupBy(*keys))
              .applyInPandas(slab_fn, schema))
     return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
         keyed, on=row_id, how="left")
+
+
+def _slab_salt_map(cnts: list[tuple[tuple, int]], npart: int,
+                   cap_rows: int = (64 << 20) // 56,
+                   ) -> dict[tuple, int]:
+    """Sub-bucket factors for hot degrid slabs, from probed per-group
+    vis counts. A group splits when it exceeds a core's fair share
+    (wall-clock: the stage runs at ~max(total/npart, max_group), so
+    splitting smaller groups buys nothing — grid.py's fair-share
+    trigger) or when its pandas frame would outgrow ~64 MB at ~56 B
+    per 7-column row (memory: ``applyInPandas`` materializes the whole
+    group). The fairness factor is npart-bounded; the byte factor is
+    not — memory correctness beats scheduling granularity."""
+    if not cnts:
+        return {}
+    total = sum(n for _, n in cnts)
+    fair = max(1.0, total / max(1, npart))
+    out: dict[tuple, int] = {}
+    for key, n in cnts:
+        sub_f = (min(npart, -(-n // max(1, int(fair / 2.0))))
+                 if n > 0.75 * fair else 1)
+        sub_b = -(-n // cap_rows)
+        sub = max(sub_f, sub_b)
+        if sub > 1:
+            out[key] = int(sub)
+    return out
 
 
 def model_image_to_grid(

@@ -144,6 +144,7 @@ def grid_visibilities(
     n_planes: int | None = None,
     dense_planes: bool = False,
     salt_probe: bool = False,
+    rows_hint: int | None = None,
     with_psf: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid visibilities → ``(grid_df, sum_weight_df)``.
@@ -270,7 +271,7 @@ def grid_visibilities(
         grid = _kernel_variant(prepared, gp, cgk, chan=chan, pol=pol,
                                precise=precise, n_planes=n_planes,
                                dense_planes=dense_planes, wn_col=wn,
-                               salt_probe=salt_probe)
+                               salt_probe=salt_probe, rows_hint=rows_hint)
         return grid, sum_weight
 
     raise ValueError(f"unknown gridder variant: {variant}")
@@ -296,7 +297,8 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                         *, chan: str, pol: str,
                         n_planes: int | None,
                         wn_col: Column | None = None,
-                        salt_probe: bool = False) -> DataFrame:
+                        salt_probe: bool = False,
+                        rows_hint: int | None = None) -> DataFrame:
     """Dense-planes scatter, cut for throughput (the CHILES tier):
 
     - the six small integers (chan, pol, u_c, v_c, du, dv) are packed
@@ -391,6 +393,17 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
     n_groups = max(1, int(n_planes or 1)) * max(1, n_u >> slab_log)
     npart = src.rdd.getNumPartitions()
     nsub = max(1, npart // (2 * n_groups))
+    # MEMORY budget, not just task fairness (round-8 driver bench OOM):
+    # a collect_list element is a 32 B UnsafeRow struct(long, double,
+    # double) plus buffer slack — budget ~48 B/row and cap each fat
+    # row's list at ~64 MB, so a group's final aggregation buffer can
+    # never outgrow a task's share of executor memory no matter how
+    # many input rows pile into one (plane, u-slab). The consumer sums
+    # arbitrarily many partial slabs, so extra sub-buckets only cost
+    # their emission.
+    cap_rows = (64 << 20) // 48  # ~1.4M rows per fat row
+    if rows_hint:
+        nsub = max(nsub, -(-int(rows_hint) // (n_groups * cap_rows)))
     gkey = F.shiftrightunsigned(F.col("_k"), shift_group)
     # Skew insurance (opt-in: one counting pass over the input at plan
     # build — cheap when the caller has the rows persisted, a full
@@ -414,9 +427,19 @@ def _dense_planes_arrow(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         if cnts:
             total = sum(r["count"] for r in cnts)
             fair = max(1.0, total / max(1, npart))
-            hot = {int(r["_g"]):
-                   min(npart, int(np.ceil(r["count"] / (fair / 2.0))))
-                   for r in cnts if r["count"] > 0.75 * fair}
+            for r in cnts:
+                # fairness split (wall-clock: no group past ~half a
+                # core's fair share) is bounded by npart — finer buys
+                # nothing; the BYTE split (no fat row past cap_rows)
+                # is NOT npart-bounded: memory correctness must win
+                # over scheduling granularity.
+                sub_f = (min(npart,
+                             int(np.ceil(r["count"] / (fair / 2.0))))
+                         if r["count"] > 0.75 * fair else 1)
+                sub_b = -(-int(r["count"]) // cap_rows)
+                sub = max(sub_f, sub_b)
+                if sub > 1:
+                    hot[int(r["_g"])] = sub
     if hot:
         # per-group salt factor via a BROADCAST join, never an inline
         # CASE chain: a 100+-branch conditional on the key expression
@@ -561,7 +584,8 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
                     n_planes: int | None = None,
                     dense_planes: bool = False,
                     wn_col: Column | None = None,
-                    salt_probe: bool = False) -> DataFrame:
+                    salt_probe: bool = False,
+                    rows_hint: int | None = None) -> DataFrame:
     """Partial dense grid per partition via vectorized numpy scatter-add;
     sparse nonzero cells out, final combine by groupBy sum — the
     reference's per-chunk grid + tree-sum (SG:58-120) with Spark's
@@ -736,7 +760,8 @@ def _kernel_variant(prepared: DataFrame, gp: GridParms, cgk: np.ndarray,
         # packed-key + mapInArrow fast path (same partials contract)
         return _dense_planes_arrow(prepared, gp, cgk_arr,
                                    chan=chan, pol=pol, n_planes=n_planes,
-                                   wn_col=wn_col, salt_probe=salt_probe)
+                                   wn_col=wn_col, salt_probe=salt_probe,
+                                   rows_hint=rows_hint)
     if dense_planes:
         import pyspark.sql.types as T
 

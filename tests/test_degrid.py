@@ -157,3 +157,59 @@ def test_degrid_kernel_variant_matches_explode(spark, slab_w):
     assert np.allclose(a.model_re[m], b.model_re[m], rtol=0, atol=1e-9)
     assert np.allclose(a.model_im[m], b.model_im[m], rtol=0, atol=1e-9)
     assert m.sum() > 100 and (~m).sum() > 10  # both regimes exercised
+
+
+def test_degrid_kernel_hot_slab_valve_matches_explode(spark):
+    """Centrally-condensed uv (every real array's regime) piles the
+    rows into the central slabs; salt_probe must sub-bucket those
+    groups (grid slab replicated per sub-bucket) WITHOUT changing any
+    value vs the explode oracle — a split group's rows each still see
+    the full halo slab, so the gather is bucket-invariant."""
+    rng = np.random.default_rng(21)
+    g = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+    ui, vi = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    grid_pdf = pd.DataFrame({
+        "chan": 0, "pol": 0, "u_idx": ui.ravel(), "v_idx": vi.ravel(),
+        "grid_re": g.real.ravel(), "grid_im": g.imag.ravel()})
+    n = 600
+    # near-Gaussian central condensation: sigma ~12% of the span
+    vis = pd.DataFrame({
+        "row_id": np.arange(n),
+        "u": rng.normal(0, 700, n), "v": rng.normal(0, 700, n),
+        "freq": np.full(n, 1.0e9), "chan": np.zeros(n, np.int32),
+        "pol": np.zeros(n, np.int32),
+    })
+    vdf, gdf = spark.createDataFrame(vis), spark.createDataFrame(grid_pdf)
+    a = degrid_visibilities(vdf, gdf, GP).toPandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    b = degrid_visibilities(vdf, gdf, GP, variant="kernel", slab_w=8,
+                            salt_probe=True).toPandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    assert len(a) == len(b) == n
+    assert (a.model_re.isna() == b.model_re.isna()).all()
+    m = ~a.model_re.isna()
+    assert m.sum() > 300
+    assert np.allclose(a.model_re[m], b.model_re[m], rtol=0, atol=1e-9)
+    assert np.allclose(a.model_im[m], b.model_im[m], rtol=0, atol=1e-9)
+
+
+def test_slab_salt_map_bounds_group_size():
+    """The probe splits (a) straggler groups past a core's fair share
+    — npart-bounded — and (b) any group whose pandas frame would
+    outgrow the byte budget, NOT npart-bounded."""
+    from cngi_prototype_spark.imaging.degrid import _slab_salt_map
+
+    # fairness: 1 hot group among uniform cold ones
+    cnts = [((0, 0, s), 100) for s in range(16)] + [((0, 0, 99), 3200)]
+    hot = _slab_salt_map(cnts, npart=8)
+    assert set(hot) == {(0, 0, 99)}
+    assert 2 <= hot[(0, 0, 99)] <= 8  # npart-bounded
+    # every split group's share is now under the fair share
+    assert 3200 / hot[(0, 0, 99)] <= sum(n for _, n in cnts) / 8
+    # bytes: a single giant group must split past npart if needed
+    giant = [((0, 0, 0), 50_000_000)]
+    hot = _slab_salt_map(giant, npart=8, cap_rows=1_000_000)
+    assert hot[(0, 0, 0)] == 50  # ceil(50M / 1M), ignores npart
+    # no splits when groups sit well under the fair share (the normal
+    # regime: #slabs > npart, uniform coverage)
+    assert _slab_salt_map([((0, 0, s), 100) for s in range(16)], 8) == {}
