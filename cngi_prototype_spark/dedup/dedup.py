@@ -1,8 +1,10 @@
 """Deduplication operators.
 
-All hashing is md5-hex-string based so the DuckDB oracle reproduces every
-value exactly (both engines emit identical lowercase hex; string min and
-binary collation agree). A MinHash here is the lexicographic MIN of
+Hashing that the ORACLE must reproduce is md5-hex-string based (both
+engines emit identical lowercase hex; string min and binary collation
+agree); hashing that only partitions work — join keys, fingerprints
+whose grouping the twin can reproduce by grouping on the raw value —
+uses 8-byte ``xxhash64`` (see ``remove_duplicate_spans``). A MinHash here is the lexicographic MIN of
 ``md5(seed || '|' || shingle)`` — an order-statistic on a keyed hash,
 exactly the classic construction with strings instead of 64-bit ints.
 
@@ -640,8 +642,15 @@ def remove_duplicate_spans(
     three-sentence rule (``text.c4.c4_span_dedup``) is the
     sentence-level sibling; this one catches sub-sentence boilerplate
     the sentence splitter hides. Scale: shuffle ∝ corpus token count
-    (one md5 per position) with map-side combine — the same bound as
-    the Gopher n-gram metrics.
+    with map-side combine — the same bound as the Gopher n-gram
+    metrics. The per-position fingerprint is TWO independent
+    ``xxhash64`` values of the token-array slice (16 B; joint
+    collision odds ~2⁻¹²⁸ per pair): the gram string is never even
+    built, and the shuffle key is ~2.5× lighter than the 32-char md5
+    hex this shipped with first. The oracle twin groups on the raw
+    gram string — grouping by a collision-free hash and grouping by
+    the gram itself pick identical keepers, so the outputs hash-match
+    with no shared fingerprint function.
     """
     from cngi_prototype_spark.text.analysis import _tokens
 
@@ -651,20 +660,24 @@ def remove_duplicate_spans(
         F.filter(_tokens(text), lambda t: t != "").alias("_t"))
     toks = docs.select("_doc",
                        F.posexplode_outer("_t").alias("_idx", "_tok"))
+
+    def _fp(i):
+        sl = F.slice("_t", i, n)
+        return F.struct((i - 1).alias("i"),
+                        F.xxhash64(sl).alias("h1"),
+                        F.xxhash64(sl, F.lit(1)).alias("h2"))
+
     spans = docs.select("_doc", F.explode(
         F.when(F.size("_t") >= n, F.transform(
-            F.sequence(F.lit(1), F.size("_t") - n + 1),
-            lambda i: F.struct(
-                (i - 1).alias("i"),
-                F.md5(F.array_join(F.slice("_t", i, n), " "))
-                .alias("h"))))
+            F.sequence(F.lit(1), F.size("_t") - n + 1), _fp))
         .otherwise(F.array().cast(
-            "array<struct<i:int,h:string>>"))).alias("sp"))
+            "array<struct<i:int,h1:bigint,h2:bigint>>"))).alias("sp"))
     occ = spans.select("_doc", F.col("sp.i").alias("_i"),
-                       F.col("sp.h").alias("_h"))
-    keeper = occ.groupBy("_h").agg(
+                       F.col("sp.h1").alias("_h1"),
+                       F.col("sp.h2").alias("_h2"))
+    keeper = occ.groupBy("_h1", "_h2").agg(
         F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
-    dups = (occ.join(keeper, "_h")
+    dups = (occ.join(keeper, ["_h1", "_h2"])
             .filter(~((F.col("_doc") == F.col("_k._doc"))
                       & (F.col("_i") == F.col("_k._i")))))
     removed = dups.select(
@@ -683,3 +696,42 @@ def remove_duplicate_spans(
         (F.col("n_tokens")
          - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"))
+
+
+def sql_remove_duplicate_spans(n: int = 8) -> str:
+    """Oracle twin of :func:`remove_duplicate_spans` over the
+    documents view. Groups keeper election on the raw gram STRING —
+    identical partitioning to the production two-seed xxhash64
+    fingerprint absent collisions — and packs the keeper key as
+    ``doc_id·10⁶ + position`` (exact at gate scale; the production
+    side's struct-min has no such bound)."""
+    toks = f"list_filter({_sql_tokens('text')}, t -> t <> '')"
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, g.i AS i,
+             array_to_string(toks[g.i + 1 : g.i + {n}], ' ') AS gram
+      FROM d, UNNEST(range(0, GREATEST(len(toks) - {n} + 1, 0))) AS g(i)),
+    keeper AS (
+      SELECT gram, MIN(doc_id * 1000000 + i) AS kmin
+      FROM occ GROUP BY gram),
+    rem AS (
+      SELECT DISTINCT o.doc_id, g2.x AS idx
+      FROM occ o JOIN keeper k USING (gram),
+           UNNEST(range(o.i, o.i + {n})) AS g2(x)
+      WHERE o.doc_id * 1000000 + o.i <> k.kmin),
+    tok AS (
+      SELECT doc_id, g.i AS idx, toks[g.i + 1] AS tok
+      FROM d, UNNEST(range(0, len(toks))) AS g(i)),
+    kept AS (
+      SELECT t.doc_id, t.idx, t.tok FROM tok t
+      ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS text_dedup
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, len(d.toks) AS n_tokens,
+           len(d.toks) - COALESCE(reb.n_kept, 0) AS n_removed,
+           COALESCE(reb.text_dedup, '') AS text_dedup
+    FROM d LEFT JOIN reb USING (doc_id)
+    """

@@ -967,6 +967,7 @@ from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
     sql_minhash_signatures,
     sql_ngram_contamination,
     sql_ngram_jaccard_pairs,
+    sql_remove_duplicate_spans,
     sql_simhash_fingerprints,
 )
 from cngi_prototype_spark.similarity.ann import (  # noqa: E402
@@ -1170,6 +1171,12 @@ def _sql_mix_part() -> str:
     SELECT 'mix', doc_id, {sql_md5_num('lang')},
            CAST(n_chars AS DOUBLE)
     FROM ({_sql_mix_part()})
+    UNION ALL
+    -- ExactSubstr duplicate-span removal (8-gram): the rebuilt text
+    -- rides md5_num (content-exact), counts pack one double
+    SELECT 'spans', doc_id, {sql_md5_num('text_dedup')},
+           CAST(n_tokens * 100000 + n_removed AS DOUBLE)
+    FROM ({sql_remove_duplicate_spans(8)})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,9 +1222,17 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"), F.col("doc_id").alias("id_a"),
         md5_num(F.col("lang")).alias("id_b"),
         F.col("n_chars").cast("double").alias("jaccard"))
+    # ExactSubstr span removal: the rebuilt text is content-checked
+    # via md5_num; n_tokens/n_removed pack exactly into one double
+    from cngi_prototype_spark.dedup.dedup import remove_duplicate_spans
+    spans = remove_duplicate_spans(docs, n=8).select(
+        F.lit("spans").alias("part"), F.col("doc_id").alias("id_a"),
+        md5_num(F.col("text_dedup")).alias("id_b"),
+        (F.col("n_tokens").cast("long") * 100000
+         + F.col("n_removed")).cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
-            .unionByName(pack).unionByName(mix))
+            .unionByName(pack).unionByName(mix).unionByName(spans))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
