@@ -86,3 +86,86 @@ def test_parse_sel_cmd_and_flagcmds(spark, tmp_path):
            (pdf.time <= pd.Timestamp("2017-07-20T00:10:00"))
     exp2 = in_t & ((pdf.ant1 == 0) | (pdf.ant2 == 0))
     assert (out2.flag.to_numpy() == exp2.to_numpy()).all()
+
+
+def test_merge_timerange_cmds_reduces_and_preserves_flags(spark, tmp_path):
+    """_merge_timerange_cmds parity (reference
+    ngcasa/flagging/_flagging_utils/_merge_timerange_cmds.py:20-57):
+    overlapping/adjacent timerange commands with identical other keys
+    coalesce; applying merged vs unmerged command lists must produce
+    the identical FLAG column."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.operators.flags import (
+        manual_flag,
+        merge_timerange_cmds,
+        parse_sel_cmd,
+        read_flagcmds,
+    )
+    from cngi_prototype_spark.schema import VisSchema
+
+    cmds = [
+        # 4 overlapping/adjacent ea01 ranges -> 1 merged [00:00, 00:20]
+        {"antenna": "ea01", "time": ("2017-07-20T00:00:00", "2017-07-20T00:06:00")},
+        {"antenna": "ea01", "time": ("2017-07-20T00:04:00", "2017-07-20T00:10:00")},
+        {"antenna": "ea01", "time": ("2017-07-20T00:10:00", "2017-07-20T00:15:00")},  # touching
+        {"antenna": "ea01", "time": ("2017-07-20T00:12:00", "2017-07-20T00:20:00")},
+        # disjoint ea01 range stays separate
+        {"antenna": "ea01", "time": ("2017-07-20T00:30:00", "2017-07-20T00:35:00")},
+        # different compound key: own group
+        {"antenna": "ea02", "time": ("2017-07-20T00:02:00", "2017-07-20T00:08:00")},
+        {"antenna": "ea02", "time": ("2017-07-20T00:05:00", "2017-07-20T00:11:00")},
+        # non-mergeable (no timerange) flushes the buffer, stays put
+        {"chan": [0]},
+        # post-flush group re-opens
+        {"antenna": "ea02", "time": ("2017-07-20T01:00:00", "2017-07-20T01:05:00")},
+        {"antenna": "ea02", "time": ("2017-07-20T01:03:00", "2017-07-20T01:09:00")},
+        # invalid range (stop <= start) passes through unmerged
+        {"antenna": "ea03", "time": ("2017-07-20T02:00:00", "2017-07-20T02:00:00")},
+    ]
+    merged = merge_timerange_cmds(cmds)
+    # 1 (ea01 big) + 1 (ea01 disjoint) + 1 (ea02) + 1 (chan) + 1 (ea02
+    # later) + 1 (invalid) = 6
+    assert len(merged) == 6
+    assert {"chan": [0]} in merged
+    assert ("2017-07-20T00:00:00", "2017-07-20T00:20:00") in [
+        c.get("time") for c in merged]
+
+    vs = VisSchema(time="time", baseline="bl", chan="chan", pol="pol",
+                   data_cols=(("data_re", "data_im"),), weight="w",
+                   flag="flag")
+    n = 160
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime("2017-07-20") + pd.to_timedelta(range(n), unit="min"),
+        "ant1": [i % 4 for i in range(n)],
+        "ant2": [(i + 1) % 4 for i in range(n)],
+        "bl": range(n), "chan": [i % 5 for i in range(n)],
+        "pol": [i % 2 for i in range(n)],
+        "data_re": 1.0, "data_im": 0.0, "w": 1.0, "flag": False,
+    })
+    df = spark.createDataFrame(pdf)
+    names = {"ea01": 0, "ea02": 1, "ea03": 2, "ea04": 3}
+
+    def apply_all(cmd_list):
+        out = df
+        for c in cmd_list:
+            out = manual_flag(out, parse_sel_cmd(c, antenna_names=names,
+                                                 vs=vs), vs=vs)
+        return out.select("bl", "flag").toPandas() \
+                  .sort_values("bl").flag.to_numpy()
+
+    a = apply_all(cmds)
+    b = apply_all(merged)
+    assert a.sum() > 0  # something actually flagged
+    assert (a == b).all()
+
+    # read_flagcmds merges by default (reference _read_flagcmds.py:83)
+    p = tmp_path / "m.flagonline.txt"
+    p.write_text(
+        "antenna='ea01' timerange='2017/07/20/00:00:00~2017/07/20/00:06:00'\n"
+        "antenna='ea01' timerange='2017/07/20/00:04:00~2017/07/20/00:10:00'\n")
+    assert read_flagcmds(str(p)) == [
+        {"antenna": "ea01",
+         "time": ("2017-07-20T00:00:00", "2017-07-20T00:10:00")}]
+    assert len(read_flagcmds(str(p), merge=False)) == 2
