@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "corpus_mixture",
     "dedup_spans",
+    # round-9: valved hot-slab degrid under centrally-condensed uv
+    "uv_degrid_kernel_skew",
 ]
 
 
@@ -255,7 +257,13 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # so pair-forming ops measure scaling, not blowup)
                   "semantic_dedup", "dedup_corpus", "bpe_train_encode",
                   "winnow_fingerprints", "embedding_neardup_lsh",
-                  "pack_sequences"]
+                  "pack_sequences",
+                  # round 9: both new scale claims get measured — the
+                  # ExactSubstr fingerprint shuffle (token-count-bound;
+                  # the 10x corpus keeps per-shard dup structure while
+                  # shards stay decorrelated) and the valved hot-slab
+                  # degrid kernel under centrally-condensed uv
+                  "dedup_spans", "uv_degrid_kernel_skew"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -377,9 +385,46 @@ def _ladder_semantic_dedup(spark, sf_dir: str):
                           threshold=0.6, assign_max_codegen_k=0)
 
 
+def _ladder_degrid_skew(spark, sf_dir: str):
+    # centrally-condensed (Bates(4), sigma ~29% of the span) uv
+    # coverage piles most rows into the central u-slabs — the
+    # hot-slab regime the degrid kernel's salt_probe valve exists
+    # for. The rung measures the VALVED path's scaling: per-slab vis
+    # counts probe once, hot slabs sub-bucket with the halo-bounded
+    # grid slab replicated per sub-bucket.
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.imaging.degrid import degrid_visibilities
+    from cngi_prototype_spark.imaging.grid import (GridParms,
+                                                   grid_visibilities)
+    gp = GridParms(n_u=512, n_v=512, cell_u=2.5e-6, cell_v=2.5e-6,
+                   support=7, oversampling=100)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    u = (((eid * 7919 % 40000) + ((eid * 104729 + uid) % 40000)
+          + (eid * 7 % 40000) + ((eid * 31 + uid) % 40000))
+         / F.lit(4.0) - F.lit(10000.0))
+    v = (((eid * 6007 % 40000) + ((eid * 90001 + uid) % 40000)
+          + (eid * 13 % 40000) + ((eid * 57 + uid) % 40000))
+         / F.lit(4.0) - F.lit(10000.0))
+    vis = ev.select(
+        eid.alias("row_id"), u.alias("u"), v.alias("v"),
+        F.lit(1.0e9).alias("freq"),
+        (eid % 4).cast("int").alias("chan"),
+        (uid % 2).cast("int").alias("pol"),
+        (F.col("value") / F.lit(100.0)).alias("data_re"),
+        (F.lit(0.0) - F.col("value") / F.lit(200.0)).alias("data_im"),
+        (F.lit(1.0) + (eid % 5).cast("double")).alias("weight"))
+    grid, _ = grid_visibilities(vis, gp, variant="kernel")
+    return degrid_visibilities(vis, grid, gp, variant="kernel",
+                               salt_probe=True)
+
+
 LADDER_OVERRIDES = {
     "embedding_neardup_lsh": _ladder_neardup_lsh,
     "semantic_dedup": _ladder_semantic_dedup,
+    "uv_degrid_kernel_skew": _ladder_degrid_skew,
 }
 
 
@@ -452,6 +497,7 @@ def main() -> None:
         "describe_partitions": Q.describe_partitions_bench_q,  # no zarr IO part
         "text_features": Q.text_features_bench_q,  # no PII-scrub part
         "bpe_tokenize": Q.bpe_train_encode_q,  # production train+encode
+        "uv_degrid_kernel_skew": _ladder_degrid_skew,  # skew rung (r9)
     }
     # Per-query noise insurance (round-5 finding: single-shot timings in
     # the shared session are host-steal-dominated — four queries recorded

@@ -96,9 +96,12 @@ def _scaled_pos(gp: GridParms, u: Column, v: Column, freq: Column) -> tuple[Colu
 
 
 def _prepare(df: DataFrame, gp: GridParms, u: str, v: str, freq: str,
-             weight: str, re: str | None, im: str | None) -> DataFrame:
+             weight: str, re: str | None, im: str | None,
+             nonzero: bool = True) -> DataFrame:
     """Common per-visibility geometry: center cell, fractional-offset
-    index, in-bounds + nonzero filters (SG:300-343)."""
+    index, in-bounds + nonzero filters (SG:300-343). ``nonzero=False``
+    skips the data-nonzero filter (the fused image+PSF path applies
+    its own per-aggregate masks instead — see ``with_psf``)."""
     u_pos, v_pos = _scaled_pos(gp, F.col(u), F.col(v), F.col(freq))
     out = (
         df.withColumn("_u_c", F.floor(u_pos + F.lit(0.5)).cast("int"))
@@ -116,6 +119,8 @@ def _prepare(df: DataFrame, gp: GridParms, u: str, v: str, freq: str,
     else:
         out = out.withColumn("_wd_re", F.col(re) * F.col(weight)).withColumn(
             "_wd_im", F.col(im) * F.col(weight))
+    if not nonzero:
+        return out
     return out.filter(
         F.col("_wd_re").isNotNull() & F.col("_wd_im").isNotNull()
         & ((F.col("_wd_re") != 0) | (F.col("_wd_im") != 0))
@@ -155,14 +160,38 @@ def grid_visibilities(
 
     ``with_psf=True`` (explode variant) adds a ``psf_re`` column —
     the weight-sampling grid — to the SAME aggregation, so a CLEAN
-    setup's image+PSF pair costs one gridding pass instead of two.
-    Caveat vs a separate ``make_psf`` pass: rows whose weighted DATA
-    is entirely zero/null never reach the fused aggregation (the
-    nonzero filter runs before the tap explosion on the data path),
-    so such rows contribute to a standalone PSF but not the fused one
-    — parity-tested for the ordinary nonzero-data case.
+    setup's image+PSF pair costs one gridding pass instead of two,
+    and ``sum_weight_df`` gains a ``sum_weight_psf`` column (the
+    PSF-mode normalizer). PSF semantics match a standalone
+    ``make_psf`` exactly, including rows whose weighted DATA is
+    zero/null but whose weight is valid: the fused path keeps every
+    weight-valid row and masks the data terms to 0.0 for the
+    data-invalid ones (the data row set is a subset of the weight
+    row set — null/zero weight zeroes the weighted data — so the
+    image aggregation sees only exact +0.0 extra terms).
     """
-    prepared = _prepare(df, gp, u, v, freq, weight, re, im)
+    psf_fused = with_psf and variant == "explode"
+    prepared = _prepare(df, gp, u, v, freq, weight, re, im,
+                        nonzero=not psf_fused)
+    if psf_fused:
+        data_ok = (F.col("_wd_re").isNotNull() & F.col("_wd_im").isNotNull()
+                   & ((F.col("_wd_re") != 0) | (F.col("_wd_im") != 0)))
+        psf_ok = F.col(weight).isNotNull() & (F.col(weight) != 0)
+        prepared = (
+            prepared
+            .withColumn("_data_ok", data_ok)
+            .filter(F.col("_data_ok") | psf_ok)
+            .withColumn("_wd_re", F.when(F.col("_data_ok"),
+                                         F.col("_wd_re")).otherwise(0.0))
+            .withColumn("_wd_im", F.when(F.col("_data_ok"),
+                                         F.col("_wd_im")).otherwise(0.0))
+            # masked weights: _w_img normalizes the image (data rows
+            # only, as the unfused image path does), _w_psf feeds the
+            # PSF terms + normalizer (every weight-valid row, as
+            # make_psf's re=None _prepare does)
+            .withColumn("_w_img", F.when(F.col("_data_ok"),
+                                         F.col(weight)).otherwise(0.0))
+            .withColumn("_w_psf", F.coalesce(F.col(weight), F.lit(0.0))))
     cgk = gp.kernel_1d()
     cgk_lit = F.array(*[F.lit(float(x)) for x in cgk])
 
@@ -210,13 +239,15 @@ def grid_visibilities(
     norm_arr = F.array(*[F.lit(v) for v in norm_vals])
     nu = F.element_at(norm_arr, F.col("_du") + F.lit(half_ov + 1))
     nv = F.element_at(norm_arr, F.col("_dv") + F.lit(half_ov + 1))
+    w_img = F.col("_w_img") if psf_fused else F.col(weight)
     if precise:
         # gate mode: per-row quantized terms, row order can't matter —
         # the SQL twin mirrors this association exactly
-        sum_weight = (
-            prepared.groupBy(chan, pol)
-            .agg(agg(F.col(weight) * (nu * nv)).alias("sum_weight"))
-        )
+        sw_aggs = [agg(w_img * (nu * nv)).alias("sum_weight")]
+        if psf_fused:
+            sw_aggs.append(agg(F.col("_w_psf") * (nu * nv))
+                           .alias("sum_weight_psf"))
+        sum_weight = prepared.groupBy(chan, pol).agg(*sw_aggs)
     else:
         # production mode: pre-reduce by the LUT key first. There are
         # at most (oversampling+1)^2 distinct (du, dv) pairs per plane,
@@ -226,12 +257,14 @@ def grid_visibilities(
         # the codegen size limit when the uv exprs are large; the
         # interpreted fallback rebuilds the 101-element array literal
         # per row — measured 95 s vs 5 s on the skewed CHILES tier.)
-        pre = (prepared.groupBy(chan, pol, "_du", "_dv")
-               .agg(F.sum(F.col(weight)).alias("_w")))
-        sum_weight = (
-            pre.groupBy(chan, pol)
-            .agg(F.sum(F.col("_w") * (nu * nv)).alias("sum_weight"))
-        )
+        pre_aggs = [F.sum(w_img).alias("_w")]
+        fin_aggs = [F.sum(F.col("_w") * (nu * nv)).alias("sum_weight")]
+        if psf_fused:
+            pre_aggs.append(F.sum(F.col("_w_psf")).alias("_wp"))
+            fin_aggs.append(F.sum(F.col("_wp") * (nu * nv))
+                            .alias("sum_weight_psf"))
+        pre = (prepared.groupBy(chan, pol, "_du", "_dv").agg(*pre_aggs))
+        sum_weight = pre.groupBy(chan, pol).agg(*fin_aggs)
 
     if variant == "explode":
         taps = F.array(*[
@@ -241,7 +274,7 @@ def grid_visibilities(
         sel = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re",
                "_wd_im"]
         if with_psf:
-            sel.append(weight)
+            sel.append("_w_psf")
         e = prepared.select(*sel, F.explode(taps).alias("_tap"))
         conv = (
             _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
@@ -250,7 +283,7 @@ def grid_visibilities(
         aggs = [agg(conv * F.col("_wd_re")).alias("grid_re"),
                 agg(conv * F.col("_wd_im")).alias("grid_im")]
         if with_psf:
-            aggs.append(agg(conv * F.col(weight)).alias("psf_re"))
+            aggs.append(agg(conv * F.col("_w_psf")).alias("psf_re"))
         grid = (
             e.groupBy(
                 chan, pol,

@@ -233,8 +233,11 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
     both FFTs inside one per-plane task, so no second pass, no
     image⋈psf join, and the output feeds ``deconvolve_point_clean``
     directly (pass it as BOTH arguments — the join is skipped for the
-    same DataFrame). Parity with make_image + make_psf is unit-tested;
-    see grid.py's with_psf caveat on all-zero-data rows.
+    same DataFrame). Parity with make_image + make_psf is unit-tested,
+    including rows with valid weight but zero/null data: the PSF
+    normalizes by its own ``sum_weight_psf`` (the weight-valid row
+    set), the image by ``sum_weight`` (the data-valid subset), exactly
+    as the separate passes do.
     """
     grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
                                    variant="explode", with_psf=True,
@@ -255,9 +258,11 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
     def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ui = pdf["u_idx"].to_numpy(int)
         vi = pdf["v_idx"].to_numpy(int)
-        sw = pdf["sum_weight"].iloc[0]
-        if sw is None or pd.isna(sw) or sw == 0:
-            sw = 1.0
+
+        def _sw(col: str) -> float:
+            v = pdf[col].iloc[0]
+            return 1.0 if (v is None or pd.isna(v) or v == 0) else v
+
         lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
         cu = pswf((np.arange(n_u) - n_u // 2)
                   / (n_u // 2))[0][lo_u:lo_u + crop[0]]
@@ -265,7 +270,9 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
                   / (n_v // 2))[0][lo_v:lo_v + crop[1]]
         corr = np.outer(cu, cv)
         outs = []
-        for re_col, im_col in (("grid_re", "grid_im"), ("psf_re", None)):
+        for re_col, im_col, sw in (
+                ("grid_re", "grid_im", _sw("sum_weight")),
+                ("psf_re", None, _sw("sum_weight_psf"))):
             g = np.zeros((n_u, n_v), np.complex128)
             vals = pdf[re_col].to_numpy(float).astype(np.complex128)
             if im_col is not None:

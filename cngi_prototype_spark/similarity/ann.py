@@ -742,9 +742,20 @@ def cosine_lsh_skipped_vectors(
     pair-checked in that band. Call with the SAME arguments as the
     pairs run; a pipeline left-anti-joins or flags these so "no pair
     emitted" is not silently read as "verified unique" (the SemDeDup
-    ``cell_skipped`` convention, see :func:`semantic_dedup`)."""
+    ``cell_skipped`` convention, see :func:`semantic_dedup`).
+
+    Mirrors the pairs run's cap-bind check exactly: when the same
+    ``n_rows``-or-count estimate is <= ``max_bucket``,
+    :func:`cosine_pairs_lsh` disables the cap and scores EVERY bucket,
+    so nothing was skipped — this returns empty rather than flagging
+    over-cap buckets the pairs run actually examined (the two "same
+    arguments" calls must agree about what was checked)."""
+    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
+    if n_corpus <= max_bucket:
+        return (corpus.sparkSession.createDataFrame(
+            [], "vec_id long, band int, sig string, bucket_n long"))
     tagged = _lsh_tag(corpus, id_col, vec_col, dim, num_bands,
-                      planes_per_band, seed, vectorize_above, n_rows)
+                      planes_per_band, seed, vectorize_above, n_corpus)
     return (tagged
             .withColumn("bucket_n", F.count(F.lit(1)).over(
                 Window.partitionBy("band", "sig")))

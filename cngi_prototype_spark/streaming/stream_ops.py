@@ -338,26 +338,59 @@ def stream_dedup_neardup(
     join form is deterministic (min-id ownership) and provably equal
     to replaying the batches through the batch rule. Returns the
     unstarted writer; callers add ``.trigger(...)`` and ``.start()``.
+
+    Run epochs: foreachBatch batch ids restart at 0 with every fresh
+    checkpoint, so raw ids over a long-lived store would (a) dynamic-
+    overwrite a PRIOR run's ``_batch=N`` partitions — silent data loss
+    — and (b) hide prior buckets behind the ``_batch < batch_id``
+    replay guard, re-admitting duplicates. Each run therefore pins a
+    monotone base = (max existing ``_batch``) + 1, persisted ONCE
+    under the run's own checkpoint dir (``_neardup_epoch``), and
+    partitions at ``base + batch_id``: a same-checkpoint replay reuses
+    the persisted base and overwrites only its own partition, while a
+    fresh checkpoint starts past every prior run's partitions with all
+    prior state visible. Store existence goes through the Hadoop FS of
+    each path (object stores included), never the driver-local ``os``.
     """
+    epoch_path = checkpoint.rstrip("/") + "/_neardup_epoch"
+    run_base: list[int] = []
+
+    def _exists(spark, p: str) -> bool:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        import os as _os
+        if not run_base:
+            if _exists(spark, epoch_path):
+                run_base.append(int(
+                    spark.read.parquet(epoch_path).head()["base"]))
+            else:
+                b = 0
+                if _exists(spark, bucket_path):
+                    m = (spark.read.parquet(bucket_path)
+                         .agg(F.max("_batch")).head()[0])
+                    b = int(m) + 1 if m is not None else 0
+                (spark.createDataFrame([(b,)], "base bigint")
+                 .write.mode("overwrite").parquet(epoch_path))
+                run_base.append(b)
+        eb = run_base[0] + batch_id
         seen = None
-        if _os.path.exists(bucket_path):
+        if _exists(spark, bucket_path):
             seen = (spark.read.parquet(bucket_path)
-                    .filter(F.col("_batch") < batch_id))
+                    .filter(F.col("_batch") < eb))
         kept, new_b = neardup_dedup_batch(
             batch_df, seen, text=text, id_col=id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
         # exactly-once on foreachBatch REPLAYS: outputs land in a
-        # _batch=<id> partition with dynamic overwrite, so re-running a
-        # failed batch replaces its own partition instead of appending
-        # twice; the store read above excludes the current batch id for
-        # the same reason (a partial previous attempt must not shadow
-        # its own rows as "seen")
+        # _batch=<base+id> partition with dynamic overwrite, so
+        # re-running a failed batch replaces its own partition instead
+        # of appending twice; the store read above excludes the current
+        # partition id for the same reason (a partial previous attempt
+        # must not shadow its own rows as "seen")
         for df, path in ((kept, kept_path), (new_b, bucket_path)):
-            (df.withColumn("_batch", F.lit(batch_id))
+            (df.withColumn("_batch", F.lit(eb))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("_batch").parquet(path))
@@ -448,11 +481,13 @@ def stream_pack_sequences(
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch").parquet(out_path))
-        # advance the stream offset by this batch's total stride
+        # advance the stream offset by this batch's total stride —
+        # computed with the SAME _n_tokens helper pack_sequences uses
+        # (an inline re-tokenization here could silently drift from
+        # the placements and corrupt every later batch's sequence ids)
+        from cngi_prototype_spark.text.training import _n_tokens
         total = (batch_df.select(
-            _F.sum(_F.size(_F.filter(
-                _F.split(_F.lower(_F.trim(_F.col(text))), r"\s+"),
-                lambda t: _F.length(t) > 0)) + _F.lit(int(eod_tokens)))
+            _F.sum(_n_tokens(_F.col(text)) + _F.lit(int(eod_tokens)))
             .alias("n")).collect()[0]["n"]) or 0
         (spark.createDataFrame([(int(base + total),)], "offset long")
          .withColumn("_batch", _F.lit(batch_id))

@@ -193,12 +193,21 @@ def stratified_sample(
 def sql_stratified_sample(fractions: dict, by: str = "lang",
                           seed: int = 0, default_fraction: float = 0.0,
                           table: str = "documents") -> str:
-    """DuckDB twin of :func:`stratified_sample` (same md5 gate)."""
+    """DuckDB twin of :func:`stratified_sample` (same md5 gate).
+    Stratum keys are string literals — single quotes escape by
+    doubling — and ``by``/``table`` must be plain identifiers (this
+    builds SQL text; an unchecked column name would be injectable)."""
+    import re as _re
+
     from cngi_prototype_spark.text.analysis import sql_md5_num
 
+    for ident in (by, table):
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+            raise ValueError(f"not a plain SQL identifier: {ident!r}")
     case = f"{float(default_fraction)!r}"
     for k, frac in sorted(fractions.items(), reverse=True):
-        case = (f"CASE WHEN {by} = '{k}' THEN {float(frac)!r} "
+        lit = str(k).replace("'", "''")
+        case = (f"CASE WHEN {by} = '{lit}' THEN {float(frac)!r} "
                 f"ELSE {case} END")
     gate = sql_md5_num(f"concat(CAST(doc_id AS VARCHAR), '|{int(seed)}')")
     return (f"SELECT * FROM {table} "

@@ -119,8 +119,12 @@ def test_make_grid_named_surface(spark):
 
 def test_make_image_and_psf_matches_separate_passes(spark):
     """The fused single-pass image+PSF must reproduce make_image and
-    make_psf per pixel (nonzero data everywhere — see grid.py's
-    with_psf caveat on all-zero-data rows)."""
+    make_psf per pixel — INCLUDING rows whose weight is valid but
+    whose data is zero or null (flagged visibilities): those rows
+    reach a standalone make_psf (its re=None prepare filters on
+    weight) but not make_image, so the fused path must carry them in
+    the PSF aggregation + sum_weight_psf while masking them out of
+    the image terms."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -133,16 +137,28 @@ def test_make_image_and_psf_matches_separate_passes(spark):
                    support=7, oversampling=100)
     rng = np.random.default_rng(8)
     n = 500
+    data_re = rng.normal(size=n) + 3.0  # bounded away from 0
+    data_im = rng.normal(size=n)
+    # 15% zero data, 10% null data — all with valid weights
+    data_re[:75] = 0.0
+    data_im[:75] = 0.0
+    data_re[75:125] = np.nan  # → null via pandas NaN round trip? no:
+    data_im[75:125] = np.nan  # NaN stays NaN; set null in Spark below
     vis = spark.createDataFrame(pd.DataFrame({
         "u": rng.uniform(-2500, 2500, n),
         "v": rng.uniform(-2500, 2500, n),
         "freq": np.full(n, 1.0e9),
         "chan": rng.integers(0, 2, n).astype(np.int32),
         "pol": np.zeros(n, np.int32),
-        "data_re": rng.normal(size=n) + 3.0,  # bounded away from 0
-        "data_im": rng.normal(size=n),
+        "data_re": data_re,
+        "data_im": data_im,
         "imaging_weight": rng.uniform(0.5, 2.0, n),
-    })).persist()
+    }))
+    vis = vis.withColumn(
+        "data_re", F.when(F.isnan("data_re"), F.lit(None))
+        .otherwise(F.col("data_re"))).withColumn(
+        "data_im", F.when(F.isnan("data_im"), F.lit(None))
+        .otherwise(F.col("data_im"))).persist()
     key = ["chan", "pol", "l_idx", "m_idx"]
     fused = make_image_and_psf(vis, gp, image_size=(24, 24)) \
         .toPandas().sort_values(key).reset_index(drop=True)

@@ -559,6 +559,13 @@ def test_lsh_max_bucket_caps_degenerate_cluster(spark):
     n_open = cosine_pairs_lsh(df, threshold=0.6, **kw_open).count()
     assert n_open == 1000 * 999 // 2 + 6
     assert cosine_lsh_skipped_vectors(df, **kw_open).count() == 0
+    # cap-bind parity: with an n_rows under-estimate <= max_bucket the
+    # PAIRS run disables the cap and scores every bucket — the skipped
+    # report must agree (empty), not flag buckets that were examined
+    kw_under = dict(kw, n_rows=50)
+    n_under = cosine_pairs_lsh(df, threshold=0.6, **kw_under).count()
+    assert n_under == 1000 * 999 // 2 + 6  # cap bypassed
+    assert cosine_lsh_skipped_vectors(df, **kw_under).count() == 0
 
 
 def test_tier_routing_n_rows_hint_skips_upstream_eval(spark):

@@ -509,3 +509,52 @@ def test_stream_pack_sequences_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, pack_sequences(
         spark.createDataFrame(docs, schema), L).select(*cols).collect()))
     assert got == want
+
+
+def test_stream_dedup_neardup_new_run_keeps_prior_state(spark, tmp_path):
+    """Restarting with a FRESH checkpoint over populated kept/bucket
+    stores is a new run, not a replay: batch ids restart at 0, so
+    without a run epoch the first batch would dynamic-overwrite the
+    prior run's _batch=0 partition (data loss) and hide every prior
+    bucket behind the _batch < batch_id guard (re-admitted dups). The
+    persisted base = max(_batch)+1 must keep prior partitions intact
+    and prior buckets visible."""
+    import os
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_dedup_neardup)
+
+    base_text = ("pack my box with five dozen liquor jugs while the "
+                 "band played on and the crowd cheered loudly tonight")
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in1")
+    os.makedirs(tmp_path / "in2")
+    spark.createDataFrame(
+        [(0, base_text), (1, "unrelated first words entirely distinct")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in1"))
+    q = stream_dedup_neardup(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in1")),
+        str(tmp_path / "kept"), str(tmp_path / "buckets"),
+        str(tmp_path / "ck_run1")).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # run 2: FRESH checkpoint, new input dir — one near-dup of run 1's
+    # doc 0, one fresh doc
+    spark.createDataFrame(
+        [(2, base_text.replace("jugs", "cups")),
+         (3, "another fresh doc with its own vocabulary zeta omega")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in2"))
+    q = stream_dedup_neardup(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in2")),
+        str(tmp_path / "kept"), str(tmp_path / "buckets"),
+        str(tmp_path / "ck_run2")).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(tmp_path / "kept")).toPandas()
+    # prior run's partition intact (0, 1), cross-RUN near-dup dropped
+    # (2), fresh doc kept (3)
+    assert sorted(kept.doc_id) == [0, 1, 3]
+    # run 2 landed in its own epoch partition, past run 1's
+    assert kept._batch.min() == 0 and kept._batch.max() >= 1
