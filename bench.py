@@ -427,6 +427,20 @@ LADDER_OVERRIDES = {
     "uv_degrid_kernel_skew": _ladder_degrid_skew,
 }
 
+# round-over-round comparability: some gates grew extra tagged-union
+# parts for driver-slot economy; bench times the ORIGINAL scope
+BENCH_OVERRIDES = {
+    "uv_degrid": Q.uv_degrid_taps_q,       # taps-only (no image part)
+    "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
+    "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
+    "rm_clean": Q.rm_clean_bench_q,        # production 48² × 8-chan shape
+    "ngram_jaccard": Q.ngram_jaccard_bench_q,  # pairs-only (no contam part)
+    "describe_partitions": Q.describe_partitions_bench_q,  # no zarr IO part
+    "text_features": Q.text_features_bench_q,  # no PII-scrub part
+    "bpe_tokenize": Q.bpe_train_encode_q,  # production train+encode
+    "uv_degrid_kernel_skew": _ladder_degrid_skew,  # skew rung (r9)
+}
+
 
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
@@ -485,20 +499,7 @@ def main() -> None:
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
     timings: dict[str, float] = {}
-
-    # round-over-round comparability: some gates grew extra tagged-union
-    # parts for driver-slot economy; bench times the ORIGINAL scope
-    overrides = {
-        "uv_degrid": Q.uv_degrid_taps_q,       # taps-only (no image part)
-        "imaging_weights": Q.imaging_weights_bench_q,  # briggs+uniform only
-        "dedup_minhash_verified": Q.dedup_minhash_verified_pairs_q,  # pairs-only
-        "rm_clean": Q.rm_clean_bench_q,        # production 48² × 8-chan shape
-        "ngram_jaccard": Q.ngram_jaccard_bench_q,  # pairs-only (no contam part)
-        "describe_partitions": Q.describe_partitions_bench_q,  # no zarr IO part
-        "text_features": Q.text_features_bench_q,  # no PII-scrub part
-        "bpe_tokenize": Q.bpe_train_encode_q,  # production train+encode
-        "uv_degrid_kernel_skew": _ladder_degrid_skew,  # skew rung (r9)
-    }
+    overrides = BENCH_OVERRIDES
     # Per-query noise insurance (round-5 finding: single-shot timings in
     # the shared session are host-steal-dominated — four queries recorded
     # 1.5-2.2x "regressions" with zero code changes, while fresh min-of-3

@@ -32,7 +32,8 @@ def test_bench_queries_resolve():
 
     qs = Q.queries()
     for name in bench.BENCH_QUERIES:
-        assert name in qs or hasattr(Q, f"{name}_q"), name
+        assert (name in bench.BENCH_OVERRIDES or name in qs
+                or hasattr(Q, f"{name}_q")), name
 
 
 def test_get_framework_client_returns_active_session(spark):
