@@ -217,15 +217,15 @@ def chiles_frac(spark, sf_dir: str, cpus: int, skew: bool = False):
     # The persist cost is returned so BENCH json can report it and the
     # timed section is provably gridding-only.
     t0 = time.time()
-    # serialized-with-spill, not the deserialized default: at rep=512
-    # the cached columnar batches alone are multi-GB, and round 8's
-    # driver bench died of Java heap OOM when they competed with 32
-    # concurrent collect_list aggregation buffers in the default 8g
-    # JVM. MEMORY_AND_DISK (serialized in PySpark) keeps the hot path
-    # in memory when it fits and degrades to disk instead of dying;
-    # materialize_sec reports the cost either way.
-    from pyspark import StorageLevel
-    vis = vis.persist(StorageLevel.MEMORY_AND_DISK)
+    # default persist = MEMORY_AND_DISK_DESER: already spill-safe (the
+    # cache degrades to disk, never OOMs by itself — round 8's heap
+    # death was the cache COMPETING with 32 concurrent collect_list
+    # buffers in an 8g JVM, fixed by the 32g tier heap + the byte-
+    # budgeted fat-row salting). A serialized level was measured here
+    # and rejected: every timed run re-pays multi-GB deserialization,
+    # +2-5 s/run (vs_baseline 1.16 serialized vs 0.77 deserialized at
+    # the same heap).
+    vis = vis.persist()
     vis.count()
     mat_sec = round(time.time() - t0, 3)
     # salt_probe: one counting pass over the (persisted) rows at plan
