@@ -752,8 +752,43 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     return chiles
 
 
+def smoke() -> None:
+    """Tight-heap regression check for the round-8 OOM class: run BOTH
+    CHILES tiers at full rep=512 under the 8 GiB unit-test-default
+    heap (the exact config that crashed the round-8 driver bench) in
+    a child process, one timed run each, and exit 0 iff both complete.
+    Not part of the per-round artifact — run on demand
+    (``python bench.py --smoke``) after touching the dense gridder,
+    the salting, or the session memory defaults. The CI-speed sibling
+    is tests/test_lowmem_smoke.py (1 GiB, scaled-down shape)."""
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chiles-tier"],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_MEM": "8g"},
+        capture_output=True, text=True, timeout=1800)
+    ok, err = False, None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            parsed = json.loads(line)
+            ok = "error" not in parsed
+            err = parsed.get("error")
+            break
+    print(json.dumps({"metric": "chiles_8g_smoke",
+                      "ok": ok, "error": err,
+                      "sec": round(time.time() - t0, 1)}))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
-    if "--chiles-tier" in sys.argv:
+    if "--smoke" in sys.argv:
+        smoke()
+    elif "--chiles-tier" in sys.argv:
         _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         try:
