@@ -679,6 +679,28 @@ def _chiles_in_subprocess(sf_dir: str, cpus: int):
         return None, f"{type(e).__name__}: {e}"
 
 
+def _timed_runs(img, base: int = 6, extra: int = 3) -> list[float]:
+    """min-of-N with a steal guard: 6 timed runs, then up to 3 extra
+    while the spread says a hypervisor-steal burst polluted the window
+    (max/min > 2 — the engine's own run-to-run variance on this plan
+    is ~±15%, steal bursts are 2-6x). The per-round driver bench is
+    ONE artifact; without the guard a burst landing on all six runs
+    reads as an engine regression. Every run is recorded in the
+    artifact either way."""
+    runs: list[float] = []
+    for _ in range(base):
+        t0 = time.time()
+        _run(img)
+        runs.append(round(time.time() - t0, 3))
+    for _ in range(extra):
+        if max(runs) / min(runs) <= 2.0:
+            break
+        t0 = time.time()
+        _run(img)
+        runs.append(round(time.time() - t0, 3))
+    return runs
+
+
 def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     """The tier itself (fresh session in THIS process; `--chiles-tier`
     mode calls it from a fresh process). Returns the chiles dict plus
@@ -693,16 +715,12 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     # fork+import (measured ~2x the steady-state time). The reference
     # baseline (45 min / 128 cores) amortizes its numba-jit warmup to
     # ~nothing at full scale; at our 0.06% fraction it would dominate,
-    # so the steady-state regime is the comparable one. Then min of 4:
-    # this box shows bursty hypervisor CPU steal (~15% avg, far higher
-    # in bursts); the min is the engine's throughput, the max is the
-    # host's mood.
+    # so the steady-state regime is the comparable one. Then
+    # steal-guarded min-of-N (_timed_runs): this box shows bursty
+    # hypervisor CPU steal (~15% avg, far higher in bursts); the min
+    # is the engine's throughput, the max is the host's mood.
     _run(img)
-    uniform_runs: list[float] = []
-    for _ in range(6):
-        t0 = time.time()
-        _run(img)
-        uniform_runs.append(round(time.time() - t0, 3))
+    uniform_runs = _timed_runs(img)
     chiles_sec = min(uniform_runs)
     taps_per_s_core = n_vis * _CHILES_TAPS / chiles_sec / cpus
     spark.catalog.clearCache()
@@ -711,11 +729,7 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     # central cells — reported alongside so uniform can't hide a cliff
     img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
     _run(img_s)
-    skew_runs: list[float] = []
-    for _ in range(6):
-        t0 = time.time()
-        _run(img_s)
-        skew_runs.append(round(time.time() - t0, 3))
+    skew_runs = _timed_runs(img_s)
     skew_sec = min(skew_runs)
     taps_skew = n_vis_s * _CHILES_TAPS / skew_sec / cpus
 

@@ -652,6 +652,21 @@ def remove_duplicate_spans(
     the gram itself pick identical keepers, so the outputs hash-match
     with no shared fingerprint function.
     """
+    docs, toks, occ = _span_parts(df, text_col, id_col, n)
+    keeper = occ.groupBy("_h1", "_h2").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
+    dups = (occ.join(keeper, ["_h1", "_h2"])
+            .filter(~((F.col("_doc") == F.col("_k._doc"))
+                      & (F.col("_i") == F.col("_k._i")))))
+    return _rebuild_without_spans(docs, toks, dups, n, id_col)
+
+
+def _span_parts(df: DataFrame, text_col: str, id_col: str,
+                n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared ExactSubstr geometry: ``(docs, toks, occ)`` — the
+    filtered token arrays, the positional token table, and one row per
+    n-gram position with the two-seed xxhash64 fingerprint
+    ``(_doc, _i, _h1, _h2)``."""
     from cngi_prototype_spark.text.analysis import _tokens
 
     text = F.col(text_col)
@@ -675,11 +690,15 @@ def remove_duplicate_spans(
     occ = spans.select("_doc", F.col("sp.i").alias("_i"),
                        F.col("sp.h1").alias("_h1"),
                        F.col("sp.h2").alias("_h2"))
-    keeper = occ.groupBy("_h1", "_h2").agg(
-        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
-    dups = (occ.join(keeper, ["_h1", "_h2"])
-            .filter(~((F.col("_doc") == F.col("_k._doc"))
-                      & (F.col("_i") == F.col("_k._i")))))
+    return docs, toks, occ
+
+
+def _rebuild_without_spans(docs: DataFrame, toks: DataFrame,
+                           dups: DataFrame, n: int,
+                           id_col: str) -> DataFrame:
+    """Union the duplicate occurrences' token index ranges per doc
+    (overlap/adjacency handled by the set union itself) and rebuild
+    each document from its surviving tokens."""
     removed = dups.select(
         "_doc", F.explode(F.sequence(
             F.col("_i"), F.col("_i") + n - 1)).alias("_idx")).distinct()
@@ -696,6 +715,54 @@ def remove_duplicate_spans(
         (F.col("n_tokens")
          - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"))
+
+
+def spans_dedup_batch(
+    new_docs: DataFrame,
+    seen_grams: DataFrame | None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental ExactSubstr step: ``(rebuilt_docs, new_grams)``.
+
+    A token n-gram occurrence in this batch is removed iff its
+    fingerprint exists in ``seen_grams`` (``(_h1, _h2)`` rows from
+    earlier batches) OR an earlier ``(doc, position)`` of the same
+    batch has it — i.e. the keeper is the FIRST occurrence in
+    (batch, doc_id, position) order. Equal to running
+    :func:`remove_duplicate_spans` over the concatenated batches
+    whenever doc ids are monotone across batches (the same arrival
+    contract :func:`neardup_dedup_batch`'s min-id ownership assumes;
+    property-tested). ``new_grams`` is this batch's distinct
+    fingerprints not already in the store — the store grows by every
+    gram ever seen, which is exactly the paper's suffix-array content
+    re-expressed as a hash set.
+
+    Scale shape: one fingerprint shuffle per batch (∝ batch token
+    count) plus a (batch ⋈ store) join on 16-byte keys; no driver
+    state, the store is a plain parquet table the caller owns (see
+    :func:`streaming.stream_ops.stream_dedup_spans`).
+    """
+    docs, toks, occ = _span_parts(new_docs, text_col, id_col, n)
+    keeper = occ.groupBy("_h1", "_h2").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
+    within = (occ.join(keeper, ["_h1", "_h2"])
+              .filter(~((F.col("_doc") == F.col("_k._doc"))
+                        & (F.col("_i") == F.col("_k._i"))))
+              .select("_doc", "_i", "_h1", "_h2"))
+    if seen_grams is not None:
+        store = seen_grams.select("_h1", "_h2")
+        vs_store = occ.join(store, ["_h1", "_h2"], "left_semi")                       .select("_doc", "_i", "_h1", "_h2")
+        dups = within.unionByName(vs_store).distinct()
+        new_grams = (occ.select("_h1", "_h2").distinct()
+                     .join(store, ["_h1", "_h2"], "left_anti"))
+    else:
+        dups = within
+        new_grams = occ.select("_h1", "_h2").distinct()
+    rebuilt = _rebuild_without_spans(docs, toks, dups, n, id_col)
+    return rebuilt, new_grams
 
 
 def sql_remove_duplicate_spans(n: int = 8) -> str:

@@ -245,6 +245,35 @@ def stream_clean_chunks(
 # incremental NEAR-dup dedup (MinHash/LSH over a persistent bucket store)
 
 
+def _hadoop_exists(spark, p: str) -> bool:
+    """Store-existence through the path's own Hadoop FileSystem —
+    object-store-safe, unlike driver-local ``os.path``."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _pin_run_base(spark, epoch_path: str, store_path: str) -> int:
+    """Pin this run's monotone partition epoch: foreachBatch batch ids
+    restart at 0 with every fresh checkpoint, so raw ids over a
+    long-lived store would dynamic-overwrite PRIOR runs' ``_batch=N``
+    partitions and hide prior state behind ``_batch < id`` replay
+    guards. base = (max existing ``_batch``) + 1, persisted ONCE under
+    the run's own checkpoint dir so same-checkpoint replays reuse it
+    (their overwrites stay within their own partitions) while a fresh
+    checkpoint starts past every prior run."""
+    if _hadoop_exists(spark, epoch_path):
+        return int(spark.read.parquet(epoch_path).head()["base"])
+    b = 0
+    if _hadoop_exists(spark, store_path):
+        m = (spark.read.parquet(store_path)
+             .agg(F.max("_batch")).head()[0])
+        b = int(m) + 1 if m is not None else 0
+    (spark.createDataFrame([(b,)], "base bigint")
+     .write.mode("overwrite").parquet(epoch_path))
+    return b
+
+
 def neardup_dedup_batch(
     new_docs: DataFrame,
     seen_buckets: DataFrame | None,
@@ -355,29 +384,14 @@ def stream_dedup_neardup(
     epoch_path = checkpoint.rstrip("/") + "/_neardup_epoch"
     run_base: list[int] = []
 
-    def _exists(spark, p: str) -> bool:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
-
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not run_base:
-            if _exists(spark, epoch_path):
-                run_base.append(int(
-                    spark.read.parquet(epoch_path).head()["base"]))
-            else:
-                b = 0
-                if _exists(spark, bucket_path):
-                    m = (spark.read.parquet(bucket_path)
-                         .agg(F.max("_batch")).head()[0])
-                    b = int(m) + 1 if m is not None else 0
-                (spark.createDataFrame([(b,)], "base bigint")
-                 .write.mode("overwrite").parquet(epoch_path))
-                run_base.append(b)
+            run_base.append(_pin_run_base(spark, epoch_path,
+                                          bucket_path))
         eb = run_base[0] + batch_id
         seen = None
-        if _exists(spark, bucket_path):
+        if _hadoop_exists(spark, bucket_path):
             seen = (spark.read.parquet(bucket_path)
                     .filter(F.col("_batch") < eb))
         kept, new_b = neardup_dedup_batch(
@@ -390,6 +404,62 @@ def stream_dedup_neardup(
         # partition id for the same reason (a partial previous attempt
         # must not shadow its own rows as "seen")
         for df, path in ((kept, kept_path), (new_b, bucket_path)):
+            (df.withColumn("_batch", F.lit(eb))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch").parquet(path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))
+
+
+def stream_dedup_spans(
+    stream_df: DataFrame,
+    out_path: str,
+    gram_path: str,
+    checkpoint: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+):
+    """Streaming ExactSubstr duplicate-span removal — the live twin of
+    ``dedup.remove_duplicate_spans`` (Lee et al. 2021): each
+    micro-batch's documents are rebuilt with every token n-gram already
+    seen (earlier batches, or earlier (doc, position) in the same
+    batch) removed, and the batch's new fingerprints append to the
+    persistent gram store. Keeper = first occurrence in
+    (batch, doc_id, position) order, so with monotone doc ids the
+    accumulated output equals the batch operator over the concatenated
+    corpus (property-tested).
+
+    Same exactly-once + run-epoch conventions as
+    :func:`stream_dedup_neardup`: outputs land in
+    ``_batch=<base+id>`` partitions with dynamic overwrite, the store
+    read excludes the current partition, and a fresh checkpoint over a
+    populated store starts past every prior run's partitions with all
+    prior grams visible. Store size ∝ distinct grams ever seen × 16 B —
+    the paper's suffix array re-expressed as a hash set.
+    """
+    from cngi_prototype_spark.dedup.dedup import spans_dedup_batch
+
+    epoch_path = checkpoint.rstrip("/") + "/_spans_epoch"
+    run_base: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not run_base:
+            run_base.append(_pin_run_base(spark, epoch_path, gram_path))
+        eb = run_base[0] + batch_id
+        seen = None
+        if _hadoop_exists(spark, gram_path):
+            seen = (spark.read.parquet(gram_path)
+                    .filter(F.col("_batch") < eb))
+        rebuilt, new_g = spans_dedup_batch(
+            batch_df, seen, text_col=text, id_col=id_col, n=n)
+        for df, path in ((rebuilt, out_path), (new_g, gram_path)):
             (df.withColumn("_batch", F.lit(eb))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

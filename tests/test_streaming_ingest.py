@@ -558,3 +558,85 @@ def test_stream_dedup_neardup_new_run_keeps_prior_state(spark, tmp_path):
     assert sorted(kept.doc_id) == [0, 1, 3]
     # run 2 landed in its own epoch partition, past run 1's
     assert kept._batch.min() == 0 and kept._batch.max() >= 1
+
+
+def test_spans_incremental_equals_batch(spark):
+    """spans_dedup_batch replayed over ANY monotone-id batching must
+    equal remove_duplicate_spans over the concatenated corpus — the
+    keeper is the first (batch, doc, position) occurrence, which with
+    monotone ids is exactly the batch rule's min-(doc, position)."""
+    from cngi_prototype_spark.dedup.dedup import (
+        remove_duplicate_spans, spans_dedup_batch)
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (0, f"alpha beta {phrase} gamma delta"),
+        (1, "totally unrelated words one two three four five six"),
+        (2, f"prefix words {phrase} and a tail of fresh tokens"),
+        (3, f"{phrase} leading this document with more after"),
+        (4, "another document with no repeats at all seven eight"),
+        (5, f"double trouble {phrase} middle {phrase} end bits"),
+    ]
+    schema = "doc_id long, text string"
+    batch_out = remove_duplicate_spans(
+        spark.createDataFrame(docs, schema), n=6).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    for split in ([2, 4], [1, 3, 5], [6]):
+        store = None
+        outs = []
+        lo = 0
+        for hi in split + ([len(docs)] if split[-1] < len(docs) else []):
+            b = spark.createDataFrame(docs[lo:hi], schema)
+            rebuilt, new_g = spans_dedup_batch(b, store, n=6)
+            outs.append(rebuilt.toPandas())
+            new_pdf = new_g.toPandas()
+            store_pdf = (new_pdf if store is None
+                         else pd.concat([store.toPandas(), new_pdf]))
+            store = spark.createDataFrame(store_pdf)
+            lo = hi
+        inc = pd.concat(outs).sort_values("doc_id").reset_index(drop=True)
+        assert (inc.doc_id == batch_out.doc_id).all()
+        assert (inc.n_tokens == batch_out.n_tokens).all(), split
+        assert (inc.n_removed == batch_out.n_removed).all(), split
+        assert (inc.text_dedup == batch_out.text_dedup).all(), split
+    # sanity: something was actually removed across batches
+    assert batch_out.n_removed.sum() > 0
+
+
+def test_stream_dedup_spans_end_to_end(spark, tmp_path):
+    """foreachBatch wiring: a phrase from batch 1 must be cut from a
+    batch-2 document, outputs land in run-epoch partitions, and the
+    gram store grows only by new fingerprints."""
+    import os
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_dedup_spans)
+
+    phrase = "pack my box with five dozen liquor jugs tonight"
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, f"first doc says {phrase} and then stops")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    writer = stream_dedup_spans(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in")),
+        str(tmp_path / "out"), str(tmp_path / "grams"),
+        str(tmp_path / "ck"), n=6)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(1, f"second doc repeats {phrase} word for word")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [0, 1]
+    assert out.n_removed[0] == 0          # first occurrence kept
+    assert out.n_removed[1] >= 8          # the repeated span removed
+    assert phrase not in out.text_dedup[1]
+    assert phrase in out.text_dedup[0]
