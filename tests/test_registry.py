@@ -39,3 +39,28 @@ def test_bench_queries_resolve():
 def test_get_framework_client_returns_active_session(spark):
     from cngi_prototype_spark.session import get_framework_client
     assert get_framework_client() is spark
+
+
+def test_timed_runs_steal_guard(monkeypatch):
+    """_timed_runs: clean windows stay at 6 runs; a >2x spread triggers
+    up to 3 extra runs; the guard stops early once the spread closes
+    (it cannot, with a min already recorded — extras are bounded)."""
+    import bench
+
+    clock = [0.0]
+    durations: list[float] = []
+
+    def fake_run(img):
+        clock[0] += durations.pop(0)
+
+    monkeypatch.setattr(bench, "_run", fake_run)
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+
+    durations[:] = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95]
+    runs = bench._timed_runs(None)
+    assert len(runs) == 6 and min(runs) == 0.9
+
+    # burst polluted the window: 3 extras fire (spread stays > 2)
+    durations[:] = [5.0, 5.5, 6.0, 5.2, 1.0, 5.1, 1.2, 1.1, 1.0]
+    runs = bench._timed_runs(None)
+    assert len(runs) == 9 and min(runs) == 1.0
