@@ -504,11 +504,13 @@ def main() -> None:
     # the shared session are host-steal-dominated — four queries recorded
     # 1.5-2.2x "regressions" with zero code changes, while fresh min-of-3
     # measured 2-6x FASTER than either recorded number). Record min-of-N
-    # per query (N=3 since round 9: the first run pays codegen JIT and
-    # this host's steal bursts span several short queries, so two
-    # steady-state samples beat one; adds ~1 min to the tier), same
-    # honesty the CHILES tier already has.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # per query (N=2 default: first run pays codegen JIT, min reports
+    # steady state; N=3 reads ~1 min steadier but the full bench already
+    # runs ~25 min wall and LANDING the per-round artifact outranks
+    # per-query cosmetics — raise via SPARK_GRAFT_BENCH_RUNS when
+    # investigating a specific regression), same honesty the CHILES
+    # tier already has.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     last_run: dict[str, float] = {}
 
     def _timed_min(fn, *args, key: str | None = None) -> float:
