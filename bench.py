@@ -697,7 +697,7 @@ def _timed_runs(img, base: int = 6, extra: int = 3) -> list[float]:
         _run(img)
         runs.append(round(time.time() - t0, 3))
     for _ in range(extra):
-        if max(runs) / min(runs) <= 2.0:
+        if min(runs) <= 0 or max(runs) / min(runs) <= 2.0:
             break
         t0 = time.time()
         _run(img)
