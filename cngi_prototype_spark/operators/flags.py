@@ -102,14 +102,31 @@ FLAG_PREFIX = "FLAG_"
 
 
 def manager_add(df: DataFrame, name: str, source_col: str | None = None,
-                vs: VisSchema = DEFAULT_VIS) -> DataFrame:
+                vs: VisSchema = DEFAULT_VIS,
+                descr: str | None = None) -> DataFrame:
     """Save the current FLAG column as a named version ``FLAG_<name>``
-    (manager_add.py:47-49 naming convention)."""
-    return df.withColumn(FLAG_PREFIX + name, F.col(source_col or vs.flag))
+    (ngcasa/flagging/manager_add.py:24-66 naming convention). ``descr``
+    is the reference's text description ('backup_beginning', ...) —
+    there it lives in the xds ``flag_variables`` attr
+    (``_flag_attributes.py:19-36``); the Spark-native home is COLUMN
+    METADATA, which rides the schema through projections and parquet
+    round trips with no sidecar."""
+    col = F.col(source_col or vs.flag)
+    if descr is not None:
+        col = col.alias(FLAG_PREFIX + name, metadata={"descr": descr})
+    return df.withColumn(FLAG_PREFIX + name, col)
 
 
-def manager_list(df: DataFrame) -> list[str]:
-    return [c for c in df.columns if c.startswith(FLAG_PREFIX)]
+def manager_list(df: DataFrame, with_descr: bool = False):
+    """Names of saved flag versions; ``with_descr=True`` returns
+    ``(name, description)`` pairs from column metadata — the
+    reference's ``manager_list`` table (manager_list.py:24-47)."""
+    names = [c for c in df.columns if c.startswith(FLAG_PREFIX)]
+    if not with_descr:
+        return names
+    meta = {f.name: (f.metadata or {}).get("descr", "")
+            for f in df.schema.fields}
+    return [(n, meta.get(n, "")) for n in names]
 
 
 def manager_remove(df: DataFrame, name: str) -> DataFrame:
@@ -409,3 +426,39 @@ def read_flagcmds(filename: str, merge: bool = True) -> list[dict]:
             if out:
                 cmds.append(out)
     return merge_timerange_cmds(cmds) if merge else cmds
+
+
+# casacore StokesTypes enum (measures/Measures/Stokes.h), the table the
+# reference's flag summaries use to label correlation products —
+# ``_pol_id_to_corr_type_name``
+# (ngcasa/flagging/_flagging_utils/_summary_utils.py:53-110)
+CASACORE_STOKES_NAMES = (
+    "Undef", "I", "Q", "U", "V", "RR", "RL", "LR", "LL",
+    "XX", "XY", "YX", "YY",
+    "RX", "RY", "LX", "LY", "XR", "XL", "YR", "YL",
+    "PP", "PQ", "QP", "QQ",
+    "RCircular", "LCircular", "Linear", "Ptotal",
+    "Plinear", "PFtotal", "PFlinear", "Pangle",
+)
+
+
+def pol_id_to_corr_type_name(idx: int) -> str:
+    """Human-readable stokes / correlation-product name for an MS
+    CORR_TYPE integer id (``_summary_utils.py:53-110`` parity: same
+    enum sequence, same [1, 32] validity range)."""
+    if idx < 1 or idx > len(CASACORE_STOKES_NAMES) - 1:
+        raise ValueError(
+            f"Invalid corr type index: {idx}, should be in "
+            f"[1,{len(CASACORE_STOKES_NAMES) - 1}]")
+    return CASACORE_STOKES_NAMES[idx]
+
+
+def corr_type_name_col(corr_id: Column) -> Column:
+    """Column form of :func:`pol_id_to_corr_type_name` — label a
+    CORR_TYPE id column for per-correlation summaries; out-of-range
+    ids yield NULL (Spark convention) rather than raising."""
+    names = F.array(*[F.lit(n) for n in CASACORE_STOKES_NAMES[1:]])
+    n = len(CASACORE_STOKES_NAMES) - 1
+    # range-guarded: element_at is 1-based and RAISES on index 0
+    return F.when((corr_id >= 1) & (corr_id <= n),
+                  F.element_at(names, corr_id.cast("int")))

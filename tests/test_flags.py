@@ -169,3 +169,47 @@ def test_merge_timerange_cmds_reduces_and_preserves_flags(spark, tmp_path):
         {"antenna": "ea01",
          "time": ("2017-07-20T00:00:00", "2017-07-20T00:10:00")}]
     assert len(read_flagcmds(str(p), merge=False)) == 2
+
+
+def test_corr_type_names_and_manager_descr(spark):
+    """_summary_utils parity: the casacore StokesTypes table (same enum
+    order, same [1,32] range) in scalar and Column form; manager_add
+    descriptions ride column metadata through a projection."""
+    import pandas as pd
+    import pytest as pt
+
+    from cngi_prototype_spark.operators import flags as OF
+
+    assert OF.pol_id_to_corr_type_name(1) == "I"
+    assert OF.pol_id_to_corr_type_name(5) == "RR"
+    assert OF.pol_id_to_corr_type_name(12) == "YY"
+    assert OF.pol_id_to_corr_type_name(28) == "Ptotal"
+    assert OF.pol_id_to_corr_type_name(32) == "Pangle"
+    for bad in (0, 33, -1):
+        with pt.raises(ValueError):
+            OF.pol_id_to_corr_type_name(bad)
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        pd.DataFrame({"corr": [5, 6, 7, 8, 9, 12, 0, 40]}))
+    got = [r.n for r in df.select(
+        OF.corr_type_name_col(F.col("corr")).alias("n"))
+        .collect()]
+    assert got == ["RR", "RL", "LR", "LL", "XX", "YY", None, None]
+
+    from cngi_prototype_spark.schema import VisSchema
+    vs = VisSchema(time="t", baseline="bl", chan="chan", pol="pol",
+                   data_cols=(("re", "im"),), weight="w", flag="flag")
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0], "bl": [0], "chan": [0], "pol": [0],
+                      "re": [1.0], "im": [0.0], "w": [1.0],
+                      "flag": [False]}))
+    out = OF.manager_add(vdf, "backup", vs=vs,
+                         descr="backup_beginning")
+    out = out.select("*")  # metadata must survive a projection
+    assert OF.manager_list(out) == ["FLAG_backup"]
+    assert OF.manager_list(out, with_descr=True) == [
+        ("FLAG_backup", "backup_beginning")]
+    # descr-less versions keep the lean path (no metadata)
+    out2 = OF.manager_add(vdf, "plain", vs=vs)
+    assert OF.manager_list(out2, with_descr=True) == [("FLAG_plain", "")]
