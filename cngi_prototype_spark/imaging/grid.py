@@ -67,7 +67,14 @@ C_M_S = 299792458.0
 @dataclass(frozen=True)
 class GridParms:
     """Reference grid_parms (make_image.py:105-115): padded image size,
-    cell size (radians, per axis), PSWF support and oversampling."""
+    cell size (radians, per axis), PSWF support and oversampling.
+
+    The reference validates/defaults these through dict-checking
+    helpers (``_check_imaging_parms.py``, ``_check_calibration_parms.py``);
+    a frozen dataclass with typed defaults is the Python-native form of
+    the same contract (unknown keys are TypeErrors at construction).
+    ``_standard_grid_bu.py`` is a superseded duplicate of the gridder
+    this module re-expresses."""
 
     n_u: int
     n_v: int

@@ -219,6 +219,13 @@ def make_grid(vis_df: DataFrame, gp: GridParms, *,
                              **cols)
 
 
+# Padded-grid cropping convention: every image consumer here slices the
+# centered (image_size) window out of the padded (n_u, n_v) plane with
+# lo = n_pad//2 - crop//2 — the reference's ``_remove_padding``
+# (ngcasa/imaging/_imaging_utils/_remove_padding.py:20-32), inlined at
+# each FFT consumer because the plane is already in numpy at that point.
+
+
 def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
                        image_size: tuple[int, int] | None = None,
                        weight: str = "imaging_weight",

@@ -130,6 +130,9 @@ def manager_list(df: DataFrame, with_descr: bool = False):
 
 
 def manager_remove(df: DataFrame, name: str) -> DataFrame:
+    """Drop a saved flag version (ngcasa/flagging/manager_remove.py:23-49;
+    there, deleting the active FLAG is refused — here the FLAG_ prefix
+    convention makes that impossible by construction)."""
     return df.drop(FLAG_PREFIX + name)
 
 

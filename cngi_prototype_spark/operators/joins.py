@@ -22,7 +22,14 @@ Scale notes:
 - join_dataset's remap tables are dimension-sized; remapping fact FK
   columns is a broadcast-hash join, and the union is append-only —
   exactly the surrogate-key pattern a warehouse uses for catalog merge.
-"""
+
+
+Subtable discovery/alignment helpers the reference needs
+(``cngi/_utils/_mxds_ops.py``: get_subtables, primary-key-coordinate
+guessing, dimension reassignment before concat) have no analog here by
+design — the catalog IS a set of named tables with declared keys, so
+"find the subtables and their primary keys" is dictionary iteration,
+not heuristics over coordinate names."""
 
 from __future__ import annotations
 
