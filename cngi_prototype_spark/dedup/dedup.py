@@ -754,7 +754,8 @@ def spans_dedup_batch(
               .select("_doc", "_i", "_h1", "_h2"))
     if seen_grams is not None:
         store = seen_grams.select("_h1", "_h2")
-        vs_store = occ.join(store, ["_h1", "_h2"], "left_semi")                       .select("_doc", "_i", "_h1", "_h2")
+        vs_store = (occ.join(store, ["_h1", "_h2"], "left_semi")
+                    .select("_doc", "_i", "_h1", "_h2"))
         dups = within.unionByName(vs_store).distinct()
         new_grams = (occ.select("_h1", "_h2").distinct()
                      .join(store, ["_h1", "_h2"], "left_anti"))

@@ -384,6 +384,7 @@ def merge_timerange_cmds(cmds: list[dict]) -> list[dict]:
                 key = tuple(sorted(
                     (k, tuple(v) if isinstance(v, list) else v)
                     for k, v in cmd.items() if k != "time"))
+                hash(key)  # unhashable value (dict, set, ...) inside
             except TypeError:  # unhashable value: not mergeable
                 key = None
         if key is None:

@@ -253,7 +253,8 @@ def _hadoop_exists(spark, p: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def _pin_run_base(spark, epoch_path: str, store_path: str) -> int:
+def _pin_run_base(spark, epoch_path: str, store_path: str,
+                  first_batch_id: int = 0) -> int:
     """Pin this run's monotone partition epoch: foreachBatch batch ids
     restart at 0 with every fresh checkpoint, so raw ids over a
     long-lived store would dynamic-overwrite PRIOR runs' ``_batch=N``
@@ -261,11 +262,20 @@ def _pin_run_base(spark, epoch_path: str, store_path: str) -> int:
     guards. base = (max existing ``_batch``) + 1, persisted ONCE under
     the run's own checkpoint dir so same-checkpoint replays reuse it
     (their overwrites stay within their own partitions) while a fresh
-    checkpoint starts past every prior run."""
+    checkpoint starts past every prior run.
+
+    Legacy-checkpoint migration: a checkpoint created by the pre-epoch
+    code resumes with ``first_batch_id > 0`` and NO epoch file. Pinning
+    ``max(_batch)+1`` there would replay the in-flight batch into a NEW
+    partition while its old partial partition stays visible below the
+    ``_batch < eb`` guard — duplicate keepers. Detect that layout and
+    fall back to base=0, which keeps the resume aligned with the
+    partitions the legacy run already wrote (fresh checkpoints always
+    start at batch 0, so the detection cannot misfire on them)."""
     if _hadoop_exists(spark, epoch_path):
         return int(spark.read.parquet(epoch_path).head()["base"])
     b = 0
-    if _hadoop_exists(spark, store_path):
+    if first_batch_id == 0 and _hadoop_exists(spark, store_path):
         m = (spark.read.parquet(store_path)
              .agg(F.max("_batch")).head()[0])
         b = int(m) + 1 if m is not None else 0
@@ -388,7 +398,7 @@ def stream_dedup_neardup(
         spark = batch_df.sparkSession
         if not run_base:
             run_base.append(_pin_run_base(spark, epoch_path,
-                                          bucket_path))
+                                          bucket_path, batch_id))
         eb = run_base[0] + batch_id
         seen = None
         if _hadoop_exists(spark, bucket_path):
@@ -451,7 +461,8 @@ def stream_dedup_spans(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not run_base:
-            run_base.append(_pin_run_base(spark, epoch_path, gram_path))
+            run_base.append(_pin_run_base(spark, epoch_path, gram_path,
+                                          batch_id))
         eb = run_base[0] + batch_id
         seen = None
         if _hadoop_exists(spark, gram_path):

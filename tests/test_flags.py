@@ -171,6 +171,26 @@ def test_merge_timerange_cmds_reduces_and_preserves_flags(spark, tmp_path):
     assert len(read_flagcmds(str(p), merge=False)) == 2
 
 
+def test_merge_timerange_cmds_unhashable_value_passthrough():
+    """A command whose non-time value is unhashable (dict, set) is not
+    mergeable: it must flush the buffer and pass through untouched —
+    not raise at the group-dict insert (the reference's bare-except
+    fallback semantics, _merge_timerange_cmds.py:50-55)."""
+    from cngi_prototype_spark.operators.flags import merge_timerange_cmds
+
+    cmds = [
+        {"antenna": "a", "time": ("2017-01-01T00:00:00", "2017-01-01T00:05:00")},
+        {"antenna": "a", "extra": {"x": 1}, "time": ("2017-01-01T00:03:00", "2017-01-01T00:08:00")},
+        {"antenna": "a", "extra": {"x": 1}, "time": ("2017-01-01T00:06:00", "2017-01-01T00:10:00")},
+        {"antenna": "b", "extra": {1, 2}, "time": ("2017-01-01T01:00:00", "2017-01-01T01:05:00")},
+    ]
+    out = merge_timerange_cmds(cmds)
+    # nothing merged: the dict-valued commands are distinct passthroughs
+    assert len(out) == 4
+    assert out[1]["extra"] == {"x": 1} and out[2]["extra"] == {"x": 1}
+    assert out[3]["extra"] == {1, 2}
+
+
 def test_corr_type_names_and_manager_descr(spark):
     """_summary_utils parity: the casacore StokesTypes table (same enum
     order, same [1,32] range) in scalar and Column form; manager_add

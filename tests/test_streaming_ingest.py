@@ -560,6 +560,27 @@ def test_stream_dedup_neardup_new_run_keeps_prior_state(spark, tmp_path):
     assert kept._batch.min() == 0 and kept._batch.max() >= 1
 
 
+def test_pin_run_base_legacy_checkpoint_detection(spark, tmp_path):
+    """A checkpoint written by the pre-epoch code resumes with
+    batch_id > 0 and no epoch file; pinning max(_batch)+1 there would
+    shadow the in-flight batch's partial partition. Detection: that
+    layout falls back to base=0; a genuinely fresh checkpoint (first
+    batch_id == 0) still pins past the store; an existing epoch file
+    always wins."""
+    from cngi_prototype_spark.streaming.stream_ops import _pin_run_base
+
+    store = str(tmp_path / "store")
+    (spark.createDataFrame([(0, "a"), (1, "b")], "_batch long, v string")
+     .write.partitionBy("_batch").parquet(store))
+
+    # legacy same-checkpoint resume: batch_id 2, no epoch file -> base 0
+    assert _pin_run_base(spark, str(tmp_path / "ep_legacy"), store, 2) == 0
+    # fresh checkpoint: first batch id 0 -> past the store (max+1 = 2)
+    assert _pin_run_base(spark, str(tmp_path / "ep_fresh"), store, 0) == 2
+    # persisted epoch file wins on replay, whatever the batch id
+    assert _pin_run_base(spark, str(tmp_path / "ep_fresh"), store, 7) == 2
+
+
 def test_spans_incremental_equals_batch(spark):
     """spans_dedup_batch replayed over ANY monotone-id batching must
     equal remove_duplicate_spans over the concatenated corpus — the
