@@ -44,7 +44,8 @@ def numpy_degrid(vis: pd.DataFrame, grid: dict, gp: GridParms):
     return out
 
 
-def test_degrid_matches_numpy_spec(spark):
+@pytest.mark.parametrize("variant", ["explode", "kernel"])
+def test_degrid_matches_numpy_spec(spark, variant):
     rng = np.random.default_rng(6)
     grid = {(0, 0): (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32)))}
     ui, vi = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
@@ -61,15 +62,19 @@ def test_degrid_matches_numpy_spec(spark):
         "pol": np.zeros(n, np.int32),
     })
     out = degrid_visibilities(spark.createDataFrame(vis),
-                              spark.createDataFrame(grid_pdf), GP) \
+                              spark.createDataFrame(grid_pdf), GP,
+                              variant=variant) \
         .toPandas().sort_values("row_id")
+    # the kernel path sums the support^2 taps in numpy gather order,
+    # not the reference loop order — same terms, looser float bound
+    tol = 1e-10 if variant == "explode" else 1e-9
     exp = numpy_degrid(vis, grid, GP)
     for got_re, got_im, e in zip(out.model_re, out.model_im, exp):
         if e is None:
             assert pd.isna(got_re) and pd.isna(got_im)
         else:
-            assert got_re == pytest.approx(e.real, abs=1e-10)
-            assert got_im == pytest.approx(e.imag, abs=1e-10)
+            assert got_re == pytest.approx(e.real, abs=tol)
+            assert got_im == pytest.approx(e.imag, abs=tol)
 
 
 def test_model_image_grid_roundtrip(spark):
@@ -146,7 +151,7 @@ def test_degrid_kernel_variant_matches_explode(spark, slab_w):
     vdf = spark.createDataFrame(vis)
     gdf = spark.createDataFrame(grid_pdf)
     key = "row_id"
-    a = degrid_visibilities(vdf, gdf, GP).toPandas() \
+    a = degrid_visibilities(vdf, gdf, GP, variant="explode").toPandas() \
         .sort_values(key).reset_index(drop=True)
     b = degrid_visibilities(vdf, gdf, GP, variant="kernel",
                             slab_w=slab_w).toPandas() \
@@ -180,7 +185,7 @@ def test_degrid_kernel_hot_slab_valve_matches_explode(spark):
         "pol": np.zeros(n, np.int32),
     })
     vdf, gdf = spark.createDataFrame(vis), spark.createDataFrame(grid_pdf)
-    a = degrid_visibilities(vdf, gdf, GP).toPandas() \
+    a = degrid_visibilities(vdf, gdf, GP, variant="explode").toPandas() \
         .sort_values("row_id").reset_index(drop=True)
     b = degrid_visibilities(vdf, gdf, GP, variant="kernel", slab_w=8,
                             salt_probe=True).toPandas() \
@@ -191,6 +196,28 @@ def test_degrid_kernel_hot_slab_valve_matches_explode(spark):
     assert m.sum() > 300
     assert np.allclose(a.model_re[m], b.model_re[m], rtol=0, atol=1e-9)
     assert np.allclose(a.model_im[m], b.model_im[m], rtol=0, atol=1e-9)
+
+
+def test_degrid_default_routes_to_kernel_and_precise_to_explode(spark):
+    """Production callers get the dense-slab cogroup path by default
+    (the path you'd run at 100×); precise=True — the quantized oracle
+    form, defined on the explode path only — forces explode whatever
+    the variant argument says."""
+    from cngi_prototype_spark.plans import explain_formatted
+
+    vis = pd.DataFrame({
+        "row_id": np.arange(8), "u": np.linspace(-20, 20, 8),
+        "v": np.linspace(-20, 20, 8), "freq": np.full(8, 1.0e9),
+        "chan": np.zeros(8, np.int32), "pol": np.zeros(8, np.int32)})
+    grid_pdf = pd.DataFrame({
+        "chan": [0], "pol": [0], "u_idx": [16], "v_idx": [16],
+        "grid_re": [1.0], "grid_im": [0.0]})
+    vdf, gdf = spark.createDataFrame(vis), spark.createDataFrame(grid_pdf)
+    default_plan = explain_formatted(degrid_visibilities(vdf, gdf, GP))
+    assert "FlatMapCoGroupsInPandas" in default_plan
+    precise_plan = explain_formatted(
+        degrid_visibilities(vdf, gdf, GP, precise=True, variant="kernel"))
+    assert "FlatMapCoGroupsInPandas" not in precise_plan
 
 
 def test_slab_salt_map_bounds_group_size():
