@@ -15,26 +15,114 @@ import zlib
 import numpy as np
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# 8-bit channel count -> IHDR color type (gray, RGB, gray+alpha, RGBA)
+_CT_BY_CHANNELS = {1: 0, 3: 2, 2: 4, 4: 6}
+_CHANNELS_BY_CT = {v: k for k, v in _CT_BY_CHANNELS.items()}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def png_bytes(arr: np.ndarray) -> bytes:
+    """Encode an 8-bit array as PNG bytes: (H, W) gray, (H, W, 2)
+    gray+alpha, (H, W, 3) RGB, or (H, W, 4) RGBA; filter 0 scanlines."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    if arr.ndim not in (2, 3) or ch not in _CT_BY_CHANNELS:
+        raise ValueError(f"expected 8-bit gray/GA/RGB/RGBA, got {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CT_BY_CHANNELS[ch], 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)],
+        axis=1).tobytes()  # filter byte 0 per scanline
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b""))
+
+
 def write_png(path: str, rgb: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 array as a PNG file."""
-    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3) uint8, got {rgb.shape}")
-    h, w, _ = rgb.shape
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + tag + payload
-                + struct.pack(">I", zlib.crc32(tag + payload)))
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)],
-        axis=1).tobytes()  # filter byte 0 per scanline
+    if np.asarray(rgb).ndim != 3 or np.asarray(rgb).shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {np.asarray(rgb).shape}")
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgb))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (critical chunks, 8-bit gray / gray+alpha
+    / RGB / RGBA, non-interlaced): chunk walk to IHDR/IDAT, one zlib
+    inflate, then the five spec scanline filters (None/Sub/Up/Average/
+    Paeth) undone row by row. Ancillary chunks are skipped; palette,
+    16-bit, and Adam7 raise NotImplementedError. Returns (h, w) for
+    gray, (h, w, ch) otherwise."""
+    if blob[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    w = h = None
+    ct = 0
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(blob):
+        ln = int.from_bytes(blob[i:i + 4], "big")
+        tag = blob[i + 4:i + 8]
+        body = blob[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ct, interlace = body[8], body[9], body[12]
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlace not supported")
+            if ct not in _CHANNELS_BY_CT:  # ct 3 = palette
+                raise NotImplementedError(f"PNG color type {ct} not supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + payload + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _CHANNELS_BY_CT[ct]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    for r in range(h):
+        f, cur = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
+        up = out[r - 1] if r else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + up) & 0xFF
+        elif f == 1:  # Sub: sequential in x — recur per byte
+            rec = cur.copy()
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + (left + up[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = up[x]
+                c = up[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = rec
+    px = out.astype(np.uint8)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
 
 
 # 5x7 bitmap glyphs for axis tick labels (digits + sign/point/exponent)

@@ -6,9 +6,11 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels so each task touches a bounded batch of blobs —
 the only sane shape at 100 TB (no driver collection, no per-row Python).
 
-Self-describing formats decode for REAL in pure numpy: netpbm P6/P5,
-24bpp BMP, and PCM16 WAV (``_decode_ppm``/``_decode_bmp``/
-``_decode_wav``). Codec formats (JPEG/MP4/...) need libraries absent
+Self-describing formats decode for REAL in pure numpy/stdlib: netpbm
+P6/P5, 24bpp BMP, PCM16 WAV (``_decode_ppm``/``_decode_bmp``/
+``_decode_wav``), and 8-bit non-interlaced PNG (stdlib ``zlib``;
+``functions.png.decode_png``, round-tripped against this repo's own
+encoder). Codec formats (JPEG/MP4/...) need libraries absent
 from this environment; for those ``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic md5-seeded pseudo-decoder so the Spark-side plumbing —
@@ -26,6 +28,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cngi_prototype_spark.functions.png import (
+    PNG_SIGNATURE,
+    decode_png,
+    png_bytes,
+)
 
 
 def _fake_decode(blob: bytes) -> np.ndarray:
@@ -123,6 +131,8 @@ def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
             return _decode_bmp(blob)
         if blob[:4] == b"RIFF":
             return _decode_wav(blob)
+        if blob[:8] == PNG_SIGNATURE:
+            return decode_png(blob)
     except Exception:
         if not fake:
             raise
@@ -130,8 +140,8 @@ def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
     if fake:
         return _fake_decode(blob)
     raise NotImplementedError(
-        "blob is not PPM/PGM/BMP/WAV; codec formats need PIL/av which "
-        "are not installed — pass fake=True for the deterministic "
+        "blob is not PPM/PGM/BMP/WAV/PNG; codec formats need PIL/av "
+        "which are not installed — pass fake=True for the deterministic "
         "test decoder"
     )
 
@@ -165,6 +175,18 @@ def synth_bmp(seed: int, w: int = 8, h: int = 6) -> bytes:
             + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
             + b"\0" * 24)
     return header + info + body
+
+
+def synth_png(seed: int, w: int = 10, h: int = 7) -> bytes:
+    """RGBA PNG with rgba(i,j) = ((s*3+i*5+j)%256, (s*7+j*3)%256,
+    (s+i*11+j*7)%256, (s*9+i+j*13)%256) — closed-form channels for the
+    SQL twin; the blob itself exercises the stdlib-zlib decode path."""
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([(seed * 3 + ii * 5 + jj) % 256,
+                   (seed * 7 + jj * 3) % 256,
+                   (seed + ii * 11 + jj * 7) % 256,
+                   (seed * 9 + ii + jj * 13) % 256], axis=2).astype(np.uint8)
+    return png_bytes(px)
 
 
 def synth_wav(seed: int, n: int = 64) -> bytes:

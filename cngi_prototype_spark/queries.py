@@ -3627,6 +3627,7 @@ from cngi_prototype_spark.multimodal.media import (  # noqa: E402
     media_metadata,
     sample_frames,
     synth_bmp,
+    synth_png,
     synth_ppm,
     synth_wav,
 )
@@ -3650,7 +3651,7 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 rows += [(d * 4, synth_ppm(d)), (d * 4 + 1, synth_bmp(d)),
-                         (d * 4 + 2, synth_wav(d))]
+                         (d * 4 + 2, synth_wav(d)), (d * 4 + 3, synth_png(d))]
             yield pd.DataFrame(rows, columns=["media_id", "media"])
 
     blobs = ids.mapInPandas(enc, "media_id long, media binary")
@@ -3692,6 +3693,16 @@ _N_PPM, _N_BMP, _N_WAV = len(synth_ppm(0)), len(synth_bmp(0)), len(synth_wav(0))
            CAST(SUM((doc_id*17 + t.range*9) % 65536 - 32768) AS BIGINT)
     FROM documents, range(64) t
     WHERE doc_id < 150 GROUP BY doc_id
+    UNION ALL
+    -- PNG blob length depends on zlib of the seed-varying content, so
+    -- n_bytes is -1 on both sides (the metadata part covers n_bytes)
+    SELECT 'decode', doc_id * 4 + 3, -1, '', '', 10, 7,
+           CAST(SUM((doc_id*3 + i.range*5 + j.range) % 256
+                  + (doc_id*7 + j.range*3) % 256
+                  + (doc_id + i.range*11 + j.range*7) % 256
+                  + (doc_id*9 + i.range + j.range*13) % 256) AS BIGINT)
+    FROM documents, range(7) i, range(10) j
+    WHERE doc_id < 150 GROUP BY doc_id
     """,
 )
 def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3701,7 +3712,8 @@ def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("px_sum"))
     nbytes = (F.when(F.col("media_id") % 4 == 0, _N_PPM)
               .when(F.col("media_id") % 4 == 1, _N_BMP)
-              .otherwise(_N_WAV).cast("long"))
+              .when(F.col("media_id") % 4 == 2, _N_WAV)
+              .otherwise(-1).cast("long"))  # png: zlib length varies
     dec = media_decode_q(spark, sf_dir).select(
         F.lit("decode").alias("part"), "media_id", nbytes.alias("n_bytes"),
         F.lit("").alias("blob_md5"), F.lit("").alias("magic"),

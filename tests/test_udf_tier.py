@@ -116,6 +116,72 @@ def test_real_media_decoders_roundtrip():
         t = np.arange(64)
         assert w.shape == (64, 1)
         assert (w[:, 0] == (seed * 17 + t * 9) % 65536 - 32768).all()
+        g = M._decode_one(M.synth_png(seed), fake=False)
+        ii, jj = np.meshgrid(np.arange(7), np.arange(10), indexing="ij")
+        assert g.shape == (7, 10, 4)
+        assert (g[:, :, 0] == (seed * 3 + ii * 5 + jj) % 256).all()
+        assert (g[:, :, 3] == (seed * 9 + ii + jj * 13) % 256).all()
+
+
+def test_png_decode_roundtrip_and_filters():
+    """decode_png inverts this repo's encoder for every supported
+    channel shape, and undoes all five spec scanline filters on a
+    hand-filtered IDAT (the encoder only emits filter 0, so the
+    filter coverage must be constructed)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cngi_prototype_spark.functions.png import (
+        PNG_SIGNATURE, _chunk, decode_png, png_bytes)
+
+    rng = np.random.default_rng(5)
+    for shape in ((9, 13), (9, 13, 2), (9, 13, 3), (9, 13, 4)):
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(png_bytes(a)) == a).all()
+
+    # hand-filter one image with every filter type (spec algorithms)
+    a = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[r]
+        up = flat[r - 1] if r else np.zeros(w * ch, np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), up[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - (left + up) // 2
+        else:
+            p = left + up - upleft
+            pred = np.where(
+                (abs(p - left) <= abs(p - up))
+                & (abs(p - left) <= abs(p - upleft)), left,
+                np.where(abs(p - up) <= abs(p - upleft), up, upleft))
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _chunk(b"IEND", b""))
+    assert (decode_png(blob) == a).all()
+
+    # unsupported shapes raise, not mis-decode
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    with _pytest.raises(NotImplementedError):
+        decode_png(PNG_SIGNATURE + _chunk(b"IHDR", pal_ihdr)
+                   + _chunk(b"IDAT", zlib.compress(b"\0\0\0"))
+                   + _chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
 
 
 def test_fake_decode_never_raises_on_magic_collision():
@@ -124,7 +190,7 @@ def test_fake_decode_never_raises_on_magic_collision():
     from cngi_prototype_spark.multimodal import media as M
 
     for blob in (b"P6 garbage-not-a-ppm", b"BM\x01\x02", b"RIFFxxxxnotWAVE",
-                 b"\xff\xd8\xff\xe0 jpeg-ish"):
+                 b"\x89PNG\r\n\x1a\ntruncated", b"\xff\xd8\xff\xe0 jpeg-ish"):
         out = M._decode_one(blob, fake=True)
         assert out.size > 0
     # fake=False keeps raising on the same corrupt blobs
