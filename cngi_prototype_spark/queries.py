@@ -3517,11 +3517,44 @@ def _sql_model_grid_fft() -> str:
     """
 
 
+# Sparse-model twin for the predict_modelvis production shape: a CLEAN
+# model is a handful of point components, so the forward transform's
+# oracle is a DFT over just those pixels (K x n^2 terms). Exact-binary
+# fluxes; the pswf correction folds into the literal coefficient.
+_SPARSE_MODEL = [(0, 0, 4, 11, 2.0), (0, 0, 9, 9, 0.75),
+                 (0, 1, 12, 5, -1.5), (0, 1, 3, 12, 1.25)]
+
+
+def _sql_sparse_model_grid_dft() -> str:
+    """Forward centered-DFT twin of model_image_to_grid for the SPARSE
+    model above (same identity as _sql_model_grid_fft, summed over the
+    nonzero pixels only — the CLEAN-model regime)."""
+    n, c = _FGP.n_u, _FGP.n_u // 2
+    corr = _pswf((_np.arange(n) - c) / c)[0]
+    rows = ", ".join(
+        f"({ch}, {p}, {l}, {m}, {flux * corr[l] * corr[m]:.17e})"
+        for ch, p, l, m, flux in _SPARSE_MODEL)
+    ph = (f"-2 * PI() * ((u.range - {c}) * (i.l_idx - {c}) / {float(n)!r}"
+          f" + (v.range - {c}) * (i.m_idx - {c}) / {float(n)!r})")
+    return f"""
+    WITH i(chan, pol, l_idx, m_idx, cv2) AS (SELECT * FROM (VALUES {rows}))
+    SELECT i.chan, i.pol, CAST(u.range AS INT) AS u_idx,
+           CAST(v.range AS INT) AS v_idx,
+           SUM(i.cv2 * COS({ph})) AS grid_re,
+           SUM(i.cv2 * SIN({ph})) AS grid_im
+    FROM i, range({n}) u, range({n}) v
+    GROUP BY 1, 2, 3, 4
+    """
+
+
 # degrid-from-taps + predict-from-model-image share one tagged-union
 # slot; the image part value-checks the forward-FFT model_image_to_grid
-# path (predict_modelvis below keeps the production rows-only shape).
+# path; the sparse part value-checks predict_modelvis_image's
+# production regime — a sparse CLEAN-component model — against the
+# pixel-sum DFT twin (predict_modelvis below keeps the production
+# rows-only shape at _GP).
 # FFT-vs-DFT drift (~1e-13) can flip the oracle's 1e-9 quantization on
-# isolated taps, so the image part rounds to 6 on both sides.
+# isolated taps, so the image and sparse parts round to 6 on both sides.
 @register(
     "uv_degrid",
     f"""
@@ -3535,6 +3568,13 @@ def _sql_model_grid_fft() -> str:
         _fft_vis_sql("value / 100.0", "0.0 - value / 200.0").replace(
             "SELECT ", "SELECT event_id AS row_id, ", 1),
         _sql_model_grid_fft(), key="row_id")}) s
+    UNION ALL
+    SELECT 'sparse', s.row_id, (ROUND(s.model_re, 6) + 0.0), (ROUND(s.model_im, 6) + 0.0)
+    FROM ({sql_degrid(
+        _FGP,
+        _fft_vis_sql("value / 100.0", "0.0 - value / 200.0").replace(
+            "SELECT ", "SELECT event_id AS row_id, ", 1),
+        _sql_sparse_model_grid_dft(), key="row_id")}) s
     """,
 )
 def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3575,7 +3615,14 @@ def uv_degrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("row_id").alias("event_id"),
                       (F.round("model_re", 6) + F.lit(0.0)).alias("model_re"),
                       (F.round("model_im", 6) + F.lit(0.0)).alias("model_im"))
-    return taps.unionByName(img)
+    smodel = spark.createDataFrame(
+        _SPARSE_MODEL, "chan int, pol int, l_idx int, m_idx int, model double")
+    spred = predict_modelvis_image(smodel, fvis, _FGP, precise=_precise())
+    sparse = spred.select(
+        F.lit("sparse").alias("part"), F.col("row_id").alias("event_id"),
+        (F.round("model_re", 6) + F.lit(0.0)).alias("model_re"),
+        (F.round("model_im", 6) + F.lit(0.0)).alias("model_im"))
+    return taps.unionByName(img).unionByName(sparse)
 
 
 def uv_degrid_taps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3765,6 +3812,12 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'frames', doc_id * 4 + 2, CAST(t.range AS BIGINT),
            CAST((doc_id * 17 + t.range * 9) % 65536 - 32768 AS DOUBLE), 0.0
     FROM documents, range(0, 64, 2) t WHERE doc_id < 150
+    UNION ALL
+    -- production media_frame_sample fan-out: fake decode is an 8x8
+    -- grid, every_n=2 -> frame_no {{0,2,4,6}}, frame length 8; pixel
+    -- VALUES are md5-seeded (no SQL analog) so b carries the size
+    SELECT 'fanout', doc_id, CAST(t.range AS BIGINT), 8.0, 0.0
+    FROM documents, range(0, 8, 2) t WHERE doc_id % 10 = 0
     """,
 )
 def media_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3792,7 +3845,15 @@ def media_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("long").alias("a"),
         F.element_at("frame", 1).cast("double").alias("b"),
         F.lit(0.0).alias("c"))
-    return feats.unionByName(frames)
+    # the PRODUCTION media_frame_sample shape (fake decoder over the
+    # documents substrate): ids, frame indices and frame sizes are
+    # deterministic even though the fake pixels have no SQL analog
+    fan = media_frame_sample_q(spark, sf_dir).select(
+        F.lit("fanout").alias("part"), "media_id",
+        F.col("frame_no").cast("long").alias("a"),
+        F.size("frame").cast("double").alias("b"),
+        F.lit(0.0).alias("c"))
+    return feats.unionByName(frames).unionByName(fan)
 
 
 # ---------------------------------------------------------------------------

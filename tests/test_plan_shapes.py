@@ -45,10 +45,11 @@ def test_imaging_weight_briggs_broadcasts(spark):
 def test_degrid_never_broadcasts_row_keyed_side(spark):
     # The per-visibility aggregate scales with the fact table; only the
     # cell-bounded grid side may carry a broadcast hint. The gate is a
-    # union of two degrid paths (taps + image-predict), so exactly two
-    # hints — one grid side each, never the row-keyed side.
+    # union of three degrid paths (taps + image-predict + sparse-model
+    # predict), so exactly three hints — one grid side each, never the
+    # row-keyed side.
     df = Q.queries()["uv_degrid"](spark, SF)
-    assert broadcast_hint_count(df) == 2
+    assert broadcast_hint_count(df) == 3
 
 
 def test_neardup_lsh_has_no_cross_join(spark):
