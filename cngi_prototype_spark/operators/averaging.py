@@ -128,7 +128,9 @@ def time_average(
 
 
 def _distributed_time_rank(dt: DataFrame, time_col: str,
-                           n_buckets: int | None = None) -> DataFrame:
+                           n_buckets: int | None = None,
+                           max_bucket_rows: int = 4_000_000,
+                           keep_bucket: bool = False) -> DataFrame:
     """Exact global dense rank of a distinct-values table without a
     single-partition sort.
 
@@ -136,9 +138,18 @@ def _distributed_time_rank(dt: DataFrame, time_col: str,
     scalars from one aggregate — deterministic, no sampling, so the
     assignment is stable across re-executions, unlike
     ``repartitionByRange``'s sampled boundaries). Each bucket ranks
-    locally in parallel; bucket counts (``n_buckets`` longs, not data)
-    cumsum on the driver into offsets. Skewed value distributions skew
-    buckets — raise ``n_buckets`` if a bucket approaches task-memory."""
+    locally in parallel; bucket counts (longs, not data) cumsum on the
+    driver into offsets.
+
+    Clustered (skewed) value distributions pile rows into few buckets,
+    and a bucket is one task's in-memory sort — so any bucket past
+    ``max_bucket_rows`` second-level splits by value inside its own
+    probed [min, max] (the probe already aggregates them alongside the
+    counts; distinct values mean the span is positive whenever n > 1).
+    The mapping rides a small broadcast join, never an inline CASE
+    chain, and the offsets arithmetic reruns over the refined buckets.
+    ``keep_bucket=True`` retains the final ``__vb`` column (tests
+    assert the per-bucket bound through it)."""
     spark = dt.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -151,17 +162,45 @@ def _distributed_time_rank(dt: DataFrame, time_col: str,
                      F.floor((t - F.lit(float(lo)))
                              / F.lit((float(hi) - float(lo)) / n_buckets)).cast("int"))
     dt = dt.withColumn("__vb", vb)
-    counts = {int(r["__vb"]): int(r["n"]) for r in
-              dt.groupBy("__vb").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probe = {int(r["__vb"]): (int(r["n"]), float(r["mn"]), float(r["mx"]))
+             for r in dt.groupBy("__vb").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.min(t).alias("mn"), F.max(t).alias("mx")).collect()}
+    ks = {b: -(-n // max_bucket_rows) if (n > max_bucket_rows and mx > mn)
+          else 1 for b, (n, mn, mx) in probe.items()}
+    if any(k > 1 for k in ks.values()):
+        rows, base2 = [], 0
+        for b in range(n_buckets):
+            n, mn, mx = probe.get(b, (0, 0.0, 0.0))
+            k = ks.get(b, 1)
+            rows.append((b, k, base2, mn, (mx - mn) / k if k > 1 else 1.0))
+            base2 += k
+        m = F.broadcast(spark.createDataFrame(
+            rows, "__vb int, __k int, __b2 int, __mn double, __w double"))
+        sub = F.when(
+            F.col("__k") > 1,
+            F.least(F.col("__k") - 1,
+                    F.floor((t - F.col("__mn")) / F.col("__w")).cast("int"))
+        ).otherwise(F.lit(0))
+        dt = (dt.join(m, "__vb")
+              .withColumn("__vb", F.col("__b2") + sub)
+              .drop("__k", "__b2", "__mn", "__w"))
+        counts = {int(r["__vb"]): int(r["n"]) for r in
+                  dt.groupBy("__vb").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        n_final = base2
+    else:
+        counts = {b: n for b, (n, _, _) in probe.items()}
+        n_final = n_buckets
     offsets: list[int] = []
     acc = 0
-    for b in range(n_buckets):
+    for b in range(n_final):
         offsets.append(acc)
         acc += counts.get(b, 0)
     off = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("__vb") + 1)
     local = Window.partitionBy("__vb").orderBy(time_col)
-    return (dt.withColumn("__tidx", F.row_number().over(local) - 1 + off)
-            .drop("__vb"))
+    out = dt.withColumn("__tidx", F.row_number().over(local) - 1 + off)
+    return out if keep_bucket else out.drop("__vb")
 
 
 def chan_average(

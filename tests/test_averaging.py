@@ -111,3 +111,38 @@ def test_time_average_bin_span_none_no_global_sort(vis_df, spark):
     assert (merged["n_samples"] == merged["n"]).all()
     # scale: the distinct-time rank must not serialize into one task
     assert "Exchange SinglePartition" not in explain_formatted(out)
+
+
+def test_distributed_time_rank_splits_hot_buckets(spark):
+    """Pathological clustered times (one value bucket holds ~all rows)
+    must second-level split: every final bucket stays under the cap
+    AND the rank is still the exact global dense rank."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    # 3000 distinct times jammed into [0, 1) s, plus two far outliers —
+    # with 4 arithmetic buckets over [0, 1e6], bucket 0 gets ~everything
+    clustered = np.unique(rng.uniform(0.0, 1.0, 3200))[:3000]
+    times = np.concatenate([clustered, [5.0e5, 1.0e6]])
+    dt = spark.createDataFrame(
+        pd.DataFrame({"time": pd.to_datetime(times, unit="s")}))
+
+    ranked = OA._distributed_time_rank(
+        dt, "time", n_buckets=4, max_bucket_rows=500, keep_bucket=True)
+    pdf = ranked.toPandas().sort_values("time").reset_index(drop=True)
+    # exact global dense rank
+    assert (pdf["__tidx"].to_numpy() == np.arange(len(times))).all()
+    # bounded buckets: the hot bucket split into ceil(3000/500)=6 subs;
+    # uniform-in-cluster values land well under the cap per sub
+    per_bucket = pdf.groupby("__vb").size()
+    assert per_bucket.max() <= 500 + 60  # floor-boundary slack
+    assert len(per_bucket) >= 6
+    # uniform data keeps the single-probe path and stays exact
+    uni = spark.createDataFrame(pd.DataFrame(
+        {"time": pd.to_datetime(np.arange(200) * 7.0, unit="s")}))
+    r2 = OA._distributed_time_rank(uni, "time", n_buckets=4,
+                                   max_bucket_rows=500)
+    p2 = r2.toPandas().sort_values("time")
+    assert (p2["__tidx"].to_numpy() == np.arange(200)).all()
+    assert "__vb" not in p2.columns
