@@ -138,3 +138,25 @@ def test_convert_ms_without_casacore_raises(spark, tmp_path):
     from cngi_prototype_spark.sources.ms_adapter import convert_ms
     with pytest.raises(ImportError, match="python-casacore"):
         convert_ms(spark, "/none/ms", str(tmp_path / "x"))
+
+
+def test_out_of_sandbox_recipe_references_current_surfaces():
+    """tools/verify_ms_adapter.py is the only real-casacore evidence
+    path (the sandbox has no python-casacore), so it must never go
+    stale: every cngi_prototype_spark import inside it has to resolve
+    against the current package."""
+    import ast
+    import importlib
+    import os
+
+    recipe = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "verify_ms_adapter.py")
+    tree = ast.parse(open(recipe).read())
+    stale = []
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.ImportFrom) and node.module
+                and node.module.startswith("cngi_prototype_spark")):
+            mod = importlib.import_module(node.module)
+            stale += [f"{node.module}.{a.name}" for a in node.names
+                      if not hasattr(mod, a.name)]
+    assert not stale, f"recipe references stale names: {stale}"
