@@ -263,7 +263,12 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # the 10x corpus keeps per-shard dup structure while
                   # shards stay decorrelated) and the valved hot-slab
                   # degrid kernel under centrally-condensed uv
-                  "dedup_spans", "uv_degrid_kernel_skew"]
+                  "dedup_spans", "uv_degrid_kernel_skew",
+                  # round 10: the most expensive relational-imaging
+                  # query (Briggs density grid + broadcast-back) gets
+                  # scale-trend evidence — it sat on the r9 suspected-
+                  # regression list with none
+                  "imaging_weights"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -425,6 +430,8 @@ LADDER_OVERRIDES = {
     "embedding_neardup_lsh": _ladder_neardup_lsh,
     "semantic_dedup": _ladder_semantic_dedup,
     "uv_degrid_kernel_skew": _ladder_degrid_skew,
+    # same scope the bench times (briggs+uniform, no weight-grid part)
+    "imaging_weights": Q.imaging_weights_bench_q,
 }
 
 # round-over-round comparability: some gates grew extra tagged-union
@@ -512,17 +519,29 @@ def main() -> None:
     # tier already has.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     last_run: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
 
     def _timed_min(fn, *args, key: str | None = None) -> float:
-        best = None
+        # steal guard (round-10, mirroring the CHILES tier's
+        # interleaved-runs guard): when the recorded runs spread past 2x, the
+        # window caught a hypervisor-steal burst, not the engine — take
+        # up to 2 extra runs so the min is a steady-state sample. All
+        # runs land in BENCH_DETAIL's query_runs for adjudication.
+        rs: list[float] = []
         for _ in range(runs):
             t0 = time.time()
             _run(fn(*args))
-            el = round(time.time() - t0, 3)
-            best = el if best is None else min(best, el)
+            rs.append(round(time.time() - t0, 3))
+        for _ in range(2):
+            if len(rs) < 2 or min(rs) <= 0 or max(rs) / min(rs) <= 2.0:
+                break
+            t0 = time.time()
+            _run(fn(*args))
+            rs.append(round(time.time() - t0, 3))
         if key is not None:
-            last_run[key] = el  # final single shot, for drift compare
-        return best
+            last_run[key] = rs[-1]  # final single shot, for drift compare
+            query_runs[key] = rs
+        return min(rs)
 
     # a single failing query must never cost the whole artifact (round
     # 8 shipped NO bench json because one tier crashed the process):
@@ -556,6 +575,10 @@ def main() -> None:
         "q1_drift": round(q1_end / last_run["q1_pricing_summary"], 3)
         if last_run.get("q1_pricing_summary") else None,
         "runs_per_query": runs,
+        # how many queries tripped the per-query steal guard (>2x
+        # spread -> extra runs); their full run lists are in query_runs
+        "steal_guard_hits": sum(1 for rs in query_runs.values()
+                                if len(rs) > runs),
     }
 
     if chiles is None:
@@ -592,6 +615,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": query_runs,
         "errors": errors or None,
         "noise": noise,
         "chiles": chiles,
@@ -617,7 +641,7 @@ def main() -> None:
             k: chiles.get(k) for k in (
                 "vs_baseline", "vs_baseline_skew", "taps_per_s_core",
                 "taps_per_s_core_skew", "baseline_taps_per_s_core",
-                "n_vis")}
+                "n_vis", "steal_suspected")}
     else:
         compact_chiles = None
     summary = {
@@ -627,7 +651,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "errors": errors or None,
         "chiles": compact_chiles,
-        "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs},
+        "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs,
+                  "steal_guard_hits": noise["steal_guard_hits"]},
         "sf": sf,
         "cpus": cpus,
         "detail": "BENCH_DETAIL.json",
@@ -683,26 +708,42 @@ def _chiles_in_subprocess(sf_dir: str, cpus: int):
         return None, f"{type(e).__name__}: {e}"
 
 
-def _timed_runs(img, base: int = 6, extra: int = 3) -> list[float]:
-    """min-of-N with a steal guard: 6 timed runs, then up to 3 extra
-    while the spread says a hypervisor-steal burst polluted the window
-    (max/min > 2 — the engine's own run-to-run variance on this plan
-    is ~±15%, steal bursts are 2-6x). The per-round driver bench is
-    ONE artifact; without the guard a burst landing on all six runs
-    reads as an engine regression. Every run is recorded in the
-    artifact either way."""
-    runs: list[float] = []
-    for _ in range(base):
-        t0 = time.time()
-        _run(img)
-        runs.append(round(time.time() - t0, 3))
-    for _ in range(extra):
-        if min(runs) <= 0 or max(runs) / min(runs) <= 2.0:
+def _settled(rs: list[float], window: float = 1.15) -> bool:
+    """The best three runs agree within ~15% — the engine's own
+    run-to-run variance on this plan; anything wider means steal
+    bursts still own the sample."""
+    if len(rs) < 3:
+        return False
+    b = sorted(rs)[:3]
+    return b[0] > 0 and b[2] / b[0] <= window
+
+
+def _interleaved_runs(img_u, img_s, base: int = 6,
+                      extra: int = 6) -> tuple[list[float], list[float]]:
+    """Interleaved uniform/skew timed runs with a settle criterion.
+
+    Interleaving makes the uniform/skew RATIO steal-invariant evidence:
+    a hypervisor-steal burst hits whichever runs sit inside it, and
+    alternating tiers means a burst can't selectively pollute one tier
+    for the whole window (round 9's official artifact had a uniform
+    min 2x below its median while the adjacent skew window was tight —
+    unfalsifiable with sequential tiers). After ``base`` pairs, extra
+    pairs (up to ``extra``) keep coming until BOTH tiers settle — best
+    3 runs within ~15% (_settled) — so the reported min rests on
+    agreeing samples, not one lucky run. Every run is recorded in the
+    artifact either way; ``steal_suspected`` flags max/min > 2."""
+    u_runs: list[float] = []
+    s_runs: list[float] = []
+    for i in range(base + extra):
+        if i >= base and _settled(u_runs) and _settled(s_runs):
             break
         t0 = time.time()
-        _run(img)
-        runs.append(round(time.time() - t0, 3))
-    return runs
+        _run(img_u)
+        u_runs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        _run(img_s)
+        s_runs.append(round(time.time() - t0, 3))
+    return u_runs, s_runs
 
 
 def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
@@ -713,27 +754,31 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
                                  shuffle_partitions=cpus,
                                  extra_conf=gc_quiet)
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    # Build and persist BOTH tiers up front (uniform + skewed uv): the
+    # timed runs interleave (see _interleaved_runs), so both cached vis
+    # tables stay live for the whole window. Columnar cache batches are
+    # MEMORY_AND_DISK — the second cache degrades to disk under a tight
+    # heap rather than OOMing (verified by `bench.py --smoke` at 8g).
     img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
-    # ONE untimed priming run first: the first execution of this plan
-    # pays whole-stage-codegen JIT compilation and python-worker
-    # fork+import (measured ~2x the steady-state time). The reference
-    # baseline (45 min / 128 cores) amortizes its numba-jit warmup to
-    # ~nothing at full scale; at our 0.06% fraction it would dominate,
-    # so the steady-state regime is the comparable one. Then
-    # steal-guarded min-of-N (_timed_runs): this box shows bursty
-    # hypervisor CPU steal (~15% avg, far higher in bursts); the min
-    # is the engine's throughput, the max is the host's mood.
+    img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
+    # ONE untimed priming run per tier first: the first execution of
+    # each plan pays whole-stage-codegen JIT compilation and
+    # python-worker fork+import (measured ~2x the steady-state time).
+    # The reference baseline (45 min / 128 cores) amortizes its
+    # numba-jit warmup to ~nothing at full scale; at our 0.12% fraction
+    # it would dominate, so the steady-state regime is the comparable
+    # one. Then interleaved steal-guarded min-of-N: this box shows
+    # bursty hypervisor CPU steal (~15% avg, far higher in bursts); the
+    # min is the engine's throughput, the max is the host's mood, and
+    # interleaving keeps the uniform/skew ratio honest through bursts.
     _run(img)
-    uniform_runs = _timed_runs(img)
+    _run(img_s)
+    uniform_runs, skew_runs = _interleaved_runs(
+        img, img_s,
+        base=int(os.environ.get("SPARK_GRAFT_CHILES_PAIRS", "6")),
+        extra=int(os.environ.get("SPARK_GRAFT_CHILES_EXTRA", "6")))
     chiles_sec = min(uniform_runs)
     taps_per_s_core = n_vis * _CHILES_TAPS / chiles_sec / cpus
-    spark.catalog.clearCache()
-
-    # skewed (centrally-condensed) uv coverage: same workload, hot
-    # central cells — reported alongside so uniform can't hide a cliff
-    img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
-    _run(img_s)
-    skew_runs = _timed_runs(img_s)
     skew_sec = min(skew_runs)
     taps_skew = n_vis_s * _CHILES_TAPS / skew_sec / cpus
 
@@ -763,6 +808,15 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
             round(_CHILES_TAPS_PER_S_CORE
                   / (n_vis * _CHILES_TAPS / r / cpus), 3)
             for r in uniform_runs],
+        # measurement-protocol evidence (round 10): runs interleave
+        # uniform/skew so the tier ratio is steal-invariant; settled =
+        # best 3 runs within ~15%; steal_suspected = spread past 2x
+        "interleaved": True,
+        "settled_uniform": _settled(uniform_runs),
+        "settled_skew": _settled(skew_runs),
+        "steal_suspected": bool(
+            max(uniform_runs) / min(uniform_runs) > 2.0
+            or max(skew_runs) / min(skew_runs) > 2.0),
         "_uniform_sec": chiles_sec,
         "_skew_sec": skew_sec,
     }
@@ -787,7 +841,10 @@ def smoke() -> None:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--chiles-tier"],
         env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-             "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_MEM": "8g"},
+             "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_MEM": "8g",
+             # completion check, not a measurement: one timed pair
+             "SPARK_GRAFT_CHILES_PAIRS": "1",
+             "SPARK_GRAFT_CHILES_EXTRA": "0"},
         capture_output=True, text=True, timeout=1800)
     ok, err = False, None
     for line in reversed(proc.stdout.strip().splitlines()):

@@ -41,10 +41,11 @@ def test_get_framework_client_returns_active_session(spark):
     assert get_framework_client() is spark
 
 
-def test_timed_runs_steal_guard(monkeypatch):
-    """_timed_runs: clean windows stay at 6 runs; a >2x spread triggers
-    up to 3 extra runs; the guard stops early once the spread closes
-    (it cannot, with a min already recorded — extras are bounded)."""
+def test_interleaved_runs_settle_criterion(monkeypatch):
+    """_interleaved_runs: runs alternate uniform/skew; a settled window
+    (best 3 within 15% on BOTH tiers) stops at the base 6 pairs; an
+    unsettled tier keeps drawing extra pairs (bounded) until its best
+    3 agree; _settled itself gates on the 15% window."""
     import bench
 
     clock = [0.0]
@@ -56,11 +57,31 @@ def test_timed_runs_steal_guard(monkeypatch):
     monkeypatch.setattr(bench, "_run", fake_run)
     monkeypatch.setattr(bench.time, "time", lambda: clock[0])
 
-    durations[:] = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95]
-    runs = bench._timed_runs(None)
-    assert len(runs) == 6 and min(runs) == 0.9
+    assert not bench._settled([1.0, 1.1])           # needs 3 runs
+    assert bench._settled([1.0, 1.1, 0.99, 5.0])    # best 3 agree
+    assert not bench._settled([1.0, 1.5, 2.0])      # spread too wide
 
-    # burst polluted the window: 3 extras fire (spread stays > 2)
-    durations[:] = [5.0, 5.5, 6.0, 5.2, 1.0, 5.1, 1.2, 1.1, 1.0]
-    runs = bench._timed_runs(None)
-    assert len(runs) == 9 and min(runs) == 1.0
+    # clean window: 6 pairs, alternating u/s, stops at base
+    durations[:] = [1.0, 2.0] * 6
+    u, s = bench._interleaved_runs(None, None)
+    assert len(u) == len(s) == 6
+    assert u == [1.0] * 6 and s == [2.0] * 6
+
+    # a steal burst pollutes the first 5 uniform runs: extras keep
+    # coming until THREE clean uniform samples agree (2 extra pairs),
+    # even though skew settled immediately
+    durations[:] = ([5.0, 2.0, 5.5, 2.1, 6.0, 2.0, 5.2, 2.05, 5.1, 2.0,
+                     1.0, 2.0]          # base pair 6: first clean u run
+                    + [1.05, 2.0, 0.98, 2.0]   # 2 extra pairs -> settled
+                    + [9.9, 9.9] * 4)          # never consumed
+    u, s = bench._interleaved_runs(None, None)
+    assert len(u) == len(s) == 8
+    assert min(u) == 0.98 and bench._settled(u)
+    # the burst can't fake a regression into the RATIO: skew stayed 2.0
+    assert min(s) == 2.0
+
+    # an unsettleable tier exhausts the bounded extras and returns
+    durations[:] = [1.0, 2.0, 3.0, 2.0, 9.0, 2.0, 1.5, 2.0, 7.0, 2.0,
+                    4.0, 2.0] + [6.0, 2.0] * 6 + [9.9] * 8
+    u, s = bench._interleaved_runs(None, None)
+    assert len(u) == 12  # base 6 + extra 6, hard stop
