@@ -449,6 +449,21 @@ BENCH_OVERRIDES = {
 }
 
 
+def _ladder_min(fn, spark, d: str) -> float:
+    # min-of-2 with the same >2x-spread steal guard as the query tier:
+    # a burst on one scale fakes a ratio; one extra run un-fakes it
+    rs: list[float] = []
+    for _ in range(2):
+        t0 = time.time()
+        _run(fn(spark, d))
+        rs.append(time.time() - t0)
+    if min(rs) > 0 and max(rs) / min(rs) > 2.0:
+        t0 = time.time()
+        _run(fn(spark, d))
+        rs.append(time.time() - t0)
+    return min(rs)
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
@@ -457,18 +472,8 @@ def run_ladder(spark, sf_dir: str, mult: int) -> dict:
         fn = (LADDER_OVERRIDES.get(name) or qs.get(name)
               or getattr(Q, f"{name}_q"))
         _run(fn(spark, sf_dir))  # codegen/JIT warm at small scale
-        t_small = None
-        for _ in range(2):
-            t0 = time.time()
-            _run(fn(spark, sf_dir))
-            el = time.time() - t0
-            t_small = el if t_small is None else min(t_small, el)
-        t_big = None
-        for _ in range(2):
-            t0 = time.time()
-            _run(fn(spark, big_dir))
-            el = time.time() - t0
-            t_big = el if t_big is None else min(t_big, el)
+        t_small = _ladder_min(fn, spark, sf_dir)
+        t_big = _ladder_min(fn, spark, big_dir)
         out[name] = {
             "small_sec": round(t_small, 3),
             "big_sec": round(t_big, 3),
