@@ -487,3 +487,21 @@ def test_slab_salt_map_invariants(counts, npart):
         if n > 0.75 * fair:
             # fairness split engaged (npart-bounded) or byte split won
             assert sub >= min(npart, -(-n // max(1, int(fair / 2.0))))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    """decode_png(png_bytes(a)) == a for every 8-bit shape the pair
+    supports, including 1-pixel edges and single-row/column rasters."""
+    from cngi_prototype_spark.functions.png import decode_png, png_bytes
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(png_bytes(a))
+    assert out.shape == a.shape and (out == a).all()
