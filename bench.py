@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cngi_prototype_spark import queries as Q  # noqa: E402
 from cngi_prototype_spark.session import initialize_framework  # noqa: E402
 
-# Benchmark the production double path, not the oracle-gate decimal path.
-Q.PRECISE = False
+# Benchmark the production double path, not the oracle-gate decimal
+# path. Flipped inside the entry points, NOT at import: importing
+# bench as a library (tests resolve BENCH_QUERIES through it) must not
+# silently re-route every subsequently built gate query.
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -79,6 +81,8 @@ BENCH_QUERIES = [
     "dedup_spans",
     # round-9: valved hot-slab degrid under centrally-condensed uv
     "uv_degrid_kernel_skew",
+    # round-10: PQ/ADC quantized ANN (trained codebooks, Arrow scan)
+    "ann_pq_topk",
 ]
 
 
@@ -268,7 +272,13 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # query (Briggs density grid + broadcast-back) gets
                   # scale-trend evidence — it sat on the r9 suspected-
                   # regression list with none
-                  "imaging_weights"]
+                  "imaging_weights",
+                  # round 10: the PQ/ADC scan's scale claim — codes,
+                  # not floats, are what the corpus scan reads (the
+                  # decorrelated replicas keep per-shard geometry; the
+                  # per-dir codebooks memoize, so min-of-2 times the
+                  # scan, not the trainer)
+                  "ann_pq_topk"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -485,6 +495,7 @@ def run_ladder(spark, sf_dir: str, mult: int) -> dict:
 
 
 def main() -> None:
+    Q.PRECISE = False
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -869,6 +880,7 @@ if __name__ == "__main__":
     if "--smoke" in sys.argv:
         smoke()
     elif "--chiles-tier" in sys.argv:
+        Q.PRECISE = False
         _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         try:

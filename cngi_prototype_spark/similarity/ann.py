@@ -1183,3 +1183,338 @@ def sql_pool_embeddings(group_expr: str = "vec_id % 50",
     SELECT g, list(v ORDER BY p) AS embedding, MAX(n) AS n_pooled
     FROM per_pos GROUP BY g
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC): the canonical 100 TB ANN memory layout
+# (Jegou, Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 33(1)). A d-dim float64 vector (512 B at d=64)
+# compresses to m sub-quantizer codes (m small ints): the query-time
+# corpus scan reads byte-scale codes and sums m table lookups per row
+# (asymmetric distance computation) instead of touching the floats —
+# vectors never need to be resident at query time. Beyond-reference,
+# same tier as the IVF/LSH paths above.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Driver-side Lloyd per subspace over a deterministic sample (the
+    standard PQ trainer shape, mirroring :func:`train_ivf_centroids`):
+    the first ``sample`` vectors in id order collect to the driver, each
+    of the ``m`` subspaces runs an independent Euclidean k-means
+    (init = evenly spaced sampled sub-vectors, fixed ``iters``), and the
+    codebooks return as plain nested lists ready to broadcast — and,
+    being deterministic, to inline into a SQL twin."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(int(sample)).collect())
+    v = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return _pq_kmeans_matrix(v, int(m), int(ksub), int(iters))
+
+
+def _pq_kmeans_matrix(v, m: int, ksub: int, iters: int
+                      ) -> list[list[list[float]]]:
+    import numpy as np
+
+    d = v.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        x = v[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, len(x))
+        c = x[np.linspace(0, len(x) - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for jj in range(k):
+                msk = assign == jj
+                if msk.any():
+                    c[jj] = x[msk].mean(axis=0)
+        books.append([list(map(float, row)) for row in c])
+    return books
+
+
+def train_pq_codebooks_arrow(
+    parquet_path: str,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Spark-free twin of :func:`train_pq_codebooks` (the
+    :func:`train_ivf_centroids_arrow` pattern): same deterministic
+    id-ordered sample, same `_pq_kmeans_matrix` core — bit-identical
+    codebooks, so a static SQL oracle can embed TRAINED codebooks and
+    still hash-match the Spark pipeline."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    t = t.sort_by(id_col).slice(0, int(sample))
+    v = np.asarray(t.column(vec_col).combine_chunks().to_pylist(),
+                   dtype=np.float64)
+    if v.size == 0:
+        raise ValueError(
+            f"train_pq_codebooks_arrow: no vectors in {parquet_path}")
+    return _pq_kmeans_matrix(v, int(m), int(ksub), int(iters))
+
+
+def _pq_sub(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _cw_norm2(cw: list[float]) -> float:
+    # python-float literal embedded IDENTICALLY on both engines (never
+    # recomputed by either), so the argmin inputs are bit-equal
+    s = 0.0
+    for x in cw:
+        s += float(x) * float(x)
+    return s
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    max_codegen_cells: int = ASSIGN_CODEGEN_MAX_K,
+) -> DataFrame:
+    """Append the m-entry PQ code array: per subspace, the argmin-
+    distance codeword index (first-min tie-break). Distances drop the
+    per-row ||x||^2 term (constant within a subspace's argmin):
+    ``-2 x.c + ||c||^2`` — the codeword norms are python-float literals
+    shared verbatim with the SQL twin.
+
+    Two-tier like :func:`assign_cells`: total codewords (m*ksub) at or
+    under ``max_codegen_cells`` stay on unrolled Catalyst expressions
+    (bit-mirrored by the twin); production sizes (e.g. 16x256) switch
+    to one broadcast numpy distance matmul per Arrow batch, O(1) plan
+    size. ``np.argmin`` first-min matches ``array_position(arr,
+    array_min(arr))``."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    n_cells = sum(len(b) for b in codebooks)
+    if n_cells <= max_codegen_cells:
+        vec = _dvec(F.col(vec_col))
+
+        def code(j: int) -> Column:
+            sub = _pq_sub(vec, j, dsub)
+            dists = F.array(*[
+                F.lit(-2.0) * _dot(sub, F.array(*[F.lit(float(x))
+                                                  for x in cw]))
+                + F.lit(_cw_norm2(cw))
+                for cw in codebooks[j]])
+            return (F.array_position(dists, F.array_min(dists)) - 1
+                    ).cast("int")
+
+        return df.withColumn(out_col, F.array(*[code(j) for j in range(m)]))
+
+    import numpy as np
+    import pyspark.sql.types as T
+
+    C = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    cn2 = np.einsum("mkd,mkd->mk", C, C)             # (m, ksub)
+    bc = df.sparkSession.sparkContext.broadcast((C, cn2))
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(out_col,
+                                           T.ArrayType(T.IntegerType()))])
+
+    def batches(it):
+        Cb, cn2b = bc.value
+        mm, _, dd = Cb.shape
+        for pdf in it:
+            out = pdf.copy()
+            if not len(pdf):
+                out[out_col] = []
+                yield out
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), np.float64)
+            codes = np.empty((len(pdf), mm), np.int32)
+            for j in range(mm):
+                S = -2.0 * (X[:, j * dd:(j + 1) * dd] @ Cb[j].T) + cn2b[j]
+                codes[:, j] = np.argmin(S, axis=1)
+            out[out_col] = list(codes)
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_codegen_cells: int = ASSIGN_CODEGEN_MAX_K,
+) -> DataFrame:
+    """PQ/ADC approximate cosine top-k: the corpus is PQ-encoded and
+    scored against each query by table lookup — approx cosine =
+    (sum_j q_j . c[j, code_j]) / (|q| * sqrt(sum_j |c[j, code_j]|^2)),
+    i.e. the exact cosine against the RECONSTRUCTED corpus vector,
+    computed without reconstructing it.
+
+    Scale shape: the scan reads m-int codes, not d floats; per
+    (query, row) cost is m lookups + m adds. The query side broadcasts
+    (callers keep it small — the brute/LSH/IVF convention); at
+    production codebook sizes the scan is an Arrow-batched kernel that
+    emits only each batch's top-k per query (candidates are bounded by
+    batches x queries x k, not corpus x queries), with the exact
+    global window on top. Because scores are quantized, an approximate
+    neighbor CAN outrank the true best — recall, not dominance, is the
+    quality contract (the ann_topk gate asserts a recall floor)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    n_cells = sum(len(b) for b in codebooks)
+    c = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _dvec(F.col(vec_col)).alias("cv")),
+        codebooks, id_col="neighbor_id", vec_col="cv",
+        max_codegen_cells=max_codegen_cells).select("neighbor_id",
+                                                    "pq_code")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(F.col(vec_col)).alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    if n_cells <= max_codegen_cells:
+        code = F.col("pq_code")
+        qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+
+        def qdots(j: int) -> Column:
+            sub = _pq_sub(F.col("qv"), j, dsub)
+            return F.array(*[_dot(sub, F.array(*[F.lit(float(x))
+                                                 for x in cw]))
+                             for cw in codebooks[j]])
+
+        adc = None
+        cn2 = None
+        for j in range(m):
+            dj = F.element_at(qdots(j), F.element_at(code, j + 1) + 1)
+            nj = F.element_at(
+                F.array(*[F.lit(_cw_norm2(cw)) for cw in codebooks[j]]),
+                F.element_at(code, j + 1) + 1)
+            adc = dj if adc is None else adc + dj
+            cn2 = nj if cn2 is None else cn2 + nj
+        scored = (c.crossJoin(F.broadcast(q))
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  .withColumn("cos_sim", adc / (qn * F.sqrt(cn2))))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+    import numpy as np
+    import pyspark.sql.types as T
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    cn2 = np.einsum("mkd,mkd->mk", C, C)
+    qrows = q.collect()  # bounded by convention (ANN query batch)
+    qids = np.asarray([r["query_id"] for r in qrows], np.int64)
+    Qm = np.asarray([list(r["qv"]) for r in qrows], np.float64)
+    qn = np.sqrt(np.einsum("qd,qd->q", Qm, Qm))
+    bc = c.sparkSession.sparkContext.broadcast((C, cn2, qids, Qm, qn))
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def scan(it):
+        import pandas as pd
+        Cb, cn2b, qi, Qb, qnb = bc.value
+        mm, kk, dd = Cb.shape
+        # per-query lookup tables, built once per task: (nq, m, ksub)
+        lut = np.einsum("qjd,jkd->qjk",
+                        Qb.reshape(len(Qb), mm, dd), Cb)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.asarray(pdf["pq_code"].tolist(), np.int64)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            jj = np.arange(mm)
+            cnorm = np.sqrt(cn2b[jj, codes[:, jj]].sum(axis=1))
+            outs = []
+            for qx in range(len(Qb)):
+                s = lut[qx][jj, codes[:, jj]].sum(axis=1) / (qnb[qx] * cnorm)
+                s = np.where(nid == qi[qx], -np.inf, s)  # exclude self
+                top = min(int(k), len(s))
+                part = np.argpartition(-s, top - 1)[:top]
+                keep = part[np.isfinite(s[part])]
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(len(keep), qi[qx], np.int64),
+                    "neighbor_id": nid[keep],
+                    "cos_sim": s[keep]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = c.mapInPandas(scan, schema)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def sql_pq_topk(codebooks: list[list[list[float]]], k: int = 5,
+                query_pred: str = "vec_id < 10") -> str:
+    """DuckDB twin of the expression-route :func:`pq_topk` for fixed
+    codebooks: the same offset-indexed dot folds, the same
+    ``-2 x.c + ||c||^2`` argmin with first-min ``list_position``
+    tie-break, the same lookup-sum ADC cosine and ranking."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def lit(xs: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.17e}" for x in xs) + "]"
+
+    def dot(v: str, j: int, cw: list[float]) -> str:
+        return (f"list_reduce(list_transform(range(1, {dsub} + 1),"
+                f" i -> {v}[{j * dsub} + i] * ({lit(cw)})[i]),"
+                " (acc, x) -> acc + x)")
+
+    def code(v: str, j: int) -> str:
+        dists = "[" + ", ".join(
+            f"-2 * ({dot(v, j, cw)}) + {_cw_norm2(cw):.17e}"
+            for cw in codebooks[j]) + "]"
+        return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+    enc = "[" + ", ".join(code("cv", j) for j in range(m)) + "]"
+    adc = " + ".join(
+        "([" + ", ".join(dot("qv", j, cw) for cw in codebooks[j])
+        + f"])[code[{j + 1}] + 1]" for j in range(m))
+    cn2 = " + ".join(
+        "([" + ", ".join(f"{_cw_norm2(cw):.17e}" for cw in codebooks[j])
+        + f"])[code[{j + 1}] + 1]" for j in range(m))
+    qn = ("sqrt(list_reduce(list_transform(range(1, len(qv) + 1),"
+          " i -> qv[i] * qv[i]), (acc, x) -> acc + x))")
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id,
+                      {SQL_DVEC.format(v='embedding')} AS cv
+               FROM embeddings),
+    enc AS (SELECT neighbor_id, {enc} AS code FROM c),
+    q AS (SELECT vec_id AS query_id, {SQL_DVEC.format(v='embedding')} AS qv
+          FROM embeddings WHERE {query_pred}),
+    scored AS (
+      SELECT q.query_id, enc.neighbor_id,
+             ({adc}) / (({qn}) * sqrt({cn2})) AS cos_sim
+      FROM enc CROSS JOIN q WHERE enc.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """

