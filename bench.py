@@ -713,7 +713,9 @@ def _chiles_in_subprocess(sf_dir: str, cpus: int):
                  # SPARK_GRAFT_MEM still wins.
                  "SPARK_GRAFT_MEM": os.environ.get("SPARK_GRAFT_MEM",
                                                    "32g")},
-            capture_output=True, text=True, timeout=1800)
+            # 16 interleaved pairs at heavy-steal run times must fit:
+            # worst measured pair ~85 s -> ~23 min ceiling + startup
+            capture_output=True, text=True, timeout=2400)
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -737,7 +739,7 @@ def _settled(rs: list[float], window: float = 1.15) -> bool:
 
 
 def _interleaved_runs(img_u, img_s, base: int = 6,
-                      extra: int = 6) -> tuple[list[float], list[float]]:
+                      extra: int = 10) -> tuple[list[float], list[float]]:
     """Interleaved uniform/skew timed runs with a settle criterion.
 
     Interleaving makes the uniform/skew RATIO steal-invariant evidence:
@@ -752,6 +754,10 @@ def _interleaved_runs(img_u, img_s, base: int = 6,
     artifact either way; ``steal_suspected`` flags max/min > 2."""
     u_runs: list[float] = []
     s_runs: list[float] = []
+    # extra default 10 (was 6): a measured heavy-steal window had its
+    # first CLEAN samples arrive at pairs 10-12 — the budget must
+    # outlast a burst, since the whole point is to settle on calm
+    # samples; calm windows still stop at the base 6 pairs.
     for i in range(base + extra):
         if i >= base and _settled(u_runs) and _settled(s_runs):
             break

@@ -83,5 +83,5 @@ def test_interleaved_runs_settle_criterion(monkeypatch):
     # an unsettleable tier exhausts the bounded extras and returns
     durations[:] = [1.0, 2.0, 3.0, 2.0, 9.0, 2.0, 1.5, 2.0, 7.0, 2.0,
                     4.0, 2.0] + [6.0, 2.0] * 6 + [9.9] * 8
-    u, s = bench._interleaved_runs(None, None)
+    u, s = bench._interleaved_runs(None, None, extra=6)
     assert len(u) == 12  # base 6 + extra 6, hard stop
