@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # + sign-bit Hamming search (XOR+popcount first pass, pure codegen)
     "ann_pq_topk",
     "ann_hamming_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -977,6 +977,7 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     cosine_pairs_lsh,
     hamming_topk,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
     semantic_dedup,
     sql_brute_force_topk,
@@ -988,6 +989,7 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     sql_pool_embeddings,
     sql_pq_topk,
     sql_semantic_dedup,
+    train_ivfpq,
     train_pq_codebooks,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
@@ -1669,6 +1671,26 @@ def ann_hamming_topk_prod_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                         rerank=64)
+
+
+_IVFPQ_PROD: dict[str, tuple] = {}
+
+
+@register("ann_ivfpq_topk", None)  # coarse+residual index: rows-only
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF-PQ (the FAISS-style index): one deterministic
+    sample trains BOTH the coarse cells and the residual codebooks
+    (memoized per corpus); queries probe nprobe cells and ADC-score
+    candidates against the c_cell + r-hat reconstruction. Constituent
+    pieces are value-gated elsewhere (assign/probe via ann_topk[ivf],
+    PQ encode/ADC via ann_topk[pq]); the composition is tier-parity
+    and cluster-retrieval unit-tested (tests/test_udf_tier.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_PROD:
+        _IVFPQ_PROD[sf_dir] = train_ivfpq(emb, n_cells=8, m=8, ksub=32)
+    cents, books = _IVFPQ_PROD[sf_dir]
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                      books, k=5, nprobe=3)
 
 
 _PQ_PROD_CODEBOOKS: dict[str, list] = {}

@@ -1650,3 +1650,182 @@ def sql_hamming_topk(k: int = 5, rerank: int | None = None, dim: int = 64,
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the coarse inverted file composed with residual product
+# quantization — the FAISS-style production index (Jegou et al. 2011
+# section V). Corpus vectors assign to a coarse cell; the RESIDUAL
+# x - c_cell is PQ-encoded (residuals are small, so the same codebook
+# budget quantizes far more finely than whole-vector PQ); queries probe
+# nprobe cells and score candidates by lookup-sum ADC against the
+# reconstruction c_cell + r_hat. Composes the two-tier pieces above:
+# assign_cells / probe_cells (expr or broadcast-BLAS) and the PQ
+# trainer/encoder; the scan kernel is one Arrow batch pass.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the coarse quantizer AND the residual codebooks from ONE
+    deterministic sample: spherical k-means for the cells (the IVF
+    trainer core), then per-subspace Lloyd on the sample residuals
+    x - c_assign(x). Returns (centroids, codebooks)."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(int(sample)).collect())
+    v = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    cents = _kmeans_unit_matrix(v, int(n_cells), int(iters))
+    C = np.asarray(cents, dtype=np.float64)
+    assign = np.argmax(v @ C.T, axis=1)
+    resid = v - C[assign]
+    return cents, _pq_kmeans_matrix(resid, int(m), int(ksub), int(iters))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_codegen_cells: int = ASSIGN_CODEGEN_MAX_K,
+) -> DataFrame:
+    """IVF-PQ ANN: assign + residual-encode the corpus, probe ``nprobe``
+    cells per query, ADC-score candidates against the reconstruction.
+
+    approx cos = (q.c + sum_j q_j.cw_j)
+                 / (|q| * sqrt(|c|^2 + 2 sum_j c_j.cw_j + sum_j |cw_j|^2))
+    — every corpus-side term is a table lookup on (cell, code); the
+    floats never leave the index build. Scale shape: the candidate join
+    shuffles on the cell id (work = sum over probed lists, never
+    corpus x queries); the scoring pass is one Arrow batch kernel over
+    the joined candidates. Scores are quantized ESTIMATES (like PQ):
+    recall, not dominance, is the quality contract."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)          # (cells, d)
+    B = np.asarray(codebooks, dtype=np.float64)          # (m, ksub, dsub)
+    mm, kk, dd = B.shape
+    cells = len(C)
+
+    # corpus index build: cell assignment + residual PQ codes. The
+    # expression route handles gate-scale sizes; production sizes run
+    # one numpy kernel per Arrow batch (assign, subtract, argmin).
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _dvec(F.col(vec_col)).alias("cv"))
+    if cells + cells * mm * kk <= max_codegen_cells:
+        cc = assign_cells(c0, centroids, vec_col="cv",
+                          max_codegen_k=max_codegen_cells)
+        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                             for c in centroids])
+        resid = F.zip_with(F.col("cv"),
+                           F.element_at(cent_arr, F.col("cell") + 1),
+                           lambda x, y: x - y)
+        cc = cc.withColumn("rv", resid)
+        enc = pq_encode(cc, codebooks, id_col="neighbor_id",
+                        vec_col="rv",
+                        max_codegen_cells=max_codegen_cells
+                        ).select("neighbor_id", "cell", "pq_code")
+    else:
+        bc_idx = c0.sparkSession.sparkContext.broadcast((C, B))
+        enc_schema = T.StructType([
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("pq_code", T.ArrayType(T.IntegerType())),
+        ])
+
+        def build(it):
+            import pandas as pd
+            Cb, Bb = bc_idx.value
+            cn2 = np.einsum("mkd,mkd->mk", Bb, Bb)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["cv"].tolist(), np.float64)
+                cell = np.argmax(X @ Cb.T, axis=1)
+                R = X - Cb[cell]
+                codes = np.empty((len(pdf), mm), np.int32)
+                for j in range(mm):
+                    S = (-2.0 * (R[:, j * dd:(j + 1) * dd] @ Bb[j].T)
+                         + cn2[j])
+                    codes[:, j] = np.argmin(S, axis=1)
+                yield pd.DataFrame({
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cell": cell.astype(np.int32),
+                    "pq_code": list(codes)})
+
+        enc = c0.mapInPandas(build, enc_schema)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(F.col(vec_col)).alias("qv"))
+    probes = probe_cells(q, centroids, vec_col="qv", nprobe=nprobe,
+                         id_cols=["query_id"],
+                         max_codegen_k=max_codegen_cells).select(
+        "query_id", "qv", "cell")
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+
+    # scoring kernel: corpus-side terms are (cell, code) lookups built
+    # once per task; the query terms are per-row dots against the
+    # broadcast codebooks
+    cn2_cell = np.einsum("cd,cd->c", C, C)               # |c|^2
+    ccw = np.einsum("cjd,jkd->cjk",
+                    C.reshape(cells, mm, dd), B)          # c_j . cw
+    cwn2 = np.einsum("mkd,mkd->mk", B, B)                # |cw|^2
+    bc_sc = cand.sparkSession.sparkContext.broadcast(
+        (C, B, cn2_cell, ccw, cwn2))
+    sc_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def score(it):
+        import pandas as pd
+        Cb, Bb, cn2c, ccwb, cwn2b = bc_sc.value
+        jj = np.arange(mm)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Qv = np.asarray(pdf["qv"].tolist(), np.float64)
+            cell = pdf["cell"].to_numpy(np.int64)
+            codes = np.asarray(pdf["pq_code"].tolist(), np.int64)
+            qc = np.einsum("nd,nd->n", Qv, Cb[cell])
+            # q_j . cw_{j,code_j}: per-row gather from the row's own
+            # query LUT (rows share few queries, but per-row einsum is
+            # simplest and the candidate set is probe-bounded)
+            Qs = Qv.reshape(len(Qv), mm, dd)
+            qr = np.einsum("njd,njd->n",
+                           Qs, Bb[jj[None, :], codes[:, jj]])
+            num = qc + qr
+            den2 = (cn2c[cell]
+                    + 2.0 * ccwb[cell[:, None], jj[None, :],
+                                 codes[:, jj]].sum(axis=1)
+                    + cwn2b[jj, codes[:, jj]].sum(axis=1))
+            qn = np.sqrt(np.einsum("nd,nd->n", Qv, Qv))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = num / (qn * np.sqrt(np.maximum(den2, 0.0)))
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                "cos_sim": s})
+
+    scored = cand.mapInPandas(score, sc_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

@@ -414,3 +414,47 @@ def test_hamming_topk_packing_and_quality(spark):
         return len(a & b) / len(b)
     r16, r199 = rec(16), rec(199)
     assert r199 == 1.0 and r16 <= r199
+
+
+def test_ivfpq_tiers_agree_and_cluster_retrieval(spark):
+    """IVF-PQ: (a) the expression index-build tier and the forced
+    numpy tier return identical neighbors/ranks and scores (both end
+    in the same scoring kernel); (b) on clustered data every retrieved
+    neighbor is in the query's cluster and the ADC estimate tracks the
+    true cosine; (c) one trainer call yields both structures
+    deterministically (repeat call identical)."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.similarity.ann import (
+        brute_force_topk, ivfpq_topk, train_ivfpq)
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(6, 32)) * 4.0
+    v = np.concatenate([c + rng.normal(size=(50, 32)) * 0.3
+                        for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(v), dtype=np.int64),
+                        "embedding": [list(map(float, r)) for r in v]})
+    df = spark.createDataFrame(pdf)
+    cents, books = train_ivfpq(df, n_cells=6, m=4, ksub=8)
+    cents2, books2 = train_ivfpq(df, n_cells=6, m=4, ksub=8)
+    assert cents == cents2 and books == books2
+
+    q = df.filter("vec_id < 8")
+    a = (ivfpq_topk(df, q, cents, books, k=4, nprobe=2).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (ivfpq_topk(df, q, cents, books, k=4, nprobe=2,
+                    max_codegen_cells=0).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert (a[["query_id", "neighbor_id", "rank"]].to_numpy()
+            == b[["query_id", "neighbor_id", "rank"]].to_numpy()).all()
+    assert np.allclose(a.cos_sim, b.cos_sim, rtol=0, atol=1e-12)
+
+    assert len(a) == 8 * 4
+    assert ((a.neighbor_id // 50) == (a.query_id // 50)).all()
+    wide = brute_force_topk(df, q, k=299).toPandas().rename(
+        columns={"cos_sim": "true_cos"})
+    j = a.merge(wide[["query_id", "neighbor_id", "true_cos"]],
+                on=["query_id", "neighbor_id"])
+    assert len(j) == len(a)
+    assert np.abs(j.cos_sim - j.true_cos).max() < 0.02
