@@ -1536,7 +1536,10 @@ def sql_pq_topk(codebooks: list[list[list[float]]], k: int = 5,
 def _sign_sig(vec: Column, lo_bit: int, n_bits: int) -> Column:
     """Pack sign bits [lo_bit, lo_bit+n_bits) into one non-negative
     BIGINT: bit i set iff vec[lo_bit + i] >= 0. n_bits <= 32 keeps the
-    value far from the sign bit on both engines."""
+    value far from the sign bit on both engines (callers chunk wider
+    vectors into ceil(dim/32) words via :func:`_sig_words`)."""
+    if n_bits > 32:
+        raise ValueError(f"_sign_sig packs at most 32 bits, got {n_bits}")
     s = None
     for i in range(n_bits):
         t = F.when(F.element_at(vec, lo_bit + i + 1) >= 0,
@@ -1544,6 +1547,15 @@ def _sign_sig(vec: Column, lo_bit: int, n_bits: int) -> Column:
             F.lit(0).cast("long"))
         s = t if s is None else s + t
     return s  # integer additions: exact in any order, both engines
+
+
+def _sig_words(dim: int) -> list[tuple[int, int]]:
+    """(lo_bit, n_bits) spans chunking ``dim`` sign bits into
+    ceil(dim/32) 32-bit words — any dim packs without LongType
+    overflow (round-10 advice: the old two-half layout silently packed
+    dim-32 > 32 bits into the second word for dim > 64, needing
+    1 << 63 and beyond)."""
+    return [(lo, min(32, dim - lo)) for lo in range(0, dim, 32)]
 
 
 def hamming_topk(
@@ -1567,8 +1579,7 @@ def hamming_topk(
     cos_sim, rank)."""
     if rerank is None:
         rerank = 4 * k
-    halves = [(0, min(32, dim)), (32, dim - 32)] if dim > 32 \
-        else [(0, dim)]
+    halves = _sig_words(dim)
 
     def sigs(df: DataFrame, idname: str, vname: str) -> DataFrame:
         v = _dvec(F.col(vec_col))
@@ -1605,8 +1616,7 @@ def sql_hamming_topk(k: int = 5, rerank: int | None = None, dim: int = 64,
     deterministic Hamming cut and exact-cosine re-rank."""
     if rerank is None:
         rerank = 4 * k
-    halves = [(0, min(32, dim)), (32, dim - 32)] if dim > 32 \
-        else [(0, dim)]
+    halves = _sig_words(dim)
 
     def sig(v: str, lo: int, nb: int) -> str:
         return ("list_reduce(list_transform(range(0, " + str(nb) + "),"

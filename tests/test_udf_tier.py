@@ -416,6 +416,42 @@ def test_hamming_topk_packing_and_quality(spark):
     assert r199 == 1.0 and r16 <= r199
 
 
+def test_hamming_topk_wide_dims(spark):
+    """dim > 64 packs into ceil(dim/32) words without LongType
+    overflow (round-10 advice: the old two-half layout needed
+    1 << 63 at dim >= 96): full-width rerank at dim=96 recovers the
+    brute result exactly, and word spans stay <= 32 bits."""
+    import numpy as np
+    import pandas as pd
+
+    from cngi_prototype_spark.similarity.ann import (
+        _sig_words, brute_force_topk, hamming_topk)
+
+    assert _sig_words(96) == [(0, 32), (32, 32), (64, 32)]
+    assert _sig_words(64) == [(0, 32), (32, 32)]
+    assert _sig_words(70) == [(0, 32), (32, 32), (64, 6)]
+    assert _sig_words(16) == [(0, 16)]
+
+    rng = np.random.default_rng(47)
+    v = rng.normal(size=(60, 96))
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                        "embedding": [list(map(float, r)) for r in v]})
+    df = spark.createDataFrame(pdf)
+    q = df.filter("vec_id < 3")
+    got = hamming_topk(df, q, k=3, rerank=59, dim=96).toPandas()
+    ref = brute_force_topk(df, q, k=3).toPandas()
+    a = set(map(tuple, got[["query_id", "neighbor_id"]].to_numpy()))
+    b = set(map(tuple, ref[["query_id", "neighbor_id"]].to_numpy()))
+    assert a == b
+    # packed signatures are non-negative (no sign-bit spill)
+    import pyspark.sql.functions as F
+    from cngi_prototype_spark.similarity.ann import _dvec, _sign_sig
+    sigs = df.select(*[
+        _sign_sig(_dvec(F.col("embedding")), lo, nb).alias(f"s{i}")
+        for i, (lo, nb) in enumerate(_sig_words(96))]).toPandas()
+    assert (sigs >= 0).all().all()
+
+
 def test_ivfpq_tiers_agree_and_cluster_retrieval(spark):
     """IVF-PQ: (a) the expression index-build tier and the forced
     numpy tier return identical neighbors/ranks and scores (both end
