@@ -281,7 +281,23 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # decorrelated replicas keep per-shard geometry; the
                   # per-dir codebooks memoize, so min-of-2 times the
                   # scan, not the trainer)
-                  "ann_pq_topk"]
+                  "ann_pq_topk",
+                  # round 11: the shuffle-heavy relational ops get 10x
+                  # evidence — the reference's own cautionary number is
+                  # chunk-sensitivity on exactly this class (BASELINE
+                  # 6.7x vs 0.36x). time_average: 10x rows into the
+                  # same time bins (events replicate with shifted ids,
+                  # timestamps verbatim — heavier per-key agg, the skew
+                  # direction). flag_summary: 10x lineitem fact join
+                  # against constant orders + grouping-sets rollup.
+                  # join_dataset: override below (gate scope reads only
+                  # symlinked dims, which would measure nothing).
+                  # minhash_lsh_candidates: banded-LSH bucketing over
+                  # the decorrelated 10x corpus (within-shard candidate
+                  # structure preserved, cross-shard shingle overlap
+                  # zero, so candidates scale linearly).
+                  "time_average", "flag_summary", "join_dataset",
+                  "minhash_lsh_candidates"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -439,7 +455,34 @@ def _ladder_degrid_skew(spark, sf_dir: str):
                                salt_probe=True)
 
 
+def _ladder_join_dataset(spark, sf_dir: str):
+    # gate scope reads customer+orders, which the ladder only symlinks
+    # — it would time a constant workload. This rung drives the same
+    # operator (surrogate-key catalog union + fact remap join) with the
+    # fact side on the REPLICATED lineitem (10x rows) and the dim side
+    # constant (dims don't scale with facts in a real catalog): what
+    # must scale is the fact-side remap join, which broadcasts the
+    # surrogate-key map.
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.operators import joins as OJ
+    li = Q._t(spark, sf_dir, "lineitem")
+    customer = Q._t(spark, sf_dir, "customer")
+    dim1 = (customer.filter(F.col("c_custkey") <= 1000)
+            .select(F.col("c_custkey").alias("id"), "c_name"))
+    dim2 = (customer.filter(F.col("c_custkey") > 800)
+            .select((F.col("c_custkey") - 800).alias("id"), "c_name"))
+    fact1 = (li.filter(F.col("l_suppkey") <= 1000)
+             .select("l_orderkey", F.col("l_suppkey").alias("fk")))
+    fact2 = (li.filter(F.col("l_suppkey") > 800)
+             .select("l_orderkey", (F.col("l_suppkey") - 800).alias("fk")))
+    fact_out, _dim_out = OJ.join_dataset(fact1, dim1, fact2, dim2,
+                                         dim_key="id", fact_fk="fk")
+    return fact_out.groupBy("fk").agg(F.count(F.lit(1)).alias("n"))
+
+
 LADDER_OVERRIDES = {
+    "join_dataset": _ladder_join_dataset,
     "embedding_neardup_lsh": _ladder_neardup_lsh,
     "semantic_dedup": _ladder_semantic_dedup,
     "uv_degrid_kernel_skew": _ladder_degrid_skew,

@@ -985,11 +985,13 @@ from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     sql_cosine_pairs_lsh,
     sql_hamming_topk,
     sql_ivf_topk,
+    sql_ivfpq_topk,
     sql_lsh_topk,
     sql_pool_embeddings,
     sql_pq_topk,
     sql_semantic_dedup,
     train_ivfpq,
+    train_ivfpq_arrow,
     train_pq_codebooks,
 )
 from cngi_prototype_spark.text.analysis import (  # noqa: E402
@@ -1414,6 +1416,39 @@ def ann_hamming_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# TRAINED IVF-PQ structures for the 'ivfpq' gate part (the same
+# 'semtrained' pattern as _pq_gate_codebooks): one deterministic arrow
+# trainer call on the fixture corpus yields the coarse centroids AND
+# the residual codebooks both sides embed. 8 cells x (4 x 16) residual
+# books; the gate call raises max_codegen_cells so the whole
+# composition (assign -> residual encode -> probe -> ADC) runs on the
+# unrolled expression route the SQL twin mirrors bit-for-bit. m=8
+# (dsub 8) over m=4: on near-random 64-d data the extra subspaces
+# double the reconstruction-direction fidelity (measured recall
+# 0.12/0.20 vs 0.06 at m=4) for the same 4-bit codes.
+def _ivfpq_gate_structs() -> tuple[list, list]:
+    global _IVFPQ_TRAINED
+    if "_IVFPQ_TRAINED" not in globals():
+        import os
+        if os.path.exists(_SEM_FIXTURE_EMB):
+            _IVFPQ_TRAINED = train_ivfpq_arrow(
+                _SEM_FIXTURE_EMB, n_cells=8, m=8, ksub=16)
+        else:  # fixture absent: pinned md5 structures, both sides
+            from cngi_prototype_spark.similarity.ann import _plane
+            _IVFPQ_TRAINED = (
+                _ivf_gate_centroids(),
+                [[_plane(950 + j, c, 8) for c in range(16)]
+                 for j in range(8)])
+    return _IVFPQ_TRAINED
+
+
+def ann_ivfpq_gate_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = _ivfpq_gate_structs()
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
+                      books, k=5, nprobe=3, max_codegen_cells=2048)
+
+
 # Exact brute-force, hyperplane-LSH, IVF, and PQ/ADC top-k share one
 # slot: all emit (query_id, neighbor_id, cos_sim, rank); LSH/IVF use
 # deterministic md5-derived structures and PQ uses arrow-trained
@@ -1428,7 +1463,9 @@ def _sql_ann_topk() -> str:
     l AS ({sql_lsh_topk(5, 64, 6, 42, "vec_id < 10")}),
     i AS ({sql_ivf_topk(_ivf_gate_centroids(), 5, 3, "vec_id < 10")}),
     p AS ({sql_pq_topk(_pq_gate_codebooks(), 5, "vec_id < 10")}),
-    h AS ({sql_hamming_topk(5, query_pred="vec_id < 10")})
+    h AS ({sql_hamming_topk(5, query_pred="vec_id < 10")}),
+    v AS ({sql_ivfpq_topk(*_ivfpq_gate_structs(), k=5, nprobe=3,
+                          query_pred="vec_id < 10")})
     SELECT 'brute' AS method, * FROM b
     UNION ALL
     SELECT 'lsh', * FROM l
@@ -1438,6 +1475,8 @@ def _sql_ann_topk() -> str:
     SELECT 'pq', * FROM p
     UNION ALL
     SELECT 'hamming', * FROM h
+    UNION ALL
+    SELECT 'ivfpq', * FROM v
     UNION ALL
     SELECT 'recall_lsh', b.query_id, -1,
            CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), -1
@@ -1461,6 +1500,12 @@ def _sql_ann_topk() -> str:
            CAST(COUNT(h.neighbor_id) AS DOUBLE) / COUNT(*), -1
     FROM b LEFT JOIN h ON b.query_id = h.query_id
                       AND b.neighbor_id = h.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'recall_ivfpq', b.query_id, -1,
+           CAST(COUNT(v.neighbor_id) AS DOUBLE) / COUNT(*), -1
+    FROM b LEFT JOIN v ON b.query_id = v.query_id
+                      AND b.neighbor_id = v.neighbor_id
     GROUP BY b.query_id
     UNION ALL
     -- retrieval-floor ASSERTIONS (oracle emits LITERALS, Spark
@@ -1488,6 +1533,12 @@ def _sql_ann_topk() -> str:
     --     sf0.01 with rerank 4k; SimHash's cos(pi*ham/d) law holds
     --     even on random embeddings)
     SELECT 'floor_hamming', -1, -1, 1.0, 1
+    UNION ALL
+    -- (5) composed IVF-PQ mean recall@5 >= 0.05 (the coarse probe and
+    --     the residual-ADC losses compound; measured 0.12/0.20 at
+    --     sf0.01/sf0.001 with 8 cells, nprobe 3, 8x16 residual books —
+    --     chance is k/(n-1) ~ 0.01 at sf0.01)
+    SELECT 'floor_ivfpq', -1, -1, 1.0, 1
     """
 
 
@@ -1498,6 +1549,7 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     i_ = ann_ivf_topk_q(spark, sf_dir)
     p_ = ann_pq_gate_topk_q(spark, sf_dir)
     h_ = ann_hamming_topk_q(spark, sf_dir)
+    v_ = ann_ivfpq_gate_topk_q(spark, sf_dir)
 
     def recall(approx: DataFrame, tag: str) -> DataFrame:
         j = (b_.alias("b").join(
@@ -1547,15 +1599,18 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(l_.select(F.lit("lsh").alias("method"), "*"))
            .unionByName(i_.select(F.lit("ivf").alias("method"), "*"))
            .unionByName(p_.select(F.lit("pq").alias("method"), "*"))
-           .unionByName(h_.select(F.lit("hamming").alias("method"), "*")))
+           .unionByName(h_.select(F.lit("hamming").alias("method"), "*"))
+           .unionByName(v_.select(F.lit("ivfpq").alias("method"), "*")))
     return (out.unionByName(recall(l_, "recall_lsh"))
             .unionByName(recall(i_, "recall_ivf"))
             .unionByName(recall(p_, "recall_pq"))
             .unionByName(recall(h_, "recall_hamming"))
+            .unionByName(recall(v_, "recall_ivfpq"))
             .unionByName(dominance)
             .unionByName(floor_ivf)
             .unionByName(floor(p_, "floor_pq", 0.05))
-            .unionByName(floor(h_, "floor_hamming", 0.15)))
+            .unionByName(floor(h_, "floor_hamming", 0.15))
+            .unionByName(floor(v_, "floor_ivfpq", 0.05)))
 
 
 # Fixed deterministic centroids for the semantic-dedup gate part: the

@@ -1701,6 +1701,63 @@ def train_ivfpq(
     return cents, _pq_kmeans_matrix(resid, int(m), int(ksub), int(iters))
 
 
+def train_ivfpq_arrow(
+    parquet_path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Spark-free twin of :func:`train_ivfpq` (the
+    :func:`train_ivf_centroids_arrow` pattern): the same deterministic
+    id-ordered parquet sample through the same numpy cores
+    (`_kmeans_unit_matrix` then residual `_pq_kmeans_matrix`), so the
+    (centroids, codebooks) pair is bit-identical — a static SQL oracle
+    can embed the TRAINED structures and still hash-match the Spark
+    pipeline (queries.py 'semtrained' pattern)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    t = t.sort_by(id_col).slice(0, int(sample))
+    v = np.asarray(t.column(vec_col).combine_chunks().to_pylist(),
+                   dtype=np.float64)
+    if v.size == 0:
+        raise ValueError(
+            f"train_ivfpq_arrow: no vectors in {parquet_path}")
+    cents = _kmeans_unit_matrix(v, int(n_cells), int(iters))
+    C = np.asarray(cents, dtype=np.float64)
+    assign = np.argmax(v @ C.T, axis=1)
+    resid = v - C[assign]
+    return cents, _pq_kmeans_matrix(resid, int(m), int(ksub), int(iters))
+
+
+def _ccw_lut(centroids: list[list[float]],
+             codebooks: list[list[list[float]]]
+             ) -> list[list[list[float]]]:
+    """[cell][j][code] -> c_j . cw_{j,code} as python floats summed in
+    a fixed sequential order (the `_cw_norm2` discipline): both engines
+    embed the IDENTICAL literal, never recompute it."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = []
+    for c in centroids:
+        per_j = []
+        for j in range(m):
+            row = []
+            for cw in codebooks[j]:
+                s = 0.0
+                for i in range(dsub):
+                    s += float(c[j * dsub + i]) * float(cw[i])
+                row.append(s)
+            per_j.append(row)
+        out.append(per_j)
+    return out
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1787,6 +1844,48 @@ def ivfpq_topk(
         "query_id", "qv", "cell")
     cand = enc.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    if cells + cells * mm * kk <= max_codegen_cells:
+        # expression scoring tier (gate scale, mirrored bit-for-bit by
+        # sql_ivfpq_topk): every corpus-side term is an unrolled
+        # literal lookup on (cell, code); the ccw and norm tables are
+        # python-float literals shared verbatim with the SQL twin, so
+        # the ADC cosine hashes identically on both engines. Callers
+        # opt in by raising max_codegen_cells — production sizes stay
+        # on the Arrow kernel below (tier parity is unit-tested).
+        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                             for c in centroids])
+        code = F.col("pq_code")
+        num = _dot(F.col("qv"), F.element_at(cent_arr, F.col("cell") + 1))
+        for j in range(mm):
+            dj = F.element_at(
+                F.array(*[_dot(_pq_sub(F.col("qv"), j, dd),
+                               F.array(*[F.lit(float(x)) for x in cw]))
+                          for cw in codebooks[j]]),
+                F.element_at(code, j + 1) + 1)
+            num = num + dj
+        ccw = _ccw_lut(centroids, codebooks)
+        den2 = F.element_at(
+            F.array(*[F.lit(_cw_norm2(c)) for c in centroids]),
+            F.col("cell") + 1)
+        for j in range(mm):
+            den2 = den2 + F.lit(2.0) * F.element_at(
+                F.element_at(
+                    F.array(*[F.array(*[F.lit(x) for x in ccw[ci][j]])
+                              for ci in range(cells)]),
+                    F.col("cell") + 1),
+                F.element_at(code, j + 1) + 1)
+        for j in range(mm):
+            den2 = den2 + F.element_at(
+                F.array(*[F.lit(_cw_norm2(cw)) for cw in codebooks[j]]),
+                F.element_at(code, j + 1) + 1)
+        qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        scored = cand.withColumn("cos_sim", num / (qn * F.sqrt(den2)))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos_sim", "rank"))
 
     # scoring kernel: corpus-side terms are (cell, code) lookups built
     # once per task; the query terms are per-row dots against the
@@ -1834,8 +1933,113 @@ def ivfpq_topk(
                 "cos_sim": s})
 
     scored = cand.mapInPandas(score, sc_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def sql_ivfpq_topk(centroids: list[list[float]],
+                   codebooks: list[list[list[float]]],
+                   k: int = 5, nprobe: int = 4,
+                   query_pred: str = "vec_id < 10") -> str:
+    """DuckDB twin of the expression-tier :func:`ivfpq_topk` for fixed
+    trained structures: the same first-max cell assignment, the same
+    elementwise residual, the same ``-2 x.c + ||c||^2`` first-min
+    residual codes, the same probe ranking, and the same
+    lookup-chained ADC cosine against c + r-hat — every norm and
+    c.cw table entry is the identical python-float literal the Spark
+    expressions embed, so the scores hash bit-equal."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    d = len(centroids[0])
+    cells = len(centroids)
+
+    def lit(xs: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.17e}" for x in xs) + "]"
+
+    cents_nested = "[" + ", ".join(lit(c) for c in centroids) + "]"
+
+    def dot_full(v: str, i: int) -> str:
+        return (f"list_reduce(list_transform(range(1, {d} + 1),"
+                f" i -> {v}[i] * ({lit(centroids[i])})[i]),"
+                " (acc, x) -> acc + x)")
+
+    dots_list = "[" + ", ".join(dot_full("cv", i)
+                                for i in range(cells)) + "]"
+    assign = (f"CAST(list_position({dots_list}, list_max({dots_list}))"
+              " - 1 AS INT)")
+
+    def dot_sub(v: str, j: int, cw: list[float]) -> str:
+        return (f"list_reduce(list_transform(range(1, {dsub} + 1),"
+                f" i -> {v}[{j * dsub} + i] * ({lit(cw)})[i]),"
+                " (acc, x) -> acc + x)")
+
+    def code(j: int) -> str:
+        dists = "[" + ", ".join(
+            f"-2 * ({dot_sub('rv', j, cw)}) + {_cw_norm2(cw):.17e}"
+            for cw in codebooks[j]) + "]"
+        return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+    enc = "[" + ", ".join(code(j) for j in range(m)) + "]"
+
+    probe_branches = "\n      UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS cell, {dot_full('qv', i)} AS cdot"
+        " FROM q" for i in range(cells))
+
+    # ADC numerator: q.c_cell then the per-subspace q_j.cw lookups, in
+    # the Spark chain order (left-assoc +)
+    qc = (f"list_reduce(list_transform(range(1, {d} + 1),"
+          f" i -> qv[i] * ({cents_nested})[cell + 1][i]),"
+          " (acc, x) -> acc + x)")
+    adc = " + ".join(
+        "([" + ", ".join(dot_sub("qv", j, cw) for cw in codebooks[j])
+        + f"])[code[{j + 1}] + 1]" for j in range(m))
+    ccw = _ccw_lut(centroids, codebooks)
+    cell_n2 = "[" + ", ".join(f"{_cw_norm2(c):.17e}"
+                              for c in centroids) + "]"
+    ccw_terms = " + ".join(
+        "2 * (["
+        + ", ".join(lit(ccw[ci][j]) for ci in range(cells))
+        + f"])[cell + 1][code[{j + 1}] + 1]" for j in range(m))
+    cwn2_terms = " + ".join(
+        "([" + ", ".join(f"{_cw_norm2(cw):.17e}" for cw in codebooks[j])
+        + f"])[code[{j + 1}] + 1]" for j in range(m))
+    den2 = f"({cell_n2})[cell + 1] + {ccw_terms} + {cwn2_terms}"
+    qn = ("sqrt(list_reduce(list_transform(range(1, len(qv) + 1),"
+          " i -> qv[i] * qv[i]), (acc, x) -> acc + x))")
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id,
+                      {SQL_DVEC.format(v='embedding')} AS cv
+               FROM embeddings),
+    ca AS (SELECT neighbor_id, cv, {assign} AS cell FROM c),
+    r AS (SELECT neighbor_id, cell,
+                 list_transform(range(1, {d} + 1),
+                                i -> cv[i] - ({cents_nested})[cell + 1][i])
+                 AS rv
+          FROM ca),
+    enc AS (SELECT neighbor_id, cell, {enc} AS code FROM r),
+    q AS (SELECT vec_id AS query_id, {SQL_DVEC.format(v='embedding')} AS qv
+          FROM embeddings WHERE {query_pred}),
+    probes AS (
+      {probe_branches}
+    ),
+    pr AS (
+      SELECT query_id, qv, cell,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cdot DESC, cell) AS prk
+      FROM probes
+    ),
+    scored AS (
+      SELECT q2.query_id, e.neighbor_id,
+             (({qc}) + {adc}) / (({qn}) * sqrt({den2})) AS cos_sim
+      FROM enc e JOIN (SELECT * FROM pr WHERE prk <= {nprobe}) q2
+        USING (cell)
+      WHERE e.neighbor_id <> q2.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
