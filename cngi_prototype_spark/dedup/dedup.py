@@ -738,7 +738,9 @@ def spans_dedup_batch(
     property-tested). ``new_grams`` is this batch's distinct
     fingerprints not already in the store — the store grows by every
     gram ever seen, which is exactly the paper's suffix-array content
-    re-expressed as a hash set.
+    re-expressed as a hash set (lifecycle:
+    :func:`streaming.stream_ops.compact_store` folds batch partitions
+    and offers TTL retention).
 
     Scale shape: one fingerprint shuffle per batch (∝ batch token
     count) plus a (batch ⋈ store) join on 16-byte keys; no driver

@@ -284,6 +284,70 @@ def _pin_run_base(spark, epoch_path: str, store_path: str,
     return b
 
 
+def compact_store(
+    spark,
+    store_path: str,
+    *,
+    retain_min_batch: int | None = None,
+    target_files: int = 8,
+) -> tuple[int, int]:
+    """Offline compaction of a persistent incremental-dedup store (the
+    gram store of :func:`stream_dedup_spans`, the bucket store of
+    :func:`stream_dedup_neardup`): fold every ``_batch=N`` partition
+    into ONE ``_batch=0`` partition of ``target_files`` files with
+    duplicate keys collapsed. Returns ``(rows_before, rows_after)``.
+
+    Retention contract: without compaction the store grows by every
+    distinct key ever seen — that is the OPERATOR's semantics (the
+    ExactSubstr store is the paper's suffix-array content; near-dup
+    buckets are the cluster representatives), so the floor is
+    corpus-bound, not time-bound. What compaction bounds is the
+    OVERHEAD above that floor: micro-batch partition sprawl (one
+    directory + small files per batch, thousands after a week of
+    triggers) and replay-attempt duplicates. For genuinely bounded
+    state, ``retain_min_batch`` drops keys whose epoch is older than
+    the cutoff BEFORE folding — a documented semantics trade: spans /
+    near-dups are then deduplicated only against the retained window,
+    and content last seen before it can re-enter the corpus.
+
+    Run ONLY while no stream is writing the store, stopped at a
+    committed batch boundary (an uncommitted batch's partial partition
+    would otherwise be folded into permanent state and escape its
+    replay's own-partition exclusion). Start the next run on a fresh
+    checkpoint: `_pin_run_base` then pins base = 1, immediately past
+    the compacted partition, and the ``_batch < eb`` visibility guard
+    sees the folded state exactly as it saw the original partitions.
+    The swap (write aside, delete, rename) is not atomic on object
+    stores — treat it as a maintenance job, not a concurrent one."""
+    df = spark.read.parquet(store_path)
+    before = df.count()
+    if retain_min_batch is not None:
+        df = df.filter(F.col("_batch") >= int(retain_min_batch))
+    compacted = (df.drop("_batch").distinct()
+                 .repartition(int(target_files))
+                 .withColumn("_batch", F.lit(0))
+                 .persist())
+    after = compacted.count()
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if after == 0:
+        # an absent store IS the canonical empty state (the streams'
+        # _hadoop_exists guard); a zero-row partitioned parquet dir is
+        # unreadable (no schema to infer)
+        compacted.unpersist()
+        fs.delete(jsrc, True)
+        return before, 0
+    tmp = store_path.rstrip("/") + "__compact_tmp"
+    (compacted.write.mode("overwrite")
+     .partitionBy("_batch").parquet(tmp))
+    compacted.unpersist()
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(jsrc, True)
+    fs.rename(jtmp, jsrc)
+    return before, after
+
+
 def neardup_dedup_batch(
     new_docs: DataFrame,
     seen_buckets: DataFrame | None,
@@ -451,7 +515,11 @@ def stream_dedup_spans(
     read excludes the current partition, and a fresh checkpoint over a
     populated store starts past every prior run's partitions with all
     prior grams visible. Store size ∝ distinct grams ever seen × 16 B —
-    the paper's suffix array re-expressed as a hash set.
+    the paper's suffix array re-expressed as a hash set; that floor is
+    corpus-bound by the operator's semantics. :func:`compact_store`
+    bounds the overhead above it (per-batch partition sprawl, replay
+    duplicates) and offers a TTL retention window for genuinely
+    bounded state.
     """
     from cngi_prototype_spark.dedup.dedup import spans_dedup_batch
 

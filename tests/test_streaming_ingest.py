@@ -661,3 +661,80 @@ def test_stream_dedup_spans_end_to_end(spark, tmp_path):
     assert out.n_removed[1] >= 8          # the repeated span removed
     assert phrase not in out.text_dedup[1]
     assert phrase in out.text_dedup[0]
+
+
+def test_compact_store_lifecycle(spark, tmp_path):
+    """Gram-store compaction: after two streamed batches, compact_store
+    folds the per-batch partitions into one `_batch=0` partition with
+    identical distinct keys, and a FRESH-checkpoint continuation over
+    the compacted store cuts a batch-1 phrase exactly as the
+    uncompacted store would. TTL mode (retain_min_batch past the end)
+    expires the grams, so the same phrase is NOT cut — the documented
+    bounded-state trade."""
+    import os
+    import shutil
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        compact_store, stream_dedup_spans)
+
+    phrase = "sphinx of black quartz judge my vow again now here"
+    schema = "doc_id long, text string"
+    os.makedirs(tmp_path / "in")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(tmp_path / "in"))
+
+    def run(ck):
+        writer = stream_dedup_spans(
+            spark.readStream.schema(schema).parquet(str(tmp_path / "in")),
+            str(tmp_path / "out"), str(tmp_path / "grams"), str(ck), n=6)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    feed([(0, f"opening doc says {phrase} and then stops")])
+    run(tmp_path / "ck1")
+    feed([(1, "an unrelated middle doc with only fresh tokens here")])
+    run(tmp_path / "ck1")
+
+    grams = str(tmp_path / "grams")
+    pre = spark.read.parquet(grams)
+    distinct_keys = pre.drop("_batch").distinct().count()
+    batches_before = pre.select("_batch").distinct().count()
+    assert batches_before == 2
+    # control copy: the uncompacted store
+    shutil.copytree(grams, str(tmp_path / "grams_ctl"))
+
+    before, after = compact_store(spark, grams, target_files=2)
+    post = spark.read.parquet(grams)
+    assert after == distinct_keys == post.count()
+    assert post.select("_batch").distinct().collect()[0][0] == 0
+    assert before >= after
+
+    # continuation parity: batch 3 repeats the phrase; compacted and
+    # control stores must produce the identical rebuilt document
+    feed([(2, f"closing doc repeats {phrase} word for word")])
+    run(tmp_path / "ck2")       # fresh checkpoint over compacted store
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    got = out[out.doc_id == 2].iloc[0]
+    assert phrase not in got.text_dedup and got.n_removed >= 8
+
+    from cngi_prototype_spark.dedup.dedup import spans_dedup_batch
+    ctl_store = spark.read.parquet(str(tmp_path / "grams_ctl"))
+    ctl, _ = spans_dedup_batch(
+        spark.createDataFrame(
+            [(2, f"closing doc repeats {phrase} word for word")], schema),
+        ctl_store, n=6)
+    ctl_row = ctl.toPandas().iloc[0]
+    assert ctl_row.text_dedup == got.text_dedup
+    assert ctl_row.n_removed == got.n_removed
+
+    # TTL: expire everything seen so far -> the phrase re-enters
+    b, a = compact_store(spark, grams, retain_min_batch=10**6)
+    assert a == 0
+    ttl, _ = spans_dedup_batch(
+        spark.createDataFrame(
+            [(9, f"late doc repeats {phrase} once more")], schema),
+        spark.read.parquet(grams) if a else None, n=6)
+    trow = ttl.toPandas().iloc[0]
+    assert phrase in trow.text_dedup and trow.n_removed == 0
