@@ -160,3 +160,50 @@ def test_out_of_sandbox_recipe_references_current_surfaces():
             stale += [f"{node.module}.{a.name}" for a in node.names
                       if not hasattr(mod, a.name)]
     assert not stale, f"recipe references stale names: {stale}"
+
+
+def test_out_of_sandbox_recipe_call_signatures_current():
+    """Deeper pin than name existence (round 11): every CALL the recipe
+    makes to an imported cngi_prototype_spark function must bind
+    against the function's CURRENT signature — a renamed kwarg or a
+    tightened positional list in the adapters (ms_adapter,
+    casa_image_adapter — both the --ms and --image modes) breaks this
+    test in-sandbox instead of breaking the recipe out of it."""
+    import ast
+    import importlib
+    import inspect
+    import os
+
+    recipe = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "verify_ms_adapter.py")
+    tree = ast.parse(open(recipe).read())
+    funcs = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.ImportFrom) and node.module
+                and node.module.startswith("cngi_prototype_spark")):
+            mod = importlib.import_module(node.module)
+            for a in node.names:
+                obj = getattr(mod, a.name, None)
+                if callable(obj):
+                    funcs[a.asname or a.name] = obj
+    assert funcs, "recipe imports no cngi callables — pin is vacuous"
+    checked, bad = 0, []
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in funcs):
+            fn = funcs[node.func.id]
+            try:
+                sig = inspect.signature(fn)
+            except (TypeError, ValueError):
+                continue
+            args = [None] * sum(isinstance(a, ast.Starred) is False
+                                for a in node.args)
+            kwargs = {k.arg: None for k in node.keywords
+                      if k.arg is not None}
+            try:
+                sig.bind_partial(*args, **kwargs)
+                checked += 1
+            except TypeError as e:
+                bad.append(f"{node.func.id} line {node.lineno}: {e}")
+    assert checked >= 2, "expected calls to both adapter surfaces"
+    assert not bad, f"recipe calls no longer bind: {bad}"
