@@ -520,6 +520,69 @@ def _ladder_min(fn, spark, d: str) -> float:
     return min(rs)
 
 
+def _pipeline_training_assembly(spark, sf_dir: str):
+    """End-to-end training-data assembly as ONE composed plan —
+    hygiene filter → near-dup corpus dedup → benchmark
+    decontamination → temperature-mixture sampling → chunking →
+    sequence packing; every stage is the correspondingly-gated
+    operator, so this times COMPOSITION overhead (stage boundaries,
+    reused scans, chained shuffles), not new semantics. Returns the
+    final aggregate so timing forces the whole pipeline."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.dedup.dedup import (dedup_corpus,
+                                                  ngram_contamination)
+    from cngi_prototype_spark.text.analysis import (chunk_documents,
+                                                    filter_documents)
+    from cngi_prototype_spark.text.training import (mixture_fractions,
+                                                    pack_sequences,
+                                                    stratified_sample)
+
+    # trim to (id, text): the raw table carries its own n_chars, which
+    # would collide with the feature columns the filter annotates
+    docs = Q._docs(spark, sf_dir).select("doc_id", "text")
+    kept = (filter_documents(docs, min_quality=0.2, min_chars=10)
+            .filter("keep").select("doc_id", "text", "lang_pred"))
+    dd = dedup_corpus(kept, threshold=0.05, shingle_n=3)
+    clean = dd.filter("is_kept").select("doc_id", "text", "lang_pred")
+    # eval set bounded by construction (replica 0's first docs): the
+    # gram side broadcasts, the corpus side streams
+    contam = ngram_contamination(clean, docs.filter("doc_id < 400"),
+                                 shingle_n=8, min_overlap=1)
+    decon = clean.join(contam.select("doc_id").distinct(),
+                       "doc_id", "left_anti")
+    # driver traffic bounded by the language-stratum count, not rows
+    counts = {r["lang_pred"]: r["n"] for r in
+              decon.groupBy("lang_pred")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    fracs = mixture_fractions(counts, temperature=2.0,
+                              target_total=sum(counts.values()) * 2 // 3)
+    mixed = stratified_sample(decon, fracs, by="lang_pred")
+    chunks = chunk_documents(mixed, chunk_tokens=128)
+    packed = pack_sequences(
+        chunks.select((F.col("doc_id") * F.lit(100_000)
+                       + F.col("chunk_id")).alias("doc_id"),
+                      F.col("chunk_text").alias("text")),
+        seq_len=2048)
+    return packed.agg(F.count(F.lit(1)).alias("placements"),
+                      (F.max("seq_id") + 1).alias("n_sequences"))
+
+
+def run_pipeline_sf1(spark, sf_dir: str, mult: int) -> dict:
+    """The sf1 composition number (round-11 stretch): the full
+    training-data assembly timed on the ladder's 10x-decorrelated
+    replica dir (sf0.1 x 10 = sf1-equivalent rows), min-of-2 with the
+    ladder's steal guard."""
+    big_dir = _build_ladder_dir(spark, sf_dir, mult)
+    fn = lambda s, d: _pipeline_training_assembly(s, d)  # noqa: E731
+    _run(fn(spark, big_dir))  # codegen/JIT warm
+    sec = _ladder_min(fn, spark, big_dir)
+    row = _pipeline_training_assembly(spark, big_dir).collect()[0]
+    return {"sec": round(sec, 3), "mult": mult,
+            "placements": int(row["placements"]),
+            "n_sequences": int(row["n_sequences"])}
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
@@ -671,6 +734,14 @@ def main() -> None:
         except Exception as e:  # ladder is diagnostic: never break bench
             ladder = {"error": f"{type(e).__name__}: {e}"}
 
+    pipeline_sf1 = None
+    if ladder_mult > 1:
+        try:
+            spark.catalog.clearCache()
+            pipeline_sf1 = run_pipeline_sf1(spark, sf_dir, ladder_mult)
+        except Exception as e:  # diagnostic: never break bench
+            pipeline_sf1 = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_detail",
@@ -682,6 +753,7 @@ def main() -> None:
         "noise": noise,
         "chiles": chiles,
         "ladder": ladder,
+        "pipeline_sf1": pipeline_sf1,
         "sf": sf,
         "cpus": cpus,
     }
@@ -715,6 +787,7 @@ def main() -> None:
         "chiles": compact_chiles,
         "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs,
                   "steal_guard_hits": noise["steal_guard_hits"]},
+        "pipeline_sf1": (pipeline_sf1 or {}).get("sec"),
         "sf": sf,
         "cpus": cpus,
         "detail": "BENCH_DETAIL.json",
