@@ -1736,10 +1736,12 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production IVF-PQ (the FAISS-style index): one deterministic
     sample trains BOTH the coarse cells and the residual codebooks
     (memoized per corpus); queries probe nprobe cells and ADC-score
-    candidates against the c_cell + r-hat reconstruction. Constituent
-    pieces are value-gated elsewhere (assign/probe via ann_topk[ivf],
-    PQ encode/ADC via ann_topk[pq]); the composition is tier-parity
-    and cluster-retrieval unit-tested (tests/test_udf_tier.py)."""
+    candidates against the c_cell + r-hat reconstruction. The
+    COMPOSITION is value-gated as the 'ivfpq' part of ann_topk (round
+    11: expression scoring tier vs sql_ivfpq_topk, bit-exact scores,
+    plus recall/floor rows); this rows-only entry keeps the
+    production Arrow-kernel shape under bench + tier-parity and
+    cluster-retrieval unit tests (tests/test_udf_tier.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVFPQ_PROD:
         _IVFPQ_PROD[sf_dir] = train_ivfpq(emb, n_cells=8, m=8, ksub=32)
