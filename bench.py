@@ -902,18 +902,27 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     # heap rather than OOMing (verified by `bench.py --smoke` at 8g).
     img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
     img_s, n_vis_s, mat_sec_s = chiles_frac(spark, sf_dir, cpus, skew=True)
-    # ONE untimed priming run per tier first: the first execution of
-    # each plan pays whole-stage-codegen JIT compilation and
-    # python-worker fork+import (measured ~2x the steady-state time).
+    # TWO untimed priming runs per tier first (round 11; was one): the
+    # first execution of each plan pays whole-stage-codegen JIT
+    # compilation and python-worker fork+import, and the SECOND still
+    # runs partially tiered (C1) plus first-touch on the cache batches
+    # — round-11 measurements across six independent sessions had the
+    # first TIMED run at ~2x steady state (21.7-24.7 s vs 9-11 s runs
+    # 3+) with one priming run, tripping the 2x spread flag on an
+    # otherwise calm window. Warm-up is untimed by standard practice
+    # and never affects the reported min (the min was never run 1).
     # The reference baseline (45 min / 128 cores) amortizes its
     # numba-jit warmup to ~nothing at full scale; at our 0.12% fraction
     # it would dominate, so the steady-state regime is the comparable
     # one. Then interleaved steal-guarded min-of-N: this box shows
-    # bursty hypervisor CPU steal (~15% avg, far higher in bursts); the
-    # min is the engine's throughput, the max is the host's mood, and
-    # interleaving keeps the uniform/skew ratio honest through bursts.
-    _run(img)
-    _run(img_s)
+    # bursty CPU disturbance (isolated 4-6x single-run spikes with
+    # /proc/stat steal at ~0 — co-tenant interference the guest cannot
+    # see directly); the min is the engine's throughput, the max is
+    # the host's mood, and interleaving keeps the uniform/skew ratio
+    # honest through bursts.
+    for _ in range(2):
+        _run(img)
+        _run(img_s)
     uniform_runs, skew_runs = _interleaved_runs(
         img, img_s,
         base=int(os.environ.get("SPARK_GRAFT_CHILES_PAIRS", "6")),
