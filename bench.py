@@ -887,10 +887,66 @@ def _interleaved_runs(img_u, img_s, base: int = 6,
     return u_runs, s_runs
 
 
+class _StealMonitor:
+    """Samples /proc/stat hypervisor-steal every 5 s in a daemon thread
+    so the CHILES artifact carries in-band host evidence. Round-11
+    forensics: every flagged window was adjudicated by hand-run
+    /proc/stat probes — the counter read ~0 while isolated runs spiked
+    4-6x (co-tenant interference the steal counter does not see), so
+    the artifact should record both the counter AND the spread instead
+    of leaving future rounds to re-derive the distinction. No-op
+    (fields None) where /proc/stat is unavailable."""
+
+    def __init__(self, interval: float = 5.0):
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = False
+
+    @staticmethod
+    def _snap():
+        return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+    def start(self) -> None:
+        import threading
+        try:
+            self._snap()
+        except Exception:
+            return
+
+        def loop():
+            prev = self._snap()
+            while not self._stop:
+                time.sleep(self.interval)
+                try:
+                    cur = self._snap()
+                except Exception:
+                    return
+                d = [y - x for x, y in zip(prev, cur)]
+                prev = cur
+                tot = sum(d)
+                if tot > 0 and len(d) > 7:
+                    self.samples.append(100.0 * d[7] / tot)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+
+    def stats(self) -> dict:
+        self._stop = True
+        if not self.samples:
+            return {"host_steal_avg_pct": None, "host_steal_max_pct": None}
+        return {
+            "host_steal_avg_pct": round(sum(self.samples)
+                                        / len(self.samples), 2),
+            "host_steal_max_pct": round(max(self.samples), 2),
+        }
+
+
 def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     """The tier itself (fresh session in THIS process; `--chiles-tier`
     mode calls it from a fresh process). Returns the chiles dict plus
     `_uniform_sec`/`_skew_sec` for the timings table."""
+    mon = _StealMonitor()
+    mon.start()
     spark = initialize_framework(cores=cpus, app_name="bench_chiles",
                                  shuffle_partitions=cpus,
                                  extra_conf=gc_quiet)
@@ -967,6 +1023,7 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
         "steal_suspected": bool(
             max(uniform_runs) / min(uniform_runs) > 2.0
             or max(skew_runs) / min(skew_runs) > 2.0),
+        **mon.stats(),
         "_uniform_sec": chiles_sec,
         "_skew_sec": skew_sec,
     }
