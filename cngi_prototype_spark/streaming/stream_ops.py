@@ -294,8 +294,16 @@ def compact_store(
     """Offline compaction of a persistent incremental-dedup store (the
     gram store of :func:`stream_dedup_spans`, the bucket store of
     :func:`stream_dedup_neardup`): fold every ``_batch=N`` partition
-    into ONE ``_batch=0`` partition of ``target_files`` files with
-    duplicate keys collapsed. Returns ``(rows_before, rows_after)``.
+    into ONE partition at the store's HIGH-WATER epoch (``max _batch``)
+    of ``target_files`` files with duplicate keys collapsed. Returns
+    ``(rows_before, rows_after)``.
+
+    The fold target must be the high-water epoch, not 0: `_pin_run_base`
+    pins a fresh run's base to ``max(_batch)+1`` **of this store**, and
+    the SAME epoch numbers partition the kept/output sink — folding to
+    0 would reset the pin and let the next run's dynamic overwrite
+    clobber prior runs' output partitions (caught by the round-11
+    bucket-store lifecycle test).
 
     Retention contract: without compaction the store grows by every
     distinct key ever seen — that is the OPERATOR's semantics (the
@@ -314,18 +322,21 @@ def compact_store(
     committed batch boundary (an uncommitted batch's partial partition
     would otherwise be folded into permanent state and escape its
     replay's own-partition exclusion). Start the next run on a fresh
-    checkpoint: `_pin_run_base` then pins base = 1, immediately past
-    the compacted partition, and the ``_batch < eb`` visibility guard
-    sees the folded state exactly as it saw the original partitions.
+    checkpoint: `_pin_run_base` then pins base = high-water + 1,
+    immediately past the compacted partition, and the ``_batch < eb``
+    visibility guard sees the folded state exactly as it saw the
+    original partitions while output partitions of prior epochs stay
+    untouched.
     The swap (write aside, delete, rename) is not atomic on object
     stores — treat it as a maintenance job, not a concurrent one."""
     df = spark.read.parquet(store_path)
     before = df.count()
+    hiwater = df.agg(F.max("_batch")).head()[0]
     if retain_min_batch is not None:
         df = df.filter(F.col("_batch") >= int(retain_min_batch))
     compacted = (df.drop("_batch").distinct()
                  .repartition(int(target_files))
-                 .withColumn("_batch", F.lit(0))
+                 .withColumn("_batch", F.lit(int(hiwater or 0)))
                  .persist())
     after = compacted.count()
     jvm = spark._jvm

@@ -446,6 +446,41 @@ def test_stream_dedup_neardup_end_to_end(spark, tmp_path):
             spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert kept == {0, 1, 3}  # 2 recognized as near-dup ACROSS batches
 
+    # bucket-store compaction (compact_store is generic over both
+    # incremental stores; the gram store has its own lifecycle test):
+    # fold the two batch partitions, then a fresh-checkpoint batch 3
+    # must still recognize a near-dup of the batch-1 doc
+    from cngi_prototype_spark.streaming.stream_ops import compact_store
+
+    buckets = str(tmp_path / "buckets")
+    pre = spark.read.parquet(buckets)
+    distinct_keys = pre.drop("_batch").distinct().count()
+    assert pre.select("_batch").distinct().count() == 2
+    before, after = compact_store(spark, buckets, target_files=2)
+    post = spark.read.parquet(buckets)
+    assert after == distinct_keys == post.count()
+    assert post.select("_batch").distinct().collect()[0][0] == 1
+
+    spark.createDataFrame(
+        [(4, base.replace("night", "day")),
+         (5, "completely novel content qux quux corge")],
+        schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    q = stream_dedup_neardup(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "in")),
+        str(tmp_path / "kept"), buckets,
+        str(tmp_path / "ck_post")).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    kept2 = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "kept")).collect()}
+    # 4 is a near-dup of doc 0 (visible through the compacted store);
+    # 5 is fresh. The fresh checkpoint re-delivers docs 0-3 too — their
+    # own buckets are already in the compacted store, so the re-arrival
+    # drops them (correct: the canonical copies live in the prior
+    # runs' kept partitions, which this union still shows)
+    assert 5 in kept2 and 4 not in kept2
+    assert {0, 1, 3} <= kept2 and 2 not in kept2
+
 
 def test_stream_dedup_neardup_replay_idempotent(spark, tmp_path):
     """foreachBatch can re-run a batch after failure; the _batch
@@ -708,7 +743,9 @@ def test_compact_store_lifecycle(spark, tmp_path):
     before, after = compact_store(spark, grams, target_files=2)
     post = spark.read.parquet(grams)
     assert after == distinct_keys == post.count()
-    assert post.select("_batch").distinct().collect()[0][0] == 0
+    # folded at the HIGH-WATER epoch (not 0): the epoch pin of the next
+    # fresh checkpoint must land past every prior run's partitions
+    assert post.select("_batch").distinct().collect()[0][0] == 1
     assert before >= after
 
     # continuation parity: batch 3 repeats the phrase; compacted and
