@@ -753,6 +753,11 @@ def test_compact_store_lifecycle(spark, tmp_path):
     feed([(2, f"closing doc repeats {phrase} word for word")])
     run(tmp_path / "ck2")       # fresh checkpoint over compacted store
     out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # prior runs' OUTPUT partitions survive: the fresh run's epoch pins
+    # past the compacted store's high-water _batch, so its dynamic
+    # overwrite cannot land on doc 0/1's partitions (the pre-fix fold
+    # to _batch=0 silently clobbered doc 1's row here)
+    assert sorted(out.doc_id) == [0, 1, 2]
     got = out[out.doc_id == 2].iloc[0]
     assert phrase not in got.text_dedup and got.n_removed >= 8
 
