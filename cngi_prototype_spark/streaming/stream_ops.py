@@ -272,6 +272,9 @@ def _pin_run_base(spark, epoch_path: str, store_path: str,
     fall back to base=0, which keeps the resume aligned with the
     partitions the legacy run already wrote (fresh checkpoints always
     start at batch 0, so the detection cannot misfire on them)."""
+    # self-heal a store left mid-swap by a crashed compaction BEFORE
+    # consulting it — an absent store here would mis-pin base=0
+    _recover_store_swap(spark, store_path)
     if _hadoop_exists(spark, epoch_path):
         return int(spark.read.parquet(epoch_path).head()["base"])
     b = 0
@@ -284,12 +287,56 @@ def _pin_run_base(spark, epoch_path: str, store_path: str,
     return b
 
 
+def _store_fs(spark, p: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _recover_store_swap(spark, store_path: str) -> None:
+    """Repair a store left mid-swap by a crashed :func:`compact_store`.
+
+    The swap is write-tmp → rename src→bak → rename tmp→src → delete
+    bak. A crash between the two renames leaves the store path ABSENT —
+    and an absent store resets `_pin_run_base`'s fresh-checkpoint pin to
+    0, the exact clobber the epoch machinery exists to prevent. Repair
+    rules (each state is distinguishable):
+
+    - src present: any leftover tmp/bak is pre- or post-swap garbage —
+      delete both.
+    - src absent, tmp COMMITTED (has ``_SUCCESS``): the compacted copy
+      was fully written before the first rename, so finish the swap
+      (tmp→src, drop bak).
+    - src absent, no committed tmp: roll back (bak→src, drop tmp).
+    """
+    fs, jsrc = _store_fs(spark, store_path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(
+        store_path.rstrip("/") + "__compact_tmp")
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(
+        store_path.rstrip("/") + "__compact_bak")
+    if fs.exists(jsrc):
+        for j in (jtmp, jbak):
+            if fs.exists(j):
+                fs.delete(j, True)
+        return
+    jtmp_ok = spark._jvm.org.apache.hadoop.fs.Path(
+        str(jtmp) + "/_SUCCESS")
+    if fs.exists(jtmp) and fs.exists(jtmp_ok):
+        fs.rename(jtmp, jsrc)
+        if fs.exists(jbak):
+            fs.delete(jbak, True)
+    elif fs.exists(jbak):
+        fs.rename(jbak, jsrc)
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+
+
 def compact_store(
     spark,
     store_path: str,
     *,
     retain_min_batch: int | None = None,
     target_files: int = 8,
+    fold_below: int | None = None,
 ) -> tuple[int, int]:
     """Offline compaction of a persistent incremental-dedup store (the
     gram store of :func:`stream_dedup_spans`, the bucket store of
@@ -318,20 +365,57 @@ def compact_store(
     near-dups are then deduplicated only against the retained window,
     and content last seen before it can re-enter the corpus.
 
-    Run ONLY while no stream is writing the store, stopped at a
-    committed batch boundary (an uncommitted batch's partial partition
-    would otherwise be folded into permanent state and escape its
-    replay's own-partition exclusion). Start the next run on a fresh
-    checkpoint: `_pin_run_base` then pins base = high-water + 1,
-    immediately past the compacted partition, and the ``_batch < eb``
-    visibility guard sees the folded state exactly as it saw the
-    original partitions while output partitions of prior epochs stay
-    untouched.
-    The swap (write aside, delete, rename) is not atomic on object
-    stores — treat it as a maintenance job, not a concurrent one."""
-    df = spark.read.parquet(store_path)
+    Offline use (``fold_below=None``): run ONLY while no stream is
+    writing the store, stopped at a committed batch boundary (an
+    uncommitted batch's partial partition would otherwise be folded
+    into permanent state and escape its replay's own-partition
+    exclusion). Start the next run on a fresh checkpoint:
+    `_pin_run_base` then pins base = high-water + 1, immediately past
+    the compacted partition, and the ``_batch < eb`` visibility guard
+    sees the folded state exactly as it saw the original partitions
+    while output partitions of prior epochs stay untouched.
+
+    In-stream use (``fold_below=<current epoch>``): folds ONLY
+    partitions with ``_batch < fold_below`` — all committed by
+    structured streaming's batch ordering — at THEIR high-water epoch,
+    leaving the current (possibly in-flight / replayable) partition
+    untouched; replays of the current batch still see the folded state
+    through their ``_batch < eb`` read and still overwrite only their
+    own partition. This is what the streams' ``compact_every`` knob
+    calls between batches.
+
+    Full-expiry edge: when retention (or an already-empty fold) leaves
+    ZERO rows, the store is NOT deleted — an absent store would reset
+    `_pin_run_base`'s fresh-checkpoint pin to 0 and let the next run's
+    dynamic overwrite clobber prior runs' OUTPUT partitions (the kept
+    sink shares epoch numbering). Instead ONE all-null sentinel row is
+    written at the high-water epoch: equi-joins never match NULL keys,
+    so every consumer sees an empty store while the epoch stays
+    pinned. Sentinels are dropped again on the next fold with real
+    rows.
+
+    The swap is write-aside → rename src→bak → rename tmp→src →
+    delete bak; a crash between the renames is repaired by
+    :func:`_recover_store_swap` (also invoked by `_pin_run_base`, so
+    the next run self-heals). Still not atomic on object stores —
+    never run two compactions concurrently."""
+    _recover_store_swap(spark, store_path)
+    raw = spark.read.parquet(store_path)
+    keycols = [c for c in raw.columns if c != "_batch"]
+    live = F.greatest(*[F.col(c).isNotNull() for c in keycols]) \
+        if len(keycols) > 1 else F.col(keycols[0]).isNotNull()
+    full = raw.filter(live)  # drop any prior full-expiry sentinel
+    df, keep, hi_src = full, None, raw
+    if fold_below is not None:
+        df = full.filter(F.col("_batch") < int(fold_below))
+        keep = full.filter(F.col("_batch") >= int(fold_below))
+        hi_src = raw.filter(F.col("_batch") < int(fold_below))
     before = df.count()
-    hiwater = df.agg(F.max("_batch")).head()[0]
+    # epoch over the RAW subset: a sentinel-only store must keep its
+    # pinned high-water epoch, not fold back to 0
+    hiwater = hi_src.agg(F.max("_batch")).head()[0]
+    if fold_below is not None and hiwater is None:
+        return 0, 0  # nothing below the cut — in-stream no-op
     if retain_min_batch is not None:
         df = df.filter(F.col("_batch") >= int(retain_min_batch))
     compacted = (df.drop("_batch").distinct()
@@ -339,23 +423,31 @@ def compact_store(
                  .withColumn("_batch", F.lit(int(hiwater or 0)))
                  .persist())
     after = compacted.count()
-    jvm = spark._jvm
-    jsrc = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = compacted
     if after == 0:
-        # an absent store IS the canonical empty state (the streams'
-        # _hadoop_exists guard); a zero-row partitioned parquet dir is
-        # unreadable (no schema to infer)
-        compacted.unpersist()
-        fs.delete(jsrc, True)
-        return before, 0
+        # epoch-preserving sentinel (see docstring); schema copied from
+        # the store with every key column NULL
+        from pyspark.sql import types as T
+        sch = T.StructType([T.StructField(f.name, f.dataType, True)
+                            for f in full.schema.fields
+                            if f.name != "_batch"])
+        out = (spark.createDataFrame(
+            [tuple([None] * len(sch.fields))], sch)
+            .withColumn("_batch", F.lit(int(hiwater or 0))))
+    if keep is not None:
+        out = out.unionByName(keep)
     tmp = store_path.rstrip("/") + "__compact_tmp"
-    (compacted.write.mode("overwrite")
+    bak = store_path.rstrip("/") + "__compact_bak"
+    (out.write.mode("overwrite")
      .partitionBy("_batch").parquet(tmp))
     compacted.unpersist()
+    jvm = spark._jvm
+    fs, jsrc = _store_fs(spark, store_path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(jsrc, True)
+    jbak = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.rename(jsrc, jbak)
     fs.rename(jtmp, jsrc)
+    fs.delete(jbak, True)
     return before, after
 
 
@@ -438,6 +530,7 @@ def stream_dedup_neardup(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    compact_every: int | None = None,
 ):
     """Streaming near-duplicate dedup — the live twin of the MinHash/
     LSH batch pipeline: kept documents append to ``kept_path`` and
@@ -465,6 +558,13 @@ def stream_dedup_neardup(
     fresh checkpoint starts past every prior run's partitions with all
     prior state visible. Store existence goes through the Hadoop FS of
     each path (object stores included), never the driver-local ``os``.
+
+    ``compact_every=N`` folds the bucket store's committed partitions
+    (``_batch < eb``) every N batches via
+    ``compact_store(fold_below=eb)`` — results are invariant under the
+    compaction schedule (property-tested for never / mid-run / every
+    batch) because the fold preserves exactly the distinct keys the
+    ``_batch < eb`` read would see.
     """
     epoch_path = checkpoint.rstrip("/") + "/_neardup_epoch"
     run_base: list[int] = []
@@ -475,6 +575,10 @@ def stream_dedup_neardup(
             run_base.append(_pin_run_base(spark, epoch_path,
                                           bucket_path, batch_id))
         eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, bucket_path)):
+            compact_store(spark, bucket_path, fold_below=eb)
         seen = None
         if _hadoop_exists(spark, bucket_path):
             seen = (spark.read.parquet(bucket_path)
@@ -509,6 +613,7 @@ def stream_dedup_spans(
     text: str = "text",
     id_col: str = "doc_id",
     n: int = 50,
+    compact_every: int | None = None,
 ):
     """Streaming ExactSubstr duplicate-span removal — the live twin of
     ``dedup.remove_duplicate_spans`` (Lee et al. 2021): each
@@ -530,7 +635,9 @@ def stream_dedup_spans(
     corpus-bound by the operator's semantics. :func:`compact_store`
     bounds the overhead above it (per-batch partition sprawl, replay
     duplicates) and offers a TTL retention window for genuinely
-    bounded state.
+    bounded state; ``compact_every=N`` runs that fold in-stream every
+    N batches over the committed prefix (``fold_below=eb``), with
+    results invariant under the schedule (property-tested).
     """
     from cngi_prototype_spark.dedup.dedup import spans_dedup_batch
 
@@ -543,6 +650,10 @@ def stream_dedup_spans(
             run_base.append(_pin_run_base(spark, epoch_path, gram_path,
                                           batch_id))
         eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, gram_path)):
+            compact_store(spark, gram_path, fold_below=eb)
         seen = None
         if _hadoop_exists(spark, gram_path):
             seen = (spark.read.parquet(gram_path)

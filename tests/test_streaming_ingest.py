@@ -779,9 +779,148 @@ def test_compact_store_lifecycle(spark, tmp_path):
     # TTL: expire everything seen so far -> the phrase re-enters
     b, a = compact_store(spark, grams, retain_min_batch=10**6)
     assert a == 0
+    # full expiry must NOT delete the store: an all-null sentinel row
+    # keeps the high-water epoch pinned (deleting it reset the next
+    # fresh run's base to 0 and clobbered prior output partitions)
+    store = spark.read.parquet(grams)
+    assert store.count() == 1
+    assert store.agg(F.max("_batch")).head()[0] == 2
+    assert store.drop("_batch").dropna(how="any").count() == 0
+    # the sentinel never equi-joins: reading the expired store as
+    # `seen` behaves exactly like no store — the phrase re-enters
     ttl, _ = spans_dedup_batch(
         spark.createDataFrame(
             [(9, f"late doc repeats {phrase} once more")], schema),
-        spark.read.parquet(grams) if a else None, n=6)
+        store, n=6)
     trow = ttl.toPandas().iloc[0]
     assert phrase in trow.text_dedup and trow.n_removed == 0
+
+    # streamed continuation AFTER full expiry: the fresh checkpoint
+    # must pin past the expired epochs, so every prior run's output
+    # partition survives its dynamic overwrite
+    feed([(9, f"late doc repeats {phrase} once more")])
+    run(tmp_path / "ck3")
+    out3 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    pe3 = {b_: sorted(g.doc_id) for b_, g in out3.groupby("_batch")}
+    assert pe3[0] == [0] and pe3[1] == [1] and pe3[2] == [0, 1, 2]
+    assert pe3[3] == [0, 1, 2, 9]  # fresh run re-delivers all inputs
+
+
+def test_compact_store_swap_recovery(spark, tmp_path):
+    """A compaction crash between the swap renames leaves the store
+    path absent; _recover_store_swap (also run by _pin_run_base) must
+    restore a consistent store in every distinguishable crash state."""
+    from cngi_prototype_spark.streaming.stream_ops import (
+        _pin_run_base, _recover_store_swap)
+
+    jvm = spark._jvm
+
+    def fs_for(p):
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+    def mk(p, batches):
+        spark.createDataFrame(
+            [(b, f"k{b}") for b in batches], "_batch long, v string") \
+            .write.partitionBy("_batch").parquet(p)
+
+    # state: src absent, committed tmp present (crash after 1st rename,
+    # tmp fully written) -> finish the swap
+    s1 = str(tmp_path / "s1")
+    mk(s1 + "__compact_tmp", [5])
+    mk(s1 + "__compact_bak", [0, 1])
+    _recover_store_swap(spark, s1)
+    assert spark.read.parquet(s1).agg(F.max("_batch")).head()[0] == 5
+    fs, jp = fs_for(s1 + "__compact_bak")
+    assert not fs.exists(jp)
+
+    # state: src absent, NO tmp (crash between renames with tmp already
+    # moved... or tmp uncommitted) -> roll back from bak
+    s2 = str(tmp_path / "s2")
+    mk(s2 + "__compact_bak", [0, 3])
+    _recover_store_swap(spark, s2)
+    assert spark.read.parquet(s2).agg(F.max("_batch")).head()[0] == 3
+
+    # state: src present, stale tmp/bak garbage -> garbage removed
+    s3 = str(tmp_path / "s3")
+    mk(s3, [2])
+    mk(s3 + "__compact_tmp", [9])
+    _recover_store_swap(spark, s3)
+    assert spark.read.parquet(s3).agg(F.max("_batch")).head()[0] == 2
+    fs, jp = fs_for(s3 + "__compact_tmp")
+    assert not fs.exists(jp)
+
+    # _pin_run_base self-heals before pinning: a fresh checkpoint over
+    # a mid-swap store pins past the RECOVERED high water, not 0
+    s4 = str(tmp_path / "s4")
+    mk(s4 + "__compact_bak", [0, 4])
+    assert _pin_run_base(spark, str(tmp_path / "ep4"), s4, 0) == 5
+
+
+def test_stream_dedup_compaction_schedule_invariance(spark, tmp_path):
+    """Kept output is invariant under the in-stream compaction
+    schedule (never / every 2nd batch / every batch) for BOTH
+    incremental stores — the fold preserves exactly the distinct keys
+    the `_batch < eb` read would see."""
+    import os
+
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_dedup_neardup, stream_dedup_spans)
+
+    base = ("pack my box with five dozen liquor jugs while the band "
+            "played on and the crowd cheered loudly all night long")
+    phrase = "the five boxing wizards jump quickly over frozen lakes"
+    schema = "doc_id long, text string"
+    feeds = [
+        [(0, base), (1, f"alpha beta {phrase} gamma delta")],
+        [(2, base.replace("jugs", "cups")),
+         (3, "fresh vocabulary zeta omega entirely new")],
+        [(4, base.replace("night", "day")),
+         (5, f"tail doc repeats {phrase} word for word")],
+        [(6, "completely novel content qux quux corge")],
+    ]
+
+    def run_neardup(tag, every):
+        indir = tmp_path / f"in_n_{tag}"
+        os.makedirs(indir)
+        for i, rows in enumerate(feeds):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(indir))
+            q = stream_dedup_neardup(
+                spark.readStream.schema(schema).parquet(str(indir)),
+                str(tmp_path / f"kept_{tag}"),
+                str(tmp_path / f"buckets_{tag}"),
+                str(tmp_path / f"ckn_{tag}"),
+                compact_every=every).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+        return {r.doc_id for r in spark.read.parquet(
+            str(tmp_path / f"kept_{tag}")).select("doc_id").collect()}
+
+    kept = {e: run_neardup(t, e)
+            for t, e in (("off", None), ("mid", 2), ("all", 1))}
+    assert kept[None] == kept[2] == kept[1]
+    assert 0 in kept[None] and 2 not in kept[None]  # dedup still real
+
+    def run_spans(tag, every):
+        indir = tmp_path / f"in_s_{tag}"
+        os.makedirs(indir)
+        for rows in feeds:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(indir))
+            q = stream_dedup_spans(
+                spark.readStream.schema(schema).parquet(str(indir)),
+                str(tmp_path / f"out_{tag}"),
+                str(tmp_path / f"grams_{tag}"),
+                str(tmp_path / f"cks_{tag}"), n=6,
+                compact_every=every).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+        pdf = spark.read.parquet(str(tmp_path / f"out_{tag}")) \
+            .select("doc_id", "text_dedup", "n_removed").toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        return pdf
+
+    outs = {e: run_spans(t, e)
+            for t, e in (("off", None), ("mid", 2), ("all", 1))}
+    for e in (2, 1):
+        pd.testing.assert_frame_equal(outs[None], outs[e])
+    assert outs[None].n_removed.sum() > 0  # the span cut still real
