@@ -689,6 +689,64 @@ def main() -> None:
     except Exception as e:
         errors["imaging_major_cycle"] = f"{type(e).__name__}: {e}"[:200]
 
+    # Self-adjudication (round-12): every round so far that showed a
+    # query >1.5x over its committed-history min under a disturbed
+    # window turned out to be hypervisor steal on re-measurement the
+    # NEXT round (r9 flagging_suite, r10 time_average, r11 pq/ngram/
+    # minhash trio — all code-untouched). Close that loop in-band:
+    # when this window is disturbed for such a query, requeue it once
+    # at the END of the tier (steady-state min-of-N) and record both
+    # sides; only an undisturbed >1.5x jump is left standing as a
+    # genuine regression candidate.
+    adjudications: dict[str, dict] = {}
+    hist: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as fh:
+            _prior = json.load(fh)
+        if _prior.get("sf") == sf:  # history only comparable at same sf
+            hist = _prior.get("queries") or {}
+    except Exception:
+        pass
+    guard_hits_so_far = sum(1 for rs in query_runs.values()
+                            if len(rs) > runs)
+    for name in list(timings):
+        h, sec = hist.get(name), timings[name]
+        if name.startswith("imaging_chiles"):
+            continue  # measured in the dedicated subprocess tier
+        if not h or h <= 0 or sec <= 1.5 * h:
+            continue
+        rs = query_runs.get(name) or []
+        disturbed = (len(rs) > runs
+                     or (rs and min(rs) > 0 and max(rs) / min(rs) > 1.3)
+                     or guard_hits_so_far > 0)
+        if not disturbed:
+            adjudications[name] = {
+                "history_min": h, "min": sec, "requeued": False,
+                "verdict": "regression_candidate"}
+            continue
+        fn = (major_cycle if name == "imaging_major_cycle"
+              else overrides.get(name) or qs.get(name)
+              or getattr(Q, f"{name}_q", None))
+        if fn is None:
+            continue
+        try:
+            rq: list[float] = []
+            for _ in range(max(runs, 4)):  # the adjudication min-of-4
+                t0 = time.time()
+                _run(fn(spark, sf_dir))
+                rq.append(round(time.time() - t0, 3))
+            timings[name] = min(sec, min(rq))
+            adjudications[name] = {
+                "history_min": h, "first_min": sec, "requeued": True,
+                "requeue_runs": rq, "final": timings[name],
+                "verdict": ("steal_confirmed" if min(rq) <= 1.5 * h
+                            else "slow_on_requeue")}
+        except Exception as e:
+            adjudications[name] = {
+                "history_min": h, "first_min": sec, "requeued": True,
+                "error": f"{type(e).__name__}: {e}"[:200]}
+
     # noise indicator: q1 re-measured at the END of the shared session,
     # compared single-shot against q1's LAST single shot at the start
     # (same statistic on both sides — a min-vs-single ratio would read
@@ -752,6 +810,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_runs": query_runs,
+        "adjudications": adjudications or None,
         "errors": errors or None,
         "noise": noise,
         "chiles": chiles,
@@ -789,7 +848,9 @@ def main() -> None:
         "errors": errors or None,
         "chiles": compact_chiles,
         "noise": {"q1_drift": noise["q1_drift"], "runs_per_query": runs,
-                  "steal_guard_hits": noise["steal_guard_hits"]},
+                  "steal_guard_hits": noise["steal_guard_hits"],
+                  "requeued": sum(1 for a in adjudications.values()
+                                  if a.get("requeued"))},
         "pipeline_sf1": (pipeline_sf1 or {}).get("sec"),
         "sf": sf,
         "cpus": cpus,
