@@ -586,6 +586,44 @@ def run_pipeline_sf1(spark, sf_dir: str, mult: int) -> dict:
             "n_sequences": int(n_seq) if n_seq is not None else 0}
 
 
+def run_ivfpq_recall_curve(spark, sf_dir: str, mult: int) -> dict:
+    """recall@5 vs nprobe and vs m at the 10x rung (round-12 verdict
+    #4): production-shape structures (8 cells, ksub=32) trained on the
+    decorrelated replica corpus, Arrow index/scoring tiers, ground
+    truth = brute-force cosine over the same 10 queries. Finding that
+    sets the gate floor: on near-random 64-d embeddings recall is
+    QUANTIZATION-dominated — it saturates by nprobe 2-4 and moves with
+    m (subspace count), so the 'floor_ivfpq' gate contract is pinned
+    to the measured plateau (0.08 <= flat 0.10-0.12 band at the gate's
+    8x16 books), not to an nprobe ramp that does not exist here."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.similarity.ann import (brute_force_topk,
+                                                     ivfpq_topk,
+                                                     train_ivfpq)
+
+    big_dir = _build_ladder_dir(spark, sf_dir, mult)
+    emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 10)
+    bp = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, qset, k=5).collect()}
+    curve: dict[str, dict] = {}
+    for m in (4, 8):
+        cents, books = train_ivfpq(emb, n_cells=8, m=m, ksub=32)
+        per_probe = {}
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            vp = {(r.query_id, r.neighbor_id)
+                  for r in ivfpq_topk(emb, qset, cents, books, k=5,
+                                      nprobe=nprobe).collect()}
+            per_probe[str(nprobe)] = {
+                "recall_at_5": round(len(vp & bp) / len(bp), 4),
+                "sec": round(time.time() - t0, 3)}
+        curve[f"m{m}"] = per_probe
+    return {"mult": mult, "n_cells": 8, "ksub": 32, "k": 5,
+            "n_queries": 10, "curve": curve}
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
@@ -803,6 +841,15 @@ def main() -> None:
         except Exception as e:  # diagnostic: never break bench
             pipeline_sf1 = {"error": f"{type(e).__name__}: {e}"}
 
+    ivfpq_curve = None
+    if ladder_mult > 1:
+        try:
+            spark.catalog.clearCache()
+            ivfpq_curve = run_ivfpq_recall_curve(spark, sf_dir,
+                                                 ladder_mult)
+        except Exception as e:  # diagnostic: never break bench
+            ivfpq_curve = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_detail",
@@ -816,6 +863,7 @@ def main() -> None:
         "chiles": chiles,
         "ladder": ladder,
         "pipeline_sf1": pipeline_sf1,
+        "ivfpq_recall_curve": ivfpq_curve,
         "sf": sf,
         "cpus": cpus,
     }

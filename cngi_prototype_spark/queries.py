@@ -1534,10 +1534,14 @@ def _sql_ann_topk() -> str:
     --     even on random embeddings)
     SELECT 'floor_hamming', -1, -1, 1.0, 1
     UNION ALL
-    -- (5) composed IVF-PQ mean recall@5 >= 0.05 (the coarse probe and
-    --     the residual-ADC losses compound; measured 0.12/0.20 at
-    --     sf0.01/sf0.001 with 8 cells, nprobe 3, 8x16 residual books —
-    --     chance is k/(n-1) ~ 0.01 at sf0.01)
+    -- (5) composed IVF-PQ mean recall@5 >= 0.08 (raised from 0.05 by
+    --     the round-12 recall curve: on near-random 64-d embeddings
+    --     recall is QUANTIZATION-dominated and FLAT in nprobe —
+    --     measured 0.12/0.12/0.12/0.12 at nprobe 2/3/4/8 on sf0.01
+    --     and 0.10 at the gate's nprobe=3 on sf0.001 with the 8x16
+    --     books, so the floor pins the plateau, not an nprobe ramp;
+    --     chance is k/(n-1) ~ 0.01 at sf0.01. Curve artifact:
+    --     BENCH_DETAIL.json ivfpq_recall_curve)
     SELECT 'floor_ivfpq', -1, -1, 1.0, 1
     """
 
@@ -1610,7 +1614,7 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(floor_ivf)
             .unionByName(floor(p_, "floor_pq", 0.05))
             .unionByName(floor(h_, "floor_hamming", 0.15))
-            .unionByName(floor(v_, "floor_ivfpq", 0.05)))
+            .unionByName(floor(v_, "floor_ivfpq", 0.08)))
 
 
 # Fixed deterministic centroids for the semantic-dedup gate part: the
