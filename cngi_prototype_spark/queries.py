@@ -2270,26 +2270,41 @@ def _fft_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> str:
-    n, c = _FGP.n_u, _FGP.n_u // 2
-    lo = c - _FFT_CROP // 2
-    corr = _pswf((_np.arange(n) - c) / c)[0]
-    # e-notation literals parse as DOUBLE in DuckDB; bare decimals
-    # parse as DECIMAL whose ->DOUBLE cast can lose 1 ulp
-    corr_vals = ", ".join(f"({i}, {corr[lo + i]:.17e})"
-                          for i in range(_FFT_CROP))
+def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True,
+                   n: int | None = None, crop: int | None = None,
+                   pswf_correct: bool = True) -> str:
+    """grid → image twin of :func:`image_from_grid` as an unrolled DFT
+    (the shifted-ifft2 exponent folded into centered index products);
+    defaults mirror the imaging_fft gate shape, the n/crop/pswf knobs
+    let other gates reuse it (mosaic: correct_pswf=False)."""
+    n = n if n is not None else _FGP.n_u
+    c = n // 2
+    crop_n = crop if crop is not None else _FFT_CROP
+    lo = c - crop_n // 2
+    if pswf_correct:
+        corr = _pswf((_np.arange(n) - c) / c)[0]
+        # e-notation literals parse as DOUBLE in DuckDB; bare decimals
+        # parse as DECIMAL whose ->DOUBLE cast can lose 1 ulp
+        corr_vals = ", ".join(f"({i}, {corr[lo + i]:.17e})"
+                              for i in range(crop_n))
+        corr_cte = f"corr(i, cf) AS (SELECT * FROM (VALUES {corr_vals})),"
+        corr_join = ("JOIN corr cu ON cu.i = d.l_idx\n"
+                     "    JOIN corr cm ON cm.i = d.m_idx")
+        corr_div = " / (cu.cf * cm.cf)"
+    else:
+        corr_cte, corr_join, corr_div = "", "", ""
     ph = (f"2 * PI() * ((c.u_idx - {c}) * (p.l_idx + {lo} - {c}) / {float(n)!r}"
           f" + (c.v_idx - {c}) * (p.m_idx + {lo} - {c}) / {float(n)!r})")
     val = (f"d.raw / (CASE WHEN s.sum_weight = 0 THEN 1.0 "
-           f"ELSE s.sum_weight END) / (cu.cf * cm.cf)")
+           f"ELSE s.sum_weight END){corr_div}")
     if rounded:
         val = f"(ROUND({val}, 6) + 0.0)"
     return f"""
     WITH cells AS ({cells_sql}),
     sw AS ({sumw_sql}),
-    corr(i, cf) AS (SELECT * FROM (VALUES {corr_vals})),
+    {corr_cte}
     px AS (SELECT CAST(l.range AS INT) AS l_idx, CAST(m.range AS INT) AS m_idx
-           FROM range({_FFT_CROP}) l, range({_FFT_CROP}) m),
+           FROM range({crop_n}) l, range({crop_n}) m),
     dft AS (
       SELECT c.chan AS chan, c.pol AS pol, p.l_idx, p.m_idx,
              SUM(c.grid_re * COS({ph}) - c.grid_im * SIN({ph})) AS raw
@@ -2299,8 +2314,7 @@ def _sql_dft_image(cells_sql: str, sumw_sql: str, *, rounded: bool = True) -> st
            {val} AS v
     FROM dft d
     JOIN sw s ON d.chan = s.chan AND d.pol = s.pol
-    JOIN corr cu ON cu.i = d.l_idx
-    JOIN corr cm ON cm.i = d.m_idx
+    {corr_join}
     """
 
 
@@ -4191,7 +4205,9 @@ def beam_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pb.unionByName(gb).unionByName(mb).unionByName(lm)
 
 
-@register("mosaic_image", None)  # FFT-built GCF kernels: rows-only
+@register("mosaic_image", None)  # production shape: rows-only (the
+# SAME composition — make_image_with_gcf — is value-gated at the small
+# shape as the 'mimg' part of mosaic_grid_small, round 12)
 def mosaic_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gp = GridParms(n_u=64, n_v=64, cell_u=1.0e-4, cell_v=1.0e-4)
     vis = (_rot_vis(spark, sf_dir)
@@ -4314,6 +4330,20 @@ def _sql_mosaic_grid_small() -> str:
     UNION ALL
     SELECT 'psf_sumw', chan, pol, -1, -1, (ROUND(SUM(wk), 6) + 0.0), 0.0
     FROM scat_psf GROUP BY 1, 2, 3
+    UNION ALL
+    -- 'mimg' (round-12): the FULL mosaic_image composition value-gated
+    -- at the small shape — make_image_with_gcf = phase gradient → GCF
+    -- gridding → plane ifft2 → sum-of-weights normalize (correct_pswf
+    -- =False), twinned as the unrolled DFT over the UNROUNDED scat
+    -- cells (the imaging_fft 'dirty' pattern; FFT-vs-DFT drift ~1e-13
+    -- absorbed by the final ROUND 6)
+    SELECT 'mimg', chan, pol, l_idx, m_idx, v, 0.0
+    FROM ({_sql_dft_image(
+        "SELECT chan, pol, u_idx, v_idx, SUM(cre) AS grid_re, "
+        "SUM(cim) AS grid_im FROM scat GROUP BY 1, 2, 3, 4 "
+        "HAVING NOT (SUM(cre) = 0 AND SUM(cim) = 0)",
+        "SELECT chan, pol, SUM(wk) AS sum_weight FROM scat GROUP BY 1, 2",
+        n=_MGP.n_u, crop=12, pswf_correct=False)})
     """
 
 
@@ -4355,7 +4385,21 @@ def mosaic_grid_small_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(-1).alias("u_idx"), F.lit(-1).alias("v_idx"),
                          (F.round("sum_weight", 6) + F.lit(0.0)).alias("re"),
                          F.lit(0.0).alias("im"))
-    return gout.unionByName(sout).unionByName(pgout).unionByName(psout)
+    # 'mimg': the FULL mosaic_image composition (make_image_with_gcf —
+    # the function mosaic_image_q runs at production shape) at the
+    # small gate shape, against the unrolled-DFT twin (round-12
+    # verdict #6: last imaging composition that was rows-only)
+    from cngi_prototype_spark.imaging.mosaic import make_image_with_gcf
+    img = make_image_with_gcf(vis0, _MGCF, _MGP,
+                              field_offsets=_MOS_OFFSETS,
+                              image_size=(12, 12))
+    mout = img.select(F.lit("mimg").alias("part"), "chan", "pol",
+                      F.col("l_idx").alias("u_idx"),
+                      F.col("m_idx").alias("v_idx"),
+                      (F.round("image", 6) + F.lit(0.0)).alias("re"),
+                      F.lit(0.0).alias("im"))
+    return (gout.unionByName(sout).unionByName(pgout)
+            .unionByName(psout).unionByName(mout))
 
 
 # ---------------------------------------------------------------------------
