@@ -352,13 +352,25 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
         #   cosines decay toward 0 (random +/- half the dims).
         # Replica 0 stays verbatim in both cases.
         if table == "documents":
+            # mult > 26 (the 100x rung): a single letter would repeat
+            # every 26 shards and shards k/k+26 would become VERBATIM
+            # duplicates of each other — a quadratic cross-shard pair
+            # term that measures the replica construction, not the
+            # operator. A second letter (k // 26) keeps the suffix a
+            # bijection per shard up to 26^2; shards < 26 keep their
+            # single-letter text byte-identical to the 10x rung's.
+            c1 = F.char(F.lit(97) + F.col("_k") % 26)
+            sfx = (c1 if mult <= 26 else
+                   F.when(F.col("_k") < 26, c1).otherwise(
+                       F.concat(c1, F.char(F.lit(97)
+                                           + (F.col("_k") / 26)
+                                           .cast("int") % 26))))
             big = big.withColumn(
                 "text",
                 F.when(F.col("_k") == 0, F.col("text")).otherwise(
                     F.regexp_replace(
                         "text", r"(\S+)",
-                        F.concat(F.lit("$1"),
-                                 F.char(F.lit(97) + F.col("_k") % 26)))))
+                        F.concat(F.lit("$1"), sfx))))
         elif table == "embeddings":
             # signed permutation per replica (literals -> codegen):
             # permutation kills correlation through structured heavy
@@ -367,18 +379,58 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
 
             dim = len(df.select("embedding").head()[0])
 
-            def _shard(k: int):
+            def _tables(k: int):
                 r = _rnd.Random(10_000 + k)
                 p = list(range(dim))
                 r.shuffle(p)
-                return F.array(*[
-                    F.element_at("embedding", p[j] + 1)
-                    * F.lit(r.choice((-1.0, 1.0))) for j in range(dim)])
+                return p, [r.choice((-1.0, 1.0)) for _ in range(dim)]
 
-            pe = F.col("embedding")
-            for k in range(1, mult):
-                pe = F.when(F.col("_k") == k, _shard(k)).otherwise(pe)
-            big = big.withColumn("embedding", pe)
+            def _shard(k: int):
+                p, s = _tables(k)
+                return F.array(*[
+                    F.element_at("embedding", p[j] + 1) * F.lit(s[j])
+                    for j in range(dim)])
+
+            if mult <= 16:
+                pe = F.col("embedding")
+                for k in range(1, mult):
+                    pe = F.when(F.col("_k") == k, _shard(k)).otherwise(pe)
+                big = big.withColumn("embedding", pe)
+            else:
+                # 100x rung: a mult-deep CASE over dim element_at's
+                # blows past the codegen method limit into interpreted
+                # eval — vectorize the same tables through one numpy
+                # gather per batch instead (identical values: same
+                # Random(10_000+k) shuffle-then-choice sequence)
+                import numpy as _np2
+                import pyspark.sql.types as T
+
+                P = _np2.asarray([_tables(k)[0] if k else list(range(dim))
+                                  for k in range(mult)], dtype=_np2.int64)
+                S = _np2.asarray([_tables(k)[1] if k else [1.0] * dim
+                                  for k in range(mult)])
+                bcast = spark.sparkContext.broadcast((P, S))
+                sch = T.StructType(
+                    [f for f in big.schema.fields if f.name != "embedding"]
+                    + [T.StructField("embedding",
+                                     T.ArrayType(T.DoubleType()))])
+                order = [f.name for f in sch.fields]
+
+                def permute(it):
+                    Pb, Sb = bcast.value
+                    for pdf in it:
+                        if not len(pdf):
+                            continue
+                        E = _np2.asarray(pdf["embedding"].tolist(),
+                                         _np2.float64)
+                        kk = pdf["_k"].to_numpy(_np2.int64)
+                        out_e = _np2.take_along_axis(
+                            E, Pb[kk], axis=1) * Sb[kk]
+                        pdf = pdf.drop(columns=["embedding"])
+                        pdf["embedding"] = list(out_e)
+                        yield pdf[order]
+
+                big = big.mapInPandas(permute, sch)
         big.drop("_k").write.mode("overwrite")             .parquet(f"{out}/{table}.parquet")
     for table in _LADDER_LINK:
         src = f"{sf_dir}/{table}.parquet"
@@ -500,6 +552,7 @@ BENCH_OVERRIDES = {
     "ngram_jaccard": Q.ngram_jaccard_bench_q,  # pairs-only (no contam part)
     "describe_partitions": Q.describe_partitions_bench_q,  # no zarr IO part
     "text_features": Q.text_features_bench_q,  # no PII-scrub part
+    "media_suite": Q.media_suite_bench_q,  # no r12 jpeg part
     "bpe_tokenize": Q.bpe_train_encode_q,  # production train+encode
     "uv_degrid_kernel_skew": _ladder_degrid_skew,  # skew rung (r9)
 }
@@ -642,6 +695,121 @@ def run_ladder(spark, sf_dir: str, mult: int) -> dict:
             "scaling_efficiency": round(t_big / t_small / mult, 3),
         }
     return {"mult": mult, "queries": out}
+
+
+LADDER100_QUERIES = ["dedup_corpus", "minhash_lsh_candidates",
+                     "pack_sequences", "ann_ivfpq_topk"]
+
+
+def run_ladder_100x(spark, sf_dir: str, ladder: dict | None) -> dict:
+    """mult=100 rung for the headline pipeline ops (round-12 verdict
+    #1): a second decade of measured scale so the 100 TB design claim
+    rests on a TREND, not on one 10x point plus plan shape. Ratios are
+    against the same-session 10x rung (``ratio_100x_over_10x`` ~ 10 =
+    linear in rows; the reference's cautionary chunk-sensitivity
+    number on this op class is 6.7x per decade, BASELINE.md).
+
+    Memory headroom: the 100x corpus is ~150 MB parquet (documents /
+    embeddings / events / lineitem replicated 100x, decorrelated per
+    shard); every op here streams it through bounded shuffles, so the
+    default 8g bench heap holds — recorded post-tier heap use is in
+    the ``memory`` block. `imaging_chiles_frac` is EXCLUDED from this
+    shared session: its 10x-fraction input cache alone is ~40 GB
+    (512M vis), so it runs as the dedicated `--chiles100` tier (own
+    process, 96g heap, uniform coverage) and its artifact is committed
+    separately (CHILES100_OWNRUN_r12.json)."""
+    mult = 100
+    big100 = _build_ladder_dir(spark, sf_dir, mult)
+    qs = Q.queries()
+    out: dict[str, dict] = {}
+    for name in LADDER100_QUERIES:
+        fn = (LADDER_OVERRIDES.get(name) or qs.get(name)
+              or getattr(Q, f"{name}_q"))
+        t10 = None
+        if ladder and isinstance(ladder.get("queries"), dict):
+            t10 = (ladder["queries"].get(name) or {}).get("big_sec")
+        if t10 is None:
+            big10 = _build_ladder_dir(spark, sf_dir, 10)
+            _run(fn(spark, big10))  # codegen/JIT warm
+            t10 = _ladder_min(fn, spark, big10)
+        _run(fn(spark, big100))  # warm at the 100x shape
+        t100 = _ladder_min(fn, spark, big100)
+        out[name] = {
+            "big10_sec": round(t10, 3),
+            "big100_sec": round(t100, 3),
+            "ratio_100x_over_10x": round(t100 / t10, 2),
+            # <= ~1.0 means at-or-better-than-linear in rows over the
+            # second decade
+            "scaling_efficiency": round(t100 / t10 / 10, 3),
+        }
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return {
+        "mult": mult, "vs_mult": 10, "queries": out,
+        "memory": {
+            "jvm_heap_used_gb": round(
+                (rt.totalMemory() - rt.freeMemory()) / 2**30, 2),
+            "jvm_heap_max_gb": round(rt.maxMemory() / 2**30, 2)},
+        "excluded": {
+            "imaging_chiles_frac": (
+                "dedicated --chiles100 tier (own process, rep=5120 -> "
+                "512M vis, ~40 GB input cache needs a 96g heap); "
+                "artifact: CHILES100_OWNRUN_r12.json")},
+    }
+
+
+def chiles100_tier() -> dict:
+    """`bench.py --chiles100`: the CHILES-frac tier at 10x the declared
+    fraction (rep 512 -> 5120, 512M vis, ~1.2% of the 2.5 TB CHILES
+    run), uniform coverage only — the skew-vs-uniform ratio is
+    established at the 51.2M rung; this rung tests the SCALE trend.
+    Needs SPARK_GRAFT_MEM=96g (the persisted synthetic input is ~40 GB
+    deserialized). Two untimed priming runs then steal-guarded
+    min-of-N, same throughput accounting as the main tier."""
+    os.environ.setdefault("SPARK_GRAFT_CHILES_REP", "5120")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mon = _StealMonitor()
+    mon.start()
+    spark = initialize_framework(
+        cores=cpus, app_name="bench_chiles100", shuffle_partitions=cpus,
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"})
+    _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
+    for _ in range(2):  # untimed priming (JIT + cache first-touch)
+        _run(img)
+    runs: list[float] = []
+    n_timed = int(os.environ.get("SPARK_GRAFT_CHILES100_RUNS", "4"))
+    for _ in range(n_timed):
+        t0 = time.time()
+        _run(img)
+        runs.append(round(time.time() - t0, 3))
+    for _ in range(2):  # steal guard: >2x spread buys extra runs
+        if max(runs) / min(runs) <= 2.0:
+            break
+        t0 = time.time()
+        _run(img)
+        runs.append(round(time.time() - t0, 3))
+    sec = min(runs)
+    tpsc = n_vis * _CHILES_TAPS / sec / cpus
+    steal = mon.stats()
+    return {
+        "tier": "chiles_frac_x10",
+        "declared_fraction": round(n_vis / _CHILES_VIS, 9),
+        "n_vis": n_vis,
+        "taps_per_vis": _CHILES_TAPS,
+        "materialize_sec": mat_sec,
+        "runs_uniform_sec": runs,
+        "taps_per_s_core": round(tpsc),
+        "baseline_taps_per_s_core": round(_CHILES_TAPS_PER_S_CORE),
+        "vs_baseline": round(_CHILES_TAPS_PER_S_CORE / tpsc, 3),
+        "steal_suspected": max(runs) / min(runs) > 2.0,
+        "skew_omitted": ("two 40 GB input caches do not both fit a "
+                         "96g heap without disk-backed cache churn; "
+                         "the uniform/skew ratio is established at "
+                         "the 51.2M rung"),
+        **steal,
+        "cpus": cpus,
+    }
 
 
 def main() -> None:
@@ -850,6 +1018,14 @@ def main() -> None:
         except Exception as e:  # diagnostic: never break bench
             ivfpq_curve = {"error": f"{type(e).__name__}: {e}"}
 
+    ladder_100x = None
+    if int(os.environ.get("SPARK_GRAFT_LADDER100", "1")):
+        try:
+            spark.catalog.clearCache()
+            ladder_100x = run_ladder_100x(spark, sf_dir, ladder)
+        except Exception as e:  # diagnostic: never break bench
+            ladder_100x = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_detail",
@@ -862,6 +1038,7 @@ def main() -> None:
         "noise": noise,
         "chiles": chiles,
         "ladder": ladder,
+        "ladder_100x": ladder_100x,
         "pipeline_sf1": pipeline_sf1,
         "ivfpq_recall_curve": ivfpq_curve,
         "sf": sf,
@@ -1182,6 +1359,14 @@ def smoke() -> None:
 if __name__ == "__main__":
     if "--smoke" in sys.argv:
         smoke()
+    elif "--chiles100" in sys.argv:
+        Q.PRECISE = False
+        try:
+            print(json.dumps(chiles100_tier()))
+        except Exception as e:
+            print(json.dumps(
+                {"error": f"{type(e).__name__}: {e}"[:300]}))
+            sys.exit(1)
     elif "--chiles-tier" in sys.argv:
         Q.PRECISE = False
         _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

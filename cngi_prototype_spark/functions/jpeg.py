@@ -1,0 +1,497 @@
+"""Baseline JFIF/JPEG codec in pure numpy + stdlib (round-12 stretch).
+
+Scope — ITU-T T.81 baseline sequential DCT, the profile that covers the
+overwhelming majority of web-corpus images:
+
+- decoder: SOI/APP*/COM/DQT/DHT/SOF0/SOS/EOI marker walk, canonical
+  Huffman decode with byte-unstuffing, dequantize + inverse zigzag +
+  float IDCT per 8x8 block, arbitrary sampling factors up to 2x2
+  (4:4:4 / 4:2:2 / 4:2:0), 1- or 3-component scans, nearest-neighbor
+  chroma upsampling, BT.601 full-range YCbCr -> RGB;
+- encoder: quality-scaled Annex-K quantization tables, Annex-K Huffman
+  tables, optional 2x2 chroma subsampling (mean pooling), used for
+  self-encoded round-trip fixtures exactly like ``functions.png``'s
+  encoder is for PNG.
+
+Out of scope (explicit ``NotImplementedError``, same capability-guard
+convention as the other stdlib decoders): progressive (SOF2),
+arithmetic coding, 12-bit precision, restart intervals (the encoder
+never emits them), CMYK/4-component scans.
+
+The codec is a correctness baseline, not a SIMD turbo: the per-block
+Huffman loop is python. At scale the decode runs inside Arrow-batched
+``mapInPandas`` (multimodal.media), so throughput parallelizes across
+executors; swapping in libjpeg-turbo later changes only
+``media._decode_one``.
+
+Reference surface: none — the reference repo has no media tier at all
+(this whole tier is the beyond-reference training-data pipeline work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K — public standard tables)
+
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+_DC_Y_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_Y_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+
+_AC_Y_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_Y_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        # odd anti-diagonals walk down-left (row ascending), even ones
+        # up-right (row descending) — the T.81 order
+        rows = rng if s % 2 else reversed(list(rng))
+        out.extend((i, s - i) for i in rows)
+    return out
+
+
+_ZZ = _zigzag_pairs()
+_ZZ_ROWS = np.array([i for i, _ in _ZZ])
+_ZZ_COLS = np.array([j for _, j in _ZZ])
+
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def quality_tables(quality: int = 75) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the libjpeg quality convention."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qy = np.clip((_QY * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return qy, qc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _enc_block(w: _BitWriter, q: np.ndarray, block: np.ndarray,
+               prev_dc: int, dc_tab, ac_tab) -> int:
+    coef = np.round(_DCT @ (block - 128.0) @ _DCT.T / q).astype(np.int64)
+    zz = coef[_ZZ_ROWS, _ZZ_COLS]
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    s = _cat(diff)
+    code, ln = dc_tab[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_tab[0x00]  # EOB
+            w.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = ac_tab[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def _plane_pad(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = p.shape
+    ph = -h % bh
+    pw = -w % bw
+    return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+
+def jpeg_bytes(arr: np.ndarray, quality: int = 75,
+               subsample: bool = True) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
+    baseline JFIF JPEG. 4:2:0 mean-pooled chroma when ``subsample``,
+    4:4:4 otherwise; grayscale is a single-component scan."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qy, qc = quality_tables(quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph = _plane_pad(cb, 2, 2)
+            pr = _plane_pad(cr, 2, 2)
+            cb = (ph[0::2, 0::2] + ph[0::2, 1::2]
+                  + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0
+            cr = (pr[0::2, 0::2] + pr[0::2, 1::2]
+                  + pr[1::2, 0::2] + pr[1::2, 1::2]) / 4.0
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = [_plane_pad(p, 8 * samp[c][1], 8 * samp[c][0])
+              for c, p in enumerate(planes)]
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # plane extents must cover every MCU block (edge-replicate further)
+    for c, p in enumerate(planes):
+        need_h = mcus_y * 8 * samp[c][1]
+        need_w = mcus_x * 8 * samp[c][0]
+        planes[c] = np.pad(p, ((0, need_h - p.shape[0]),
+                               (0, need_w - p.shape[1])), mode="edge")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00")  # APP0
+    for tid, q in ((0, qy),) + (() if gray else ((1, qc),)):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
+        out += bytes(int(q[i, j]) for i, j in _ZZ)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for c in range(ncomp):
+        out += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], qsel[c]])
+    tabs = [(0x00, _DC_Y_BITS, _DC_Y_VALS), (0x10, _AC_Y_BITS, _AC_Y_VALS)]
+    if not gray:
+        tabs += [(0x01, _DC_C_BITS, _DC_C_VALS),
+                 (0x11, _AC_C_BITS, _AC_C_VALS)]
+    for tc, bits, vals in tabs:
+        out += b"\xff\xc4" + (3 + 16 + len(vals)).to_bytes(2, "big")
+        out += bytes([tc]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    dc_y = _huff_codes(_DC_Y_BITS, _DC_Y_VALS)
+    ac_y = _huff_codes(_AC_Y_BITS, _AC_Y_VALS)
+    dc_c = _huff_codes(_DC_C_BITS, _DC_C_VALS)
+    ac_c = _huff_codes(_AC_C_BITS, _AC_C_VALS)
+    wtr = _BitWriter()
+    prev = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                sh, sv = samp[c]
+                qtab = qy if qsel[c] == 0 else qc
+                dct, act = (dc_y, ac_y) if c == 0 else (dc_c, ac_c)
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = planes[c][y0:y0 + 8, x0:x0 + 8]
+                        prev[c] = _enc_block(wtr, qtab, blk, prev[c],
+                                             dct, act)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.d[self.i]
+        if b == 0xFF:
+            nxt = self.d[self.i + 1]
+            if nxt == 0x00:
+                self.i += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "restart markers (DRI/RSTn) not supported")
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) uint8 RGB ((h, w) for a
+    single-component scan). Raises ``NotImplementedError`` on
+    progressive/arithmetic/12-bit/restart-interval streams."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
+    scan: list[tuple[int, int, int]] = []        # (comp idx, td, ta)
+    while i < len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        m = blob[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        ln = int.from_bytes(blob[i + 2:i + 4], "big")
+        seg = blob[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                tbl = np.zeros((8, 8), np.int32)
+                tbl[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                    seg[j + 1:j + 65], np.uint8).astype(np.int32)
+                qt[tq] = tbl
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc_th = seg[j]
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                huff[tc_th] = _huff_decode_map(bits, vals)
+                j += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline + ext. seq.)
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError("1- or 3-component only")
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{m - 0xC0}: only baseline sequential supported")
+        elif m == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(k for k, cc in enumerate(comps) if cc[0] == cid)
+                scan.append((idx, tdta >> 4, tdta & 0xF))
+            i = i + 2 + ln
+            break
+        i += 2 + ln
+    if not comps or not scan:
+        raise ValueError("no SOF/SOS found")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]))
+              for c in comps]
+    rdr = _BitReader(blob, i)
+    prev = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for (ci, td, ta) in scan:
+                _, sh, sv, tq = comps[ci]
+                dtab, atab = huff[td], huff[0x10 | ta]
+                q = qt[tq]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64, np.int64)
+                        s = rdr.huff(dtab)
+                        diff = _extend(rdr.bits(s), s) if s else 0
+                        prev[ci] += diff
+                        zz[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = rdr.huff(atab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(rdr.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS,
+                                                          _ZZ_COLS]
+                        blk = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            # (restart markers would be handled here; encoder emits none)
+
+    up = []
+    for c, p in enumerate(planes):
+        _, sh, sv, _ = comps[c]
+        p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        up.append(p[:h, :w])
+    if len(up) == 1:
+        return np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = up
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -8,10 +8,12 @@ the only sane shape at 100 TB (no driver collection, no per-row Python).
 
 Self-describing formats decode for REAL in pure numpy/stdlib: netpbm
 P6/P5, 24bpp BMP, PCM16 WAV (``_decode_ppm``/``_decode_bmp``/
-``_decode_wav``), and 8-bit non-interlaced PNG (stdlib ``zlib``;
-``functions.png.decode_png``, round-tripped against this repo's own
-encoder). Codec formats (JPEG/MP4/...) need libraries absent
-from this environment; for those ``decode_media`` raises
+``_decode_wav``), 8-bit non-interlaced PNG (stdlib ``zlib``;
+``functions.png.decode_png``), and — round 12 — baseline sequential
+JPEG (``functions.jpeg.decode_jpeg``: own Huffman + DCT, 4:4:4/4:2:2/
+4:2:0), each round-tripped against this repo's own encoder. Remaining
+codec formats (MP4/progressive JPEG/...) need libraries absent from
+this environment; for those ``decode_media`` raises
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic md5-seeded pseudo-decoder so the Spark-side plumbing —
 schema, batching, partitioning, UDF signatures — stays real and
@@ -29,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
 from cngi_prototype_spark.functions.png import (
     PNG_SIGNATURE,
     decode_png,
@@ -133,6 +136,8 @@ def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
             return _decode_wav(blob)
         if blob[:8] == PNG_SIGNATURE:
             return decode_png(blob)
+        if blob[:3] == b"\xff\xd8\xff":
+            return decode_jpeg(blob)
     except Exception:
         if not fake:
             raise
@@ -140,9 +145,9 @@ def _decode_one(blob: bytes, fake: bool) -> np.ndarray:
     if fake:
         return _fake_decode(blob)
     raise NotImplementedError(
-        "blob is not PPM/PGM/BMP/WAV/PNG; codec formats need PIL/av "
-        "which are not installed — pass fake=True for the deterministic "
-        "test decoder"
+        "blob is not PPM/PGM/BMP/WAV/PNG/baseline-JPEG; other codec "
+        "formats need PIL/av which are not installed — pass fake=True "
+        "for the deterministic test decoder"
     )
 
 
@@ -187,6 +192,21 @@ def synth_png(seed: int, w: int = 10, h: int = 7) -> bytes:
                    (seed + ii * 11 + jj * 7) % 256,
                    (seed * 9 + ii + jj * 13) % 256], axis=2).astype(np.uint8)
     return png_bytes(px)
+
+
+def synth_jpeg(seed: int, w: int = 16, h: int = 16) -> bytes:
+    """Baseline 4:2:0 JPEG of a smooth seeded gradient, self-encoded by
+    ``functions.jpeg.jpeg_bytes``. Decoded pixels are NOT closed-form
+    (lossy DCT), but encoder and decoder are deterministic, so the gate
+    twin embeds the python-side decode as literals and the unit tests
+    pin the round-trip error bound."""
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.stack([
+        128 + 96 * np.sin((ii + seed % 7) / 5.0),
+        128 + 96 * np.cos((jj + seed % 11) / 6.0),
+        128 + 72 * np.sin((ii + jj + seed % 13) / 8.0)], axis=2)
+    px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    return jpeg_bytes(px, quality=85)
 
 
 def synth_wav(seed: int, n: int = 64) -> bytes:

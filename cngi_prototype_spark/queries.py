@@ -3895,6 +3895,7 @@ from cngi_prototype_spark.multimodal.media import (  # noqa: E402
     media_metadata,
     sample_frames,
     synth_bmp,
+    synth_jpeg,
     synth_png,
     synth_ppm,
     synth_wav,
@@ -3933,9 +3934,31 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PPM, _N_BMP, _N_WAV = len(synth_ppm(0)), len(synth_bmp(0)), len(synth_wav(0))
 
 
-@register(
-    "media_suite",
-    f"""
+def _sql_media_suite() -> str:
+    """Lazy twin (register passes the callable): the 'jpeg' part embeds
+    the python-side decode of each self-encoded baseline-JPEG fixture
+    as literals — decoded pixels are not closed-form (lossy DCT), but
+    encoder and decoder are deterministic, so both engines agree
+    bit-for-bit on the integer pixel sums. The 150 encode+decode pairs
+    run at oracle-build time, never at import."""
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg
+    jvals = ", ".join(
+        f"({d}, {int(decode_jpeg(synth_jpeg(d)).astype(_np.int64).sum())})"
+        for d in range(150))
+    return _MEDIA_SUITE_SQL + f"""
+    UNION ALL
+    -- baseline JPEG (round 12): own Huffman+DCT decoder, 4:2:0
+    -- self-encoded fixtures; ids offset to 100000+doc_id so the
+    -- legacy 4-format id space (doc_id*4+k) is untouched
+    SELECT 'decode', d.doc_id + 100000, -1, '', '', 16, 16,
+           CAST(j.px_sum AS BIGINT)
+    FROM documents d JOIN (VALUES {jvals}) j(doc_id, px_sum)
+      ON j.doc_id = d.doc_id
+    WHERE d.doc_id < 150
+    """
+
+
+_MEDIA_SUITE_SQL = f"""
     SELECT 'metadata' AS part, doc_id AS media_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            md5(text) AS blob_md5,
@@ -3971,9 +3994,13 @@ _N_PPM, _N_BMP, _N_WAV = len(synth_ppm(0)), len(synth_bmp(0)), len(synth_wav(0))
                   + (doc_id*9 + i.range + j.range*13) % 256) AS BIGINT)
     FROM documents, range(7) i, range(10) j
     WHERE doc_id < 150 GROUP BY doc_id
-    """,
-)
-def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def media_suite_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original (pre-jpeg) gate scope — bench override for
+    round-over-round comparability (the r12 'jpeg' part adds 150
+    executor-side encode+decode pairs to the gate)."""
     meta = media_metadata_q(spark, sf_dir).select(
         F.lit("metadata").alias("part"), "media_id", "n_bytes", "blob_md5",
         "magic", F.lit(-1).alias("width"), F.lit(-1).alias("height"),
@@ -3987,6 +4014,30 @@ def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("blob_md5"), F.lit("").alias("magic"),
         "width", "height", "px_sum")
     return meta.unionByName(dec)
+
+
+@register("media_suite", _sql_media_suite)
+def media_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    base = media_suite_bench_q(spark, sf_dir)
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 150)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = [(int(d) + 100000, synth_jpeg(int(d)))
+                    for d in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "media"])
+
+    blobs = ids.mapInPandas(enc, "media_id long, media binary")
+    jdec = decode_media(blobs, fake=False).select(
+        F.lit("decode").alias("part"), "media_id",
+        F.lit(-1).cast("long").alias("n_bytes"),
+        F.lit("").alias("blob_md5"), F.lit("").alias("magic"),
+        "width", "height",
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("px_sum"))
+    return base.unionByName(jdec)
 
 
 @register("media_pixel_features", None)  # md5-seeded fake decoder: rows-only

@@ -494,3 +494,105 @@ def test_ivfpq_tiers_agree_and_cluster_retrieval(spark):
                 on=["query_id", "neighbor_id"])
     assert len(j) == len(a)
     assert np.abs(j.cos_sim - j.true_cos).max() < 0.02
+
+
+def test_jpeg_zigzag_matches_spec():
+    """The programmatic zigzag generator must reproduce the published
+    T.81 scan order exactly (flat row*8+col indices)."""
+    from cngi_prototype_spark.functions.jpeg import _ZZ
+
+    spec = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37,
+            44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47,
+            55, 62, 63]
+    assert [i * 8 + j for i, j in _ZZ] == spec
+
+
+def test_jpeg_roundtrip_bounds():
+    """decode(encode(x)) within lossy-codec bounds on smooth content,
+    across 4:4:4 / 4:2:0 / grayscale / odd dims; byte-determinism."""
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    h, w = 23, 37
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.clip(np.round(np.stack([
+        128 + 100 * np.sin(ii / 6.0),
+        128 + 100 * np.cos(jj / 7.0),
+        128 + 80 * np.sin((ii + jj) / 9.0)], axis=2)), 0, 255) \
+        .astype(np.uint8)
+
+    for q, sub, emax, emean in ((90, False, 10, 2.0), (90, True, 35, 6.0),
+                                (75, True, 40, 7.0)):
+        blob = jpeg_bytes(img, quality=q, subsample=sub)
+        assert blob[:3] == b"\xff\xd8\xff" and blob[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(blob)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= emax and err.mean() <= emean, (q, sub)
+
+    gray = img[..., 0]
+    dg = decode_jpeg(jpeg_bytes(gray, quality=85))
+    assert dg.shape == gray.shape
+    assert np.abs(dg.astype(int) - gray.astype(int)).max() <= 4
+
+    # exactly-one-MCU and exactly-one-block shapes
+    for shape in ((16, 16, 3), (8, 8, 3), (8, 8)):
+        a = np.full(shape, 144, np.uint8)
+        assert decode_jpeg(jpeg_bytes(a, quality=50)).shape == shape
+
+    assert jpeg_bytes(img) == jpeg_bytes(img)  # deterministic encoder
+
+
+def test_jpeg_constant_blocks_exact():
+    """Constant images whose level-shifted DC is a multiple of the
+    quantizer round-trip EXACTLY (DC-only blocks, analytic IDCT):
+    at quality 50 the Annex-K tables are unscaled, Q[0,0]=16, and
+    DC = 8*(v-128), so v in {128, 130, 144} is lossless end-to-end —
+    a decoder correctness check that does not lean on the encoder's
+    own inverse beyond the standard's arithmetic."""
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    for v in (128, 130, 144):
+        for shape in ((16, 24, 3), (9, 10, 3), (8, 8)):
+            a = np.full(shape, v, np.uint8)
+            for sub in (False, True):
+                if len(shape) == 2 and sub:
+                    continue
+                dec = decode_jpeg(jpeg_bytes(a, quality=50, subsample=sub))
+                assert (dec == v).all(), (v, shape, sub)
+
+
+def test_jpeg_capability_guards_and_media_wiring():
+    import numpy as np
+    import pytest as _pytest
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+    from cngi_prototype_spark.multimodal import media as M
+
+    img = np.full((12, 9, 3), 99, np.uint8)
+    blob = jpeg_bytes(img, quality=60)
+
+    # progressive (SOF2) and restart-interval (DRI) streams are
+    # explicit capability guards, not silent wrong answers
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    dri = blob[:2] + b"\xff\xdd\x00\x04\x00\x08" + blob[2:]
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(dri)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + blob)
+
+    # media tier wiring: magic dispatch + synth fixture shape
+    d = M._decode_one(M.synth_jpeg(5), fake=False)
+    assert d.shape == (16, 16, 3)
+    # deterministic: the gate twin embeds python-side decodes
+    assert (d == M._decode_one(M.synth_jpeg(5), fake=False)).all()
+    # corrupt jpeg under fake=True falls through to the pseudo-decoder
+    bad = blob[:40] + b"\x00" * 10
+    assert M._decode_one(bad, fake=True).shape == (8, 8)
