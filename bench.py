@@ -768,11 +768,23 @@ def chiles100_tier() -> dict:
     os.environ.setdefault("SPARK_GRAFT_CHILES_REP", "5120")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle sizing at 10x the rows (the own-guidance rule: partitions
+    # must fit executor memory at the target SF): at 512M vis the
+    # scatter's collect_list buffers hold ~100 B/row object overhead,
+    # so cpus-many reduce tasks would buffer 512M/32 rows EACH
+    # concurrently (~50 GB) on top of the ~37 GB input cache — measured
+    # Java-heap OOM at 96g. 4x finer reduce tasks cap the concurrent
+    # buffer at ~13 GB with identical fat-row content; AQE partition
+    # coalescing is pinned off so the sizing sticks.
+    shuf = int(os.environ.get("SPARK_GRAFT_CHILES100_SHUFFLE",
+                              str(cpus * 4)))
     mon = _StealMonitor()
     mon.start()
     spark = initialize_framework(
-        cores=cpus, app_name="bench_chiles100", shuffle_partitions=cpus,
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"})
+        cores=cpus, app_name="bench_chiles100", shuffle_partitions=shuf,
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false"})
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
     img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
     for _ in range(2):  # untimed priming (JIT + cache first-touch)
