@@ -701,7 +701,7 @@ LADDER100_QUERIES = ["dedup_corpus", "minhash_lsh_candidates",
                      "pack_sequences", "ann_ivfpq_topk"]
 
 
-def run_ladder_100x(spark, sf_dir: str, ladder: dict | None) -> dict:
+def run_ladder_100x(spark, sf_dir: str) -> dict:
     """mult=100 rung for the headline pipeline ops (round-12 verdict
     #1): a second decade of measured scale so the 100 TB design claim
     rests on a TREND, not on one 10x point plus plan shape. Ratios are
@@ -722,16 +722,17 @@ def run_ladder_100x(spark, sf_dir: str, ladder: dict | None) -> dict:
     big100 = _build_ladder_dir(spark, sf_dir, mult)
     qs = Q.queries()
     out: dict[str, dict] = {}
+    big10 = _build_ladder_dir(spark, sf_dir, 10)
     for name in LADDER100_QUERIES:
         fn = (LADDER_OVERRIDES.get(name) or qs.get(name)
               or getattr(Q, f"{name}_q"))
-        t10 = None
-        if ladder and isinstance(ladder.get("queries"), dict):
-            t10 = (ladder["queries"].get(name) or {}).get("big_sec")
-        if t10 is None:
-            big10 = _build_ladder_dir(spark, sf_dir, 10)
-            _run(fn(spark, big10))  # codegen/JIT warm
-            t10 = _ladder_min(fn, spark, big10)
+        # measure BOTH rungs here, back-to-back in the same cache
+        # state, rather than reusing the earlier ladder tier's 10x
+        # number: round-12 found the reported decade ratio swinging
+        # 9.85 <-> 13.17 purely from the denominator being measured
+        # minutes earlier under different session state
+        _run(fn(spark, big10))  # codegen/JIT warm
+        t10 = _ladder_min(fn, spark, big10)
         _run(fn(spark, big100))  # warm at the 100x shape
         t100 = _ladder_min(fn, spark, big100)
         out[name] = {
@@ -1034,7 +1035,7 @@ def main() -> None:
     if int(os.environ.get("SPARK_GRAFT_LADDER100", "1")):
         try:
             spark.catalog.clearCache()
-            ladder_100x = run_ladder_100x(spark, sf_dir, ladder)
+            ladder_100x = run_ladder_100x(spark, sf_dir)
         except Exception as e:  # diagnostic: never break bench
             ladder_100x = {"error": f"{type(e).__name__}: {e}"}
 

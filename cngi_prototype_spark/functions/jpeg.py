@@ -13,10 +13,11 @@ overwhelming majority of web-corpus images:
   self-encoded round-trip fixtures exactly like ``functions.png``'s
   encoder is for PNG.
 
+Restart intervals (DRI/RSTn — common in camera output) decode and
+encode: predictors reset and the bit reader re-aligns at each marker.
 Out of scope (explicit ``NotImplementedError``, same capability-guard
 convention as the other stdlib decoders): progressive (SOF2),
-arithmetic coding, 12-bit precision, restart intervals (the encoder
-never emits them), CMYK/4-component scans.
+arithmetic coding, 12-bit precision, CMYK/4-component scans.
 
 The codec is a correctness baseline, not a SIMD turbo: the per-block
 Huffman loop is python. At scale the decode runs inside Arrow-batched
@@ -222,10 +223,15 @@ def _plane_pad(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def jpeg_bytes(arr: np.ndarray, quality: int = 75,
-               subsample: bool = True) -> bytes:
+               subsample: bool | str = True,
+               restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline JFIF JPEG. 4:2:0 mean-pooled chroma when ``subsample``,
-    4:4:4 otherwise; grayscale is a single-component scan."""
+    baseline JFIF JPEG. ``subsample``: True = 4:2:0 (mean-pooled 2x2
+    chroma), "422" = horizontal-only 4:2:2, False = 4:4:4; grayscale
+    is a single-component scan. ``restart_interval`` > 0 emits DRI +
+    RSTn markers every N MCUs (predictor reset + byte alignment, the
+    camera-output convention) so the decoder's restart path has a
+    self-encoded round-trip fixture."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -240,7 +246,13 @@ def jpeg_bytes(arr: np.ndarray, quality: int = 75,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
+        if subsample == "422":
+            ph = _plane_pad(cb, 1, 2)
+            pr = _plane_pad(cr, 1, 2)
+            cb = (ph[:, 0::2] + ph[:, 1::2]) / 2.0
+            cr = (pr[:, 0::2] + pr[:, 1::2]) / 2.0
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
             ph = _plane_pad(cb, 2, 2)
             pr = _plane_pad(cr, 2, 2)
             cb = (ph[0::2, 0::2] + ph[0::2, 1::2]
@@ -283,6 +295,9 @@ def jpeg_bytes(arr: np.ndarray, quality: int = 75,
     for tc, bits, vals in tabs:
         out += b"\xff\xc4" + (3 + 16 + len(vals)).to_bytes(2, "big")
         out += bytes([tc]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + int(restart_interval).to_bytes(
+            2, "big")
     out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
     for c in range(ncomp):
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -294,8 +309,15 @@ def jpeg_bytes(arr: np.ndarray, quality: int = 75,
     ac_c = _huff_codes(_AC_C_BITS, _AC_C_VALS)
     wtr = _BitWriter()
     prev = [0] * ncomp
+    mcu_n, rst = 0, 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                wtr.flush()  # pad to byte boundary with 1-bits
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                prev = [0] * ncomp
+            mcu_n += 1
             for c in range(ncomp):
                 sh, sv = samp[c]
                 qtab = qy if qsel[c] == 0 else qc
@@ -327,14 +349,27 @@ class _BitReader:
             if nxt == 0x00:
                 self.i += 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "restart markers (DRI/RSTn) not supported")
+                raise ValueError(
+                    "RST marker inside an MCU (corrupt restart layout)")
             else:
                 raise EOFError("marker inside entropy data")
         else:
             self.i += 1
         self.acc = (self.acc << 8) | b
         self.n += 8
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81
+        restart convention: pad bits discarded, predictors reset by
+        the caller)."""
+        self.acc = 0
+        self.n = 0
+        if self.d[self.i] == 0xFF and self.d[self.i + 1] == 0x00:
+            self.i += 2  # stuffed pad byte the bit path never consumed
+        if not (self.d[self.i] == 0xFF
+                and 0xD0 <= self.d[self.i + 1] <= 0xD7):
+            raise ValueError("expected RST marker at restart boundary")
+        self.i += 2
 
     def bit(self) -> int:
         if self.n == 0:
@@ -365,13 +400,15 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (h, w, 3) uint8 RGB ((h, w) for a
-    single-component scan). Raises ``NotImplementedError`` on
-    progressive/arithmetic/12-bit/restart-interval streams."""
+    single-component scan). Restart intervals (DRI/RSTn) are handled;
+    raises ``NotImplementedError`` on progressive/arithmetic/12-bit
+    streams."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
+    restart_interval = 0
     h = w = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     scan: list[tuple[int, int, int]] = []        # (comp idx, td, ta)
@@ -422,8 +459,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"SOF{m - 0xC0}: only baseline sequential supported")
-        elif m == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS
             ns = seg[0]
             for c in range(ns):
@@ -444,8 +481,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
               for c in comps]
     rdr = _BitReader(blob, i)
     prev = [0] * len(comps)
+    mcu_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (restart_interval and mcu_n
+                    and mcu_n % restart_interval == 0):
+                rdr.restart()
+                prev = [0] * len(comps)
+            mcu_n += 1
             for (ci, td, ta) in scan:
                 _, sh, sv, tq = comps[ci]
                 dtab, atab = huff[td], huff[0x10 | ta]
@@ -480,7 +523,6 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         y0 = (my * sv + by) * 8
                         x0 = (mx * sh + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-            # (restart markers would be handled here; encoder emits none)
 
     up = []
     for c, p in enumerate(planes):

@@ -577,14 +577,14 @@ def test_jpeg_capability_guards_and_media_wiring():
     img = np.full((12, 9, 3), 99, np.uint8)
     blob = jpeg_bytes(img, quality=60)
 
-    # progressive (SOF2) and restart-interval (DRI) streams are
-    # explicit capability guards, not silent wrong answers
+    # progressive (SOF2) is an explicit capability guard, not a
+    # silent wrong answer; a DRI segment with no due restarts is
+    # simply honored
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError):
         decode_jpeg(prog)
     dri = blob[:2] + b"\xff\xdd\x00\x04\x00\x08" + blob[2:]
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg(dri)
+    assert (decode_jpeg(dri) == decode_jpeg(blob)).all()
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01" + blob)
 
@@ -596,3 +596,38 @@ def test_jpeg_capability_guards_and_media_wiring():
     # corrupt jpeg under fake=True falls through to the pseudo-decoder
     bad = blob[:40] + b"\x00" * 10
     assert M._decode_one(bad, fake=True).shape == (8, 8)
+
+
+def test_jpeg_422_and_restart_intervals():
+    """4:2:2 encode mode and DRI/RSTn streams round-trip: restarts
+    byte-align and reset predictors every N MCUs (the camera-output
+    convention), and must reproduce the unrestarted decode exactly on
+    lossless (constant) content."""
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    h, w = 21, 45  # multiple MCUs in both 4:2:0 (16x16) and 4:2:2 (16x8)
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.clip(np.round(np.stack([
+        128 + 100 * np.sin(ii / 6.0),
+        128 + 100 * np.cos(jj / 7.0),
+        128 + 80 * np.sin((ii + jj) / 9.0)], axis=2)), 0, 255) \
+        .astype(np.uint8)
+
+    d422 = decode_jpeg(jpeg_bytes(img, quality=90, subsample="422"))
+    err = np.abs(d422.astype(int) - img.astype(int))
+    assert d422.shape == img.shape and err.mean() <= 4.0
+
+    for sub in (True, False, "422"):
+        plain = decode_jpeg(jpeg_bytes(img, quality=80, subsample=sub))
+        for ri in (1, 2, 5):
+            blob = jpeg_bytes(img, quality=80, subsample=sub,
+                              restart_interval=ri)
+            assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+            assert (decode_jpeg(blob) == plain).all(), (sub, ri)
+
+    # lossless constant content stays exact through restarts too
+    a = np.full((20, 40, 3), 144, np.uint8)
+    assert (decode_jpeg(jpeg_bytes(a, quality=50, subsample=False,
+                                   restart_interval=1)) == 144).all()
