@@ -198,10 +198,23 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| - |A∩B|), an integer ratio: bit-identical across
     engines, no rounding needed.
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
     if candidates is not None:
+        # Shingle ONLY candidate-participating docs: at the 100x rung
+        # the candidate set touches ~1/4 of the corpus, and without
+        # this restriction the verify stage re-tokenizes the WHOLE
+        # corpus twice (once per join side) — measured 36 s of the
+        # 75 s dedup_corpus composition. The candidate set now feeds
+        # three consumers (the id semi-join and both pair joins), so
+        # it is persisted here — it is pair-id-sized (O(collisions)),
+        # orders of magnitude under the corpus.
+        candidates = candidates.persist()
+        need = (candidates.select(F.col("id_a").alias(id_col))
+                .unionByName(candidates.select(F.col("id_b")
+                                               .alias(id_col)))
+                .distinct())
+        sh = (df.join(need, id_col, "left_semi")
+              .select(F.col(id_col),
+                      shingles(F.col(text_col), shingle_n).alias("sh")))
         a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = candidates.join(a, "id_a").join(b, "id_b")
@@ -221,6 +234,9 @@ def ngram_jaccard_pairs(
     # shingle arrays are distinct sets), so the oracle hash-matches.
     if threshold <= 0:
         raise ValueError("all-pairs ngram_jaccard requires threshold > 0")
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     # join on xxhash64 of the shingle: 8-byte shuffle keys instead of
     # strings (counts are unchanged short of a 2^-64 collision; the
     # oracle intersects the actual string sets, so a collision would
