@@ -707,11 +707,12 @@ def stream_pack_sequences(
     from cngi_prototype_spark.text.training import pack_sequences
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        import os as _os
-
         spark = batch_df.sparkSession
         base = 0
-        if _os.path.exists(offset_path):
+        # Hadoop-FS existence like the other stores (the offset store
+        # lives next to the output on the real sink's filesystem — a
+        # driver-local os.path probe is wrong on object stores)
+        if _hadoop_exists(spark, offset_path):
             prev = (spark.read.parquet(offset_path)
                     .filter(_F.col("_batch") < batch_id)
                     .agg(_F.max_by("offset", "_batch")).collect()[0][0])
