@@ -190,6 +190,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    per_pair_shingle: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-n-gram sets.
 
@@ -197,27 +198,55 @@ def ngram_jaccard_pairs(
     scale path. Without, all pairs (oracle/small-n only). jaccard =
     |A∩B| / (|A| + |B| - |A∩B|), an integer ratio: bit-identical across
     engines, no rounding needed.
+
+    ``per_pair_shingle`` picks the verification plan shape (values
+    identical either way):
+
+    - False — two whole-corpus shingle tables join to the pair list.
+      Wins while the corpus is small enough that two extra shingle
+      passes are cheaper than pushing text payloads through the pair
+      joins (measured: 1.8 s vs 3.0 s at 5k docs, 6.3 s vs 14.7 s at
+      50k).
+    - True — the candidate list is the join spine: raw text joins in
+      per side and shingles are computed per PAIR row, so the
+      corpus-sized scans disappear entirely (a doc in k pairs shingles
+      k times, bounded by ``max_bucket`` fan-out). Wins once the
+      corpus dwarfs the candidate set (measured: 36 s vs 68 s at 500k
+      docs — the 100x rung; the gap only widens with corpus size).
+    - None (default) — decide by one ``df.count()`` against the
+      measured ~200k-doc crossover. Callers on a hot path with a
+      known corpus size should pass the bool and skip the count.
+
+    Rejected alternative: persisting the candidate set and semi-join
+    restricting the shingle tables measured fastest of all, but
+    ``.persist()`` inside an operator registers the plan with Spark's
+    CacheManager, which then silently substitutes the cached rows into
+    ANY later query with a matching subplan — round 12 caught a
+    benchmark rung reading a prior query's cache. Operators here never
+    persist what they return or consume.
     """
     if candidates is not None:
-        # Shingle ONLY candidate-participating docs: at the 100x rung
-        # the candidate set touches ~1/4 of the corpus, and without
-        # this restriction the verify stage re-tokenizes the WHOLE
-        # corpus twice (once per join side) — measured 36 s of the
-        # 75 s dedup_corpus composition. The candidate set now feeds
-        # three consumers (the id semi-join and both pair joins), so
-        # it is persisted here — it is pair-id-sized (O(collisions)),
-        # orders of magnitude under the corpus.
-        candidates = candidates.persist()
-        need = (candidates.select(F.col("id_a").alias(id_col))
-                .unionByName(candidates.select(F.col("id_b")
-                                               .alias(id_col)))
-                .distinct())
-        sh = (df.join(need, id_col, "left_semi")
-              .select(F.col(id_col),
-                      shingles(F.col(text_col), shingle_n).alias("sh")))
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        pairs = candidates.join(a, "id_a").join(b, "id_b")
+        if per_pair_shingle is None:
+            per_pair_shingle = df.count() > 200_000
+        if per_pair_shingle:
+            a = df.select(F.col(id_col).alias("id_a"),
+                          F.col(text_col).alias("_ta"))
+            b = df.select(F.col(id_col).alias("id_b"),
+                          F.col(text_col).alias("_tb"))
+            pairs = (candidates.join(a, "id_a").join(b, "id_b")
+                     .withColumn("sh_a",
+                                 shingles(F.col("_ta"), shingle_n))
+                     .withColumn("sh_b",
+                                 shingles(F.col("_tb"), shingle_n)))
+        else:
+            sh = df.select(F.col(id_col),
+                           shingles(F.col(text_col), shingle_n)
+                           .alias("sh"))
+            a = sh.select(F.col(id_col).alias("id_a"),
+                          F.col("sh").alias("sh_a"))
+            b = sh.select(F.col(id_col).alias("id_b"),
+                          F.col("sh").alias("sh_b"))
+            pairs = candidates.join(a, "id_a").join(b, "id_b")
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
         jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
