@@ -1745,13 +1745,18 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     11: expression scoring tier vs sql_ivfpq_topk, bit-exact scores,
     plus recall/floor rows); this rows-only entry keeps the
     production Arrow-kernel shape under bench + tier-parity and
-    cluster-retrieval unit tests (tests/test_udf_tier.py)."""
+    cluster-retrieval unit tests (tests/test_udf_tier.py). rerank=50
+    (round 12): the FAISS refine stage — quantized recall decays with
+    corpus size (0.12 gate-scale -> ~0.05 at 600k vectors, measured
+    curve in BENCH_DETAIL), and the exact rescore of the ADC
+    shortlist restores it (0.04 -> 0.22 at 600k with 50, 0.44 with
+    200) at R x queries extra vector reads."""
     emb = _t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVFPQ_PROD:
         _IVFPQ_PROD[sf_dir] = train_ivfpq(emb, n_cells=8, m=8, ksub=32)
     cents, books = _IVFPQ_PROD[sf_dir]
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
-                      books, k=5, nprobe=3)
+                      books, k=5, nprobe=3, rerank=50)
 
 
 _PQ_PROD_CODEBOOKS: dict[str, list] = {}
