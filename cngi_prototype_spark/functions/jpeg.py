@@ -357,6 +357,10 @@ class _BitReader:
             self.i += 1
         self.acc = (self.acc << 8) | b
         self.n += 8
+        # truncate consumed high bits (the writer's discipline): an
+        # ever-growing acc makes each bit read O(bits-ever-read) — on
+        # a real multi-hundred-KB scan that is O(N^2) total
+        self.acc &= (1 << self.n) - 1
 
     def restart(self) -> None:
         """Byte-align and consume the expected RSTn marker (T.81
@@ -417,6 +421,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             i += 1
             continue
         m = blob[i + 1]
+        if m == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before a marker
+            i += 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

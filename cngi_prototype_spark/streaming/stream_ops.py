@@ -292,6 +292,23 @@ def _store_fs(spark, p: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _swap_paths(store_path: str) -> tuple[str, str]:
+    """(tmp, bak) side paths of the compaction swap — ONE derivation
+    shared by :func:`compact_store` and :func:`_recover_store_swap`;
+    the crash-recovery contract depends on both probing identical
+    paths."""
+    base = store_path.rstrip("/")
+    return base + "__compact_tmp", base + "__compact_bak"
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename signals failure by returning false,
+    not raising — a swallowed false would report a failed swap as a
+    successful compaction."""
+    if not fs.rename(src, dst):
+        raise OSError(f"compaction swap rename failed: {src} -> {dst}")
+
+
 def _recover_store_swap(spark, store_path: str) -> None:
     """Repair a store left mid-swap by a crashed :func:`compact_store`.
 
@@ -309,23 +326,21 @@ def _recover_store_swap(spark, store_path: str) -> None:
     - src absent, no committed tmp: roll back (bak→src, drop tmp).
     """
     fs, jsrc = _store_fs(spark, store_path)
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(
-        store_path.rstrip("/") + "__compact_tmp")
-    jbak = spark._jvm.org.apache.hadoop.fs.Path(
-        store_path.rstrip("/") + "__compact_bak")
+    tmp, bak = _swap_paths(store_path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
     if fs.exists(jsrc):
         for j in (jtmp, jbak):
             if fs.exists(j):
                 fs.delete(j, True)
         return
-    jtmp_ok = spark._jvm.org.apache.hadoop.fs.Path(
-        str(jtmp) + "/_SUCCESS")
+    jtmp_ok = spark._jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")
     if fs.exists(jtmp) and fs.exists(jtmp_ok):
-        fs.rename(jtmp, jsrc)
+        _rename_or_raise(fs, jtmp, jsrc)
         if fs.exists(jbak):
             fs.delete(jbak, True)
     elif fs.exists(jbak):
-        fs.rename(jbak, jsrc)
+        _rename_or_raise(fs, jbak, jsrc)
         if fs.exists(jtmp):
             fs.delete(jtmp, True)
 
@@ -436,8 +451,7 @@ def compact_store(
             .withColumn("_batch", F.lit(int(hiwater or 0))))
     if keep is not None:
         out = out.unionByName(keep)
-    tmp = store_path.rstrip("/") + "__compact_tmp"
-    bak = store_path.rstrip("/") + "__compact_bak"
+    tmp, bak = _swap_paths(store_path)
     (out.write.mode("overwrite")
      .partitionBy("_batch").parquet(tmp))
     compacted.unpersist()
@@ -445,8 +459,8 @@ def compact_store(
     fs, jsrc = _store_fs(spark, store_path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     jbak = jvm.org.apache.hadoop.fs.Path(bak)
-    fs.rename(jsrc, jbak)
-    fs.rename(jtmp, jsrc)
+    _rename_or_raise(fs, jsrc, jbak)
+    _rename_or_raise(fs, jtmp, jsrc)
     fs.delete(jbak, True)
     return before, after
 

@@ -668,3 +668,34 @@ def test_ivfpq_rerank_restores_recall_and_dominance(spark):
     # best lives in a probed cell — weaker but deterministic: every
     # reranked row must be a (query, neighbor) pair ADC could emit
     assert len(ref) <= 5 * qs.count()
+
+
+def test_jpeg_fill_bytes_and_large_scan():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker code,
+    common camera output) must parse; and a ~real-sized scan must
+    decode in linear time (regression: the bit reader's accumulator
+    grew unboundedly, turning big scans O(N^2))."""
+    import time
+
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    img = np.full((12, 9, 3), 77, np.uint8)
+    blob = jpeg_bytes(img, quality=60)
+    # inject fill bytes before the DQT and SOF0 marker codes
+    filled = blob.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1) \
+                 .replace(b"\xff\xc0", b"\xff\xff\xc0", 1)
+    assert (decode_jpeg(filled) == decode_jpeg(blob)).all()
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+    blob = jpeg_bytes(big, quality=90, subsample=False)  # noisy -> big
+    assert len(blob) > 300_000
+    t0 = time.time()
+    dec = decode_jpeg(blob)
+    sec = time.time() - t0
+    assert dec.shape == big.shape
+    # pure-python Huffman on ~1.2M coefficients: generous linear-time
+    # bound; the quadratic accumulator measured minutes here
+    assert sec < 60, sec
