@@ -698,7 +698,11 @@ def run_ladder(spark, sf_dir: str, mult: int) -> dict:
 
 
 LADDER100_QUERIES = ["dedup_corpus", "minhash_lsh_candidates",
-                     "pack_sequences", "ann_ivfpq_topk"]
+                     "pack_sequences", "ann_ivfpq_topk",
+                     # round 12 (late): the ExactSubstr gram-
+                     # fingerprint shuffle is the one scale mechanism
+                     # the first four do not exercise
+                     "dedup_spans"]
 
 
 def run_ladder_100x(spark, sf_dir: str) -> dict:
