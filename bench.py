@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_hamming_topk",
     "ann_ivfpq_topk",
+    # round-12 (late): BM25 inverted-index retrieval
+    "bm25_topk",
 ]
 
 
@@ -297,7 +299,13 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # structure preserved, cross-shard shingle overlap
                   # zero, so candidates scale linearly).
                   "time_average", "flag_summary", "join_dataset",
-                  "minhash_lsh_candidates"]
+                  "minhash_lsh_candidates",
+                  # round 12 (late): BM25 — tokenize + the postings
+                  # groupBy shuffle dominate and both scale with the
+                  # corpus; query terms match only the original shard
+                  # (replica tokens are suffix-bijected), which is the
+                  # honest workload: index build is the scale cost
+                  "bm25_topk"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
@@ -558,10 +566,11 @@ BENCH_OVERRIDES = {
 }
 
 
-def _ladder_min(fn, spark, d: str) -> float:
+def _ladder_min(fn, spark, d: str,
+                runs_out: list[float] | None = None) -> float:
     # min-of-2 with the same >2x-spread steal guard as the query tier:
     # a burst on one scale fakes a ratio; one extra run un-fakes it
-    rs: list[float] = []
+    rs: list[float] = [] if runs_out is None else runs_out
     for _ in range(2):
         t0 = time.time()
         _run(fn(spark, d))
@@ -727,6 +736,7 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
     qs = Q.queries()
     out: dict[str, dict] = {}
     big10 = _build_ladder_dir(spark, sf_dir, 10)
+    from cngi_prototype_spark.plans.inspect import shuffle_totals
     for name in LADDER100_QUERIES:
         fn = (LADDER_OVERRIDES.get(name) or qs.get(name)
               or getattr(Q, f"{name}_q"))
@@ -736,9 +746,15 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
         # 9.85 <-> 13.17 purely from the denominator being measured
         # minutes earlier under different session state
         _run(fn(spark, big10))  # codegen/JIT warm
-        t10 = _ladder_min(fn, spark, big10)
+        r10: list[float] = []
+        s0 = shuffle_totals(spark)
+        t10 = _ladder_min(fn, spark, big10, runs_out=r10)
+        s1 = shuffle_totals(spark)
         _run(fn(spark, big100))  # warm at the 100x shape
-        t100 = _ladder_min(fn, spark, big100)
+        r100: list[float] = []
+        s2 = shuffle_totals(spark)
+        t100 = _ladder_min(fn, spark, big100, runs_out=r100)
+        s3 = shuffle_totals(spark)
         out[name] = {
             "big10_sec": round(t10, 3),
             "big100_sec": round(t100, 3),
@@ -747,6 +763,17 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
             # second decade
             "scaling_efficiency": round(t100 / t10 / 10, 3),
         }
+        # measured shuffle volume per run at each rung: the byte-level
+        # witness that "sub-linear time" isn't hiding super-linear
+        # shuffle growth (AppStatusStore deltas; wall-time noise-free)
+        if s0 and s1 and s2 and s3:
+            w10 = max(0, s1["write"] - s0["write"]) / len(r10)
+            w100 = max(0, s3["write"] - s2["write"]) / len(r100)
+            out[name]["shuffle_write_mb_10x"] = round(w10 / 2**20, 2)
+            out[name]["shuffle_write_mb_100x"] = round(w100 / 2**20, 2)
+            if w10 > 0:
+                out[name]["shuffle_growth_100x_over_10x"] = round(
+                    w100 / w10, 2)
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
     return {
         "mult": mult, "vs_mult": 10, "queries": out,
@@ -838,7 +865,12 @@ def main() -> None:
     # -Xlog:disable keeps JVM unified-logging (gc,alloc warnings under
     # memory pressure) off stdout — the driver contract is ONE JSON
     # line, and a GC warning printed after it breaks naive tail-parsing
-    gc_quiet = {"spark.driver.extraJavaOptions": "-Xlog:disable"}
+    gc_quiet = {"spark.driver.extraJavaOptions": "-Xlog:disable",
+                # keep every stage in the AppStatusStore so the 100x
+                # ladder's shuffle-byte deltas never under-count from
+                # eviction (default retention is 1000 stages; a full
+                # bench session runs several thousand)
+                "spark.ui.retainedStages": "100000"}
 
     # The baseline-comparison tier runs FIRST, in its own process: a
     # new SparkSession in this process would reuse the py4j JVM, and

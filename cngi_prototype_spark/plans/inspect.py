@@ -52,6 +52,32 @@ def broadcast_hint_count(df: DataFrame) -> int:
     return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
 
 
+def shuffle_totals(spark) -> dict[str, int] | None:
+    """Cumulative shuffle read/write bytes across all stages the
+    session's AppStatusStore retains — snapshot before/after a query
+    and the delta is that query's measured shuffle volume (the scale
+    ladder records it so "sub-linear" is a byte trend, not just a time
+    trend). Works with the UI disabled (AppStatusListener always runs).
+    Returns None when the py4j surface drifts across Spark versions —
+    callers treat the metric as optional evidence.
+    """
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        store = spark._jsparkSession.sparkContext().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), jvm.java.util.ArrayList())
+        write = read = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            write += s.shuffleWriteBytes()
+            read += s.shuffleReadBytes()
+        return {"write": int(write), "read": int(read)}
+    except Exception:  # noqa: BLE001 — diagnostic surface, never fatal
+        return None
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when a HashAggregate appears upstream of an Exchange that is
     followed by the final HashAggregate — Spark's map-side combine."""

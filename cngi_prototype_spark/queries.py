@@ -970,6 +970,10 @@ from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
     sql_remove_duplicate_spans,
     sql_simhash_fingerprints,
 )
+from cngi_prototype_spark.text.retrieval import (  # noqa: E402
+    bm25_topk,
+    sql_bm25_topk,
+)
 from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     brute_force_topk,
     cosine_pairs,
@@ -1095,6 +1099,19 @@ def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.join(gopher_quality_filter(docs), "doc_id")
 
 
+@register("bm25_topk", None)  # value-gated via ngram_jaccard 'bm25' part
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape BM25 retrieval: six queries, top-20 per query,
+    exact double scores (the quantized tier of the same operator is
+    hash-checked as the 'bm25' part of the ngram_jaccard gate)."""
+    docs = _docs(spark, sf_dir)
+    qs = [(0, "scan merge window sort"),
+          (1, "customer stream batch data"),
+          (2, "spark join filter"), (3, "query group agg"),
+          (4, "fast key value"), (5, "table row column")]
+    return bm25_topk(docs, qs, top_n=20)
+
+
 @register("dedup_spans", None)  # token-index union rebuild: rows-only
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplicate-span removal (Lee et al. 2021) at 8-gram
@@ -1133,6 +1150,12 @@ def _sql_pack_sequences_part() -> str:
 def _sql_mix_part() -> str:
     from cngi_prototype_spark.text.training import sql_stratified_sample
     return sql_stratified_sample(_MIX_FRACS, by="lang", seed=5)
+
+
+# gate-scope BM25 queries: mid-frequency testdata vocabulary so each
+# query matches a nontrivial, distinct doc subset
+_BM25_QUERIES = [(0, "scan merge window"), (1, "customer stream batch"),
+                 (2, "spark join")]
 
 
 @register(
@@ -1186,6 +1209,14 @@ def _sql_mix_part() -> str:
     SELECT 'spans', doc_id, {sql_md5_num('text_dedup')},
            CAST(n_tokens * 100000 + n_removed AS DOUBLE)
     FROM ({sql_remove_duplicate_spans(8)})
+    UNION ALL
+    -- BM25 top-10 per query (quantized tier): per-term contributions
+    -- are identical IEEE expression trees floor-quantized to BIGINT
+    -- nano-units, so the score sum is order-independent; value packs
+    -- (score_q, rank) exactly (score_q*100 + rank < 5e12 < 2^53)
+    SELECT 'bm25', CAST(query_id AS BIGINT), doc_id,
+           CAST(score_q * 100 + rank AS DOUBLE)
+    FROM ({sql_bm25_topk(_BM25_QUERIES, top_n=10, quantize=True)})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,9 +1270,16 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_num(F.col("text_dedup")).alias("id_b"),
         (F.col("n_tokens").cast("long") * 100000
          + F.col("n_removed")).cast("double").alias("jaccard"))
+    bm25 = bm25_topk(docs, _BM25_QUERIES, top_n=10, quantize=True).select(
+        F.lit("bm25").alias("part"),
+        F.col("query_id").cast("long").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        (F.col("score_q") * 100 + F.col("rank"))
+        .cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
-            .unionByName(pack).unionByName(mix).unionByName(spans))
+            .unionByName(pack).unionByName(mix).unionByName(spans)
+            .unionByName(bm25))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,62 @@
+"""Registry-wide plan audit on a representative subset (the full sweep
+runs via tools/plan_audit.py and commits PLAN_AUDIT.json).
+
+The subset spans the distinct plan families: relational agg (q1),
+gridder fat-row path, window ops, LSH dedup, ANN, text tier, packing —
+a plan regression in any family trips here first.
+"""
+
+from __future__ import annotations
+
+from cngi_prototype_spark.plans.audit import (
+    _struct_fields,
+    audit_registry,
+    parquet_scans,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = {
+    "q1_pricing_summary", "time_average", "flag_summary",
+    "dedup_exact", "minhash_lsh_candidates", "ann_topk",
+    "text_features", "pack_sequences", "imaging_weights",
+    "split_dataset",
+}
+
+
+def test_struct_field_counter():
+    assert _struct_fields("struct<a:int,b:string>") == 2
+    assert _struct_fields("struct<a:array<struct<x:int,y:int>>,b:int>") == 2
+    assert _struct_fields("struct<>") == 0
+    assert _struct_fields("struct<a:map<string,array<int>>>") == 1
+
+
+def test_scan_parser_on_real_plan(spark):
+    from cngi_prototype_spark.plans.inspect import explain_formatted
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity").filter("l_quantity > 10")
+    scans = parquet_scans(explain_formatted(df))
+    assert len(scans) == 1
+    assert scans[0]["table"] == "lineitem"
+    assert scans[0]["cols_read"] == 2
+
+
+def test_shuffle_totals_delta(spark):
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.plans.inspect import shuffle_totals
+
+    s0 = shuffle_totals(spark)
+    assert s0 is not None  # py4j surface present on this Spark
+    spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count() \
+        .collect()
+    s1 = shuffle_totals(spark)
+    assert s1["write"] > s0["write"]
+    assert s1["read"] > s0["read"]
+
+
+def test_registry_subset_clean(spark):
+    report = audit_registry(spark, SF_DIR, only=SUBSET)
+    assert report["n_queries"] == len(SUBSET)
+    assert report["violations"] == {}, report["violations"]
