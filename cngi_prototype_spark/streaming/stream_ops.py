@@ -686,6 +686,63 @@ def stream_dedup_spans(
             .foreachBatch(step))
 
 
+def stream_bm25_postings(
+    stream_df: DataFrame,
+    postings_path: str,
+    checkpoint: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """Incremental inverted-index maintenance — the live twin of
+    ``text.retrieval.bm25_postings``: each micro-batch's documents
+    tokenize into ``(term, doc_id, tf, dl)`` postings that append to
+    the persistent store. Documents are append-only with unique ids
+    across batches (the same monotone-ids convention as
+    :func:`stream_dedup_spans`), so a document's postings never change
+    after its batch: the accumulated store IS the batch index, and
+    ``bm25_topk_from_store`` scores it with the exact batch plan —
+    equal to ``bm25_topk`` over the concatenated corpus for any
+    batching (property-tested).
+
+    Same exactly-once + run-epoch conventions as the other incremental
+    stores: outputs land in ``_batch=<base+id>`` partitions with
+    dynamic overwrite (a replay replaces only its own partition), the
+    run pins its epoch base past every prior run's partitions, and
+    ``compact_every=N`` folds the committed prefix in-stream via
+    :func:`compact_store` (postings rows are unique per (doc, term),
+    so the fold's distinct() preserves them verbatim). Unlike the
+    dedup stores, a batch never reads the store — index maintenance is
+    embarrassingly incremental.
+    """
+    from cngi_prototype_spark.text.retrieval import bm25_postings
+
+    epoch_path = checkpoint.rstrip("/") + "/_bm25_epoch"
+    run_base: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not run_base:
+            run_base.append(_pin_run_base(spark, epoch_path,
+                                          postings_path, batch_id))
+        eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, postings_path)):
+            compact_store(spark, postings_path, fold_below=eb)
+        post = bm25_postings(batch_df, text_col=text, id_col=id_col)
+        (post.withColumn("_batch", F.lit(eb))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(postings_path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))
+
+
 # --------------------------------------------------------------------------
 # incremental sequence packing (training-set assembly over live ingest)
 

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from cngi_prototype_spark.text.analysis import TOKEN_SPLIT, _sql_tokens, _tokens
 
-__all__ = ["bm25_topk", "bm25_postings", "sql_bm25_topk"]
+__all__ = ["bm25_topk", "bm25_postings", "bm25_score_postings",
+           "bm25_topk_from_store", "sql_bm25_topk"]
 
 _QUANT = 1_000_000_000  # nano-unit quantization for the exact gate sum
 
@@ -117,8 +118,28 @@ def bm25_topk(
     one query collapse to one occurrence (set-of-terms semantics, the
     standard bag-of-words simplification for short queries).
     """
-    spark = docs.sparkSession
     post = bm25_postings(docs, text_col=text_col, id_col=id_col)
+    return bm25_score_postings(post, queries, k1=k1, b=b, top_n=top_n,
+                               quantize=quantize)
+
+
+def bm25_score_postings(
+    post: DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    quantize: bool = False,
+) -> DataFrame:
+    """Score a postings table ``(term, doc_id, tf, dl)`` — the shared
+    core of :func:`bm25_topk` (index built in-plan) and
+    :func:`bm25_topk_from_store` (index accumulated by
+    ``stream_bm25_postings``). Corpus stats (N, Σdl) and document
+    frequencies derive from the postings themselves, so batch and
+    incremental paths score literally the same plan over the same
+    rows."""
+    spark = post.sparkSession
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     # exact integer corpus totals; one row, broadcast
     dl_per_doc = post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
@@ -155,6 +176,24 @@ def bm25_topk(
             .filter(F.col("rank") <= top_n)
             .select("query_id", "doc_id",
                     F.col("rank").cast("long").alias("rank"), score_col))
+
+
+def bm25_topk_from_store(
+    spark: SparkSession,
+    postings_path: str,
+    queries: list[tuple[int, str]],
+    **kwargs,
+) -> DataFrame:
+    """Score the persistent postings store maintained by
+    ``streaming.stream_ops.stream_bm25_postings`` — drops the store's
+    ``_batch`` epoch column and any full-expiry sentinel row, then
+    runs the exact batch scoring plan (equal-to-batch property-tested
+    over arrival orders)."""
+    post = spark.read.parquet(postings_path)
+    post = post.filter(F.col("term").isNotNull())
+    if "_batch" in post.columns:
+        post = post.drop("_batch")
+    return bm25_score_postings(post, queries, **kwargs)
 
 
 def sql_bm25_topk(
