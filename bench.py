@@ -765,7 +765,15 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
         }
         # measured shuffle volume per run at each rung: the byte-level
         # witness that "sub-linear time" isn't hiding super-linear
-        # shuffle growth (AppStatusStore deltas; wall-time noise-free)
+        # shuffle growth (AppStatusStore deltas; wall-time noise-free).
+        # Reading the ratios: ~10 = linear in rows; noticeably ABOVE 10
+        # (dedup_spans measured ~18.6) is map-side combine saturating —
+        # at 10x partial aggregation still collapses same-key rows
+        # within map partitions, at 100x each partition holds mostly
+        # distinct keys so bytes approach the no-collapse ceiling,
+        # which is itself linear in rows (the growth ratio falls back
+        # to ~10 for every further decade); ~1 (ann_ivfpq) means the
+        # op's joins are broadcast and the shuffle is output-sized.
         if s0 and s1 and s2 and s3:
             w10 = max(0, s1["write"] - s0["write"]) / len(r10)
             w100 = max(0, s3["write"] - s2["write"]) / len(r100)

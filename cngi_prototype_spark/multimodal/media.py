@@ -195,18 +195,22 @@ def synth_png(seed: int, w: int = 10, h: int = 7) -> bytes:
 
 
 def synth_jpeg(seed: int, w: int = 16, h: int = 16) -> bytes:
-    """Baseline 4:2:0 JPEG of a smooth seeded gradient, self-encoded by
-    ``functions.jpeg.jpeg_bytes``. Decoded pixels are NOT closed-form
-    (lossy DCT), but encoder and decoder are deterministic, so the gate
-    twin embeds the python-side decode as literals and the unit tests
-    pin the round-trip error bound."""
+    """4:2:0 JPEG of a smooth seeded gradient, self-encoded by
+    ``functions.jpeg.jpeg_bytes`` — every third seed as a PROGRESSIVE
+    (SOF2) stream so the gate's Spark-side decode exercises the
+    multi-scan path against the same oracle literals (the decoder
+    dispatches on the SOF marker; progressive and baseline encodings
+    of one image decode identically, unit-pinned). Decoded pixels are
+    NOT closed-form (lossy DCT), but encoder and decoder are
+    deterministic, so the gate twin embeds the python-side decode as
+    literals and the unit tests pin the round-trip error bound."""
     ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     px = np.stack([
         128 + 96 * np.sin((ii + seed % 7) / 5.0),
         128 + 96 * np.cos((jj + seed % 11) / 6.0),
         128 + 72 * np.sin((ii + jj + seed % 13) / 8.0)], axis=2)
     px = np.clip(np.round(px), 0, 255).astype(np.uint8)
-    return jpeg_bytes(px, quality=85)
+    return jpeg_bytes(px, quality=85, progressive=seed % 3 == 0)
 
 
 def synth_wav(seed: int, n: int = 64) -> bytes:

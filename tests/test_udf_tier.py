@@ -567,6 +567,54 @@ def test_jpeg_constant_blocks_exact():
                 assert (dec == v).all(), (v, shape, sub)
 
 
+def test_jpeg_progressive_equals_baseline():
+    """The decisive progressive cross-check: a progressive and a
+    baseline encoding of the same image share identical quantized
+    coefficients (same DCT, same tables), so their decodes must match
+    BYTE-FOR-BYTE — catching any complementary encoder/decoder bug in
+    the entropy layer (the coefficient math is shared and checked
+    analytically elsewhere)."""
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8), True),
+        (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), False),
+        (rng.integers(0, 256, (9, 30, 3), dtype=np.uint8), "422"),
+        (rng.integers(0, 256, (19, 13), dtype=np.uint8), False),
+        # smooth gradient: long zero runs exercise EOB-run coding
+        (np.tile(np.linspace(0, 255, 40, dtype=np.uint8), (32, 1))
+         [..., None].repeat(3, axis=2), True),
+        # constant: every AC band is one EOB run per block
+        (np.full((24, 24, 3), 130, np.uint8), True),
+    ]
+    for img, sub in cases:
+        for q in (50, 85):
+            base = decode_jpeg(jpeg_bytes(img, quality=q, subsample=sub))
+            prog = decode_jpeg(jpeg_bytes(img, quality=q, subsample=sub,
+                                          progressive=True))
+            assert (prog == base).all(), (img.shape, sub, q)
+
+
+def test_jpeg_progressive_restarts_and_determinism():
+    import numpy as np
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(jpeg_bytes(img, quality=70))
+    for ri in (1, 2, 5):
+        blob = jpeg_bytes(img, quality=70, progressive=True,
+                          restart_interval=ri)
+        assert (decode_jpeg(blob) == base).all(), ri
+    p = jpeg_bytes(img, progressive=True)
+    assert p == jpeg_bytes(img, progressive=True)  # deterministic
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+
+
 def test_jpeg_capability_guards_and_media_wiring():
     import numpy as np
     import pytest as _pytest
@@ -577,11 +625,15 @@ def test_jpeg_capability_guards_and_media_wiring():
     img = np.full((12, 9, 3), 99, np.uint8)
     blob = jpeg_bytes(img, quality=60)
 
-    # progressive (SOF2) is an explicit capability guard, not a
-    # silent wrong answer; a DRI segment with no due restarts is
-    # simply honored
-    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # lossless (SOF3) is an explicit capability guard, not a silent
+    # wrong answer; a baseline scan header under an SOF2 marker is
+    # corrupt (DC scan must have Se=0), never silently mis-decoded;
+    # a DRI segment with no due restarts is simply honored
+    lossless = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with _pytest.raises(NotImplementedError):
+        decode_jpeg(lossless)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
         decode_jpeg(prog)
     dri = blob[:2] + b"\xff\xdd\x00\x04\x00\x08" + blob[2:]
     assert (decode_jpeg(dri) == decode_jpeg(blob)).all()
