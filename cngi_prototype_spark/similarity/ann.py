@@ -456,9 +456,40 @@ def ivf_topk(
     the plan); the candidate join shuffles on the centroid id, so work
     is Σ_probes |list| instead of |corpus| × |queries|. Centroids come
     from :func:`train_ivf_centroids` (or any external trainer)."""
+    c = ivf_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    return ivf_topk_assigned(c, queries, centroids, k=k, nprobe=nprobe,
+                             id_col=id_col, vec_col=vec_col)
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF inverted-list rows ``(cell, neighbor_id, cv)`` — a pure
+    projection (centroids broadcast in the plan). Shared by the
+    in-plan :func:`ivf_topk` and the persistent index maintained by
+    ``streaming.stream_ops.stream_ivf_cells``."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _dvec(F.col(vec_col)).alias("cv"))
-    c = assign_cells(c, centroids, vec_col="cv")
+    return assign_cells(c, centroids, vec_col="cv")
+
+
+def ivf_topk_assigned(
+    c: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe + exact re-rank over an already-assigned inverted-list
+    table (the tail of :func:`ivf_topk`, shared with the streaming
+    store query path)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        _dvec(F.col(vec_col)).alias("qv"))
     # one scan: all centroid dots at once, top-nprobe per query — the
@@ -473,6 +504,25 @@ def ivf_topk(
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def ivf_topk_from_store(
+    spark,
+    cells_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    **kwargs,
+) -> DataFrame:
+    """Query the persistent inverted-list store maintained by
+    ``streaming.stream_ops.stream_ivf_cells`` — drops the store's
+    ``_batch`` epoch column and any full-expiry sentinel row, then
+    runs the exact batch probe/re-rank plan (equal-to-batch
+    property-tested over arrival orders)."""
+    c = spark.read.parquet(cells_path)
+    c = c.filter(F.col("neighbor_id").isNotNull())
+    if "_batch" in c.columns:
+        c = c.drop("_batch")
+    return ivf_topk_assigned(c, queries, centroids, **kwargs)
 
 
 def sql_ivf_topk(centroids: list[list[float]], k: int = 5, nprobe: int = 4,

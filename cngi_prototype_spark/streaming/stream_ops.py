@@ -743,6 +743,59 @@ def stream_bm25_postings(
             .foreachBatch(step))
 
 
+def stream_ivf_cells(
+    stream_df: DataFrame,
+    cells_path: str,
+    checkpoint: str,
+    *,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Incremental IVF vector-index maintenance — the embedding-side
+    twin of :func:`stream_bm25_postings`: each micro-batch's vectors
+    assign to their nearest trained coarse centroid (a pure projection,
+    centroids broadcast in the plan) and the ``(cell, neighbor_id,
+    cv)`` inverted-list rows append to the persistent store;
+    ``similarity.ann.ivf_topk_from_store`` probes it with the exact
+    batch plan (equal-to-batch property-tested). The FAISS operating
+    convention applies: centroids train once on a representative
+    sample and the index adds forever — retrain offline and rebuild
+    when recall drifts (assignments are centroid-relative, so a new
+    codebook means a new store).
+
+    Same exactly-once + run-epoch + ``compact_every`` conventions as
+    the other incremental stores; vectors are append-only with unique
+    ids across batches."""
+    from cngi_prototype_spark.similarity.ann import ivf_cells
+
+    epoch_path = checkpoint.rstrip("/") + "/_ivf_epoch"
+    run_base: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not run_base:
+            run_base.append(_pin_run_base(spark, epoch_path,
+                                          cells_path, batch_id))
+        eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, cells_path)):
+            compact_store(spark, cells_path, fold_below=eb)
+        cells = ivf_cells(batch_df, centroids, id_col=id_col,
+                          vec_col=vec_col)
+        (cells.withColumn("_batch", F.lit(eb))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(cells_path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))
+
+
 # --------------------------------------------------------------------------
 # incremental sequence packing (training-set assembly over live ingest)
 
