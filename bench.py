@@ -86,8 +86,10 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_hamming_topk",
     "ann_ivfpq_topk",
-    # round-12 (late): BM25 inverted-index retrieval
+    # round-12 (late): BM25 inverted-index retrieval + CCNet-style
+    # stupid-backoff LM perplexity scoring
     "bm25_topk",
+    "lm_perplexity",
 ]
 
 

@@ -970,6 +970,10 @@ from cngi_prototype_spark.dedup.dedup import (  # noqa: E402
     sql_remove_duplicate_spans,
     sql_simhash_fingerprints,
 )
+from cngi_prototype_spark.text.lm import (  # noqa: E402
+    lm_doc_logprob,
+    sql_lm_doc_logprob,
+)
 from cngi_prototype_spark.text.retrieval import (  # noqa: E402
     bm25_topk,
     sql_bm25_topk,
@@ -1112,6 +1116,15 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, top_n=20)
 
 
+@register("lm_perplexity", None)  # value-gated via ngram_jaccard 'ppl'
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape LM quality scoring: stupid-backoff bigram
+    self-perplexity over the corpus, exact double log-probs (the
+    quantized tier of the same operator is hash-checked as the 'ppl'
+    part of the ngram_jaccard gate)."""
+    return lm_doc_logprob(_docs(spark, sf_dir))
+
+
 @register("dedup_spans", None)  # token-index union rebuild: rows-only
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplicate-span removal (Lee et al. 2021) at 8-gram
@@ -1217,6 +1230,13 @@ _BM25_QUERIES = [(0, "scan merge window"), (1, "customer stream batch"),
     SELECT 'bm25', CAST(query_id AS BIGINT), doc_id,
            CAST(score_q * 100 + rank AS DOUBLE)
     FROM ({sql_bm25_topk(_BM25_QUERIES, top_n=10, quantize=True)})
+    UNION ALL
+    -- stupid-backoff LM perplexity (CCNet-style quality scoring):
+    -- per-token log-probs quantized to BIGINT nano-units before the
+    -- per-doc sum (order-free); id_b packs (n_tokens, n_unseen)
+    SELECT 'ppl', doc_id, n_tokens * 1000 + n_unseen,
+           CAST(logprob_q AS DOUBLE)
+    FROM ({sql_lm_doc_logprob()})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,10 +1296,14 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         (F.col("score_q") * 100 + F.col("rank"))
         .cast("double").alias("jaccard"))
+    ppl = lm_doc_logprob(docs, quantize=True).select(
+        F.lit("ppl").alias("part"), F.col("doc_id").alias("id_a"),
+        (F.col("n_tokens") * 1000 + F.col("n_unseen")).alias("id_b"),
+        F.col("logprob_q").cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)
-            .unionByName(bm25))
+            .unionByName(bm25).unionByName(ppl))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
