@@ -352,6 +352,7 @@ def compact_store(
     retain_min_batch: int | None = None,
     target_files: int = 8,
     fold_below: int | None = None,
+    sum_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Offline compaction of a persistent incremental-dedup store (the
     gram store of :func:`stream_dedup_spans`, the bucket store of
@@ -389,6 +390,12 @@ def compact_store(
     the compacted partition, and the ``_batch < eb`` visibility guard
     sees the folded state exactly as it saw the original partitions
     while output partitions of prior epochs stay untouched.
+
+    ``sum_cols`` marks ADDITIVE stores (the LM count store of
+    :func:`stream_lm_counts`): the fold merges per-batch partial rows
+    by summing those columns per remaining-key group instead of
+    ``distinct()`` — which would keep same-key rows with different
+    counts and double-count on re-aggregation.
 
     In-stream use (``fold_below=<current epoch>``): folds ONLY
     partitions with ``_batch < fold_below`` — all committed by
@@ -433,7 +440,18 @@ def compact_store(
         return 0, 0  # nothing below the cut — in-stream no-op
     if retain_min_batch is not None:
         df = df.filter(F.col("_batch") >= int(retain_min_batch))
-    compacted = (df.drop("_batch").distinct()
+    if sum_cols:
+        # additive store (e.g. the LM count store): the fold MERGES
+        # per-batch partial counts by summation — distinct() would
+        # keep same-key rows with different counts side by side and
+        # double-count on the consumer's re-aggregation
+        group_keys = [c for c in keycols if c not in sum_cols]
+        folded = (df.drop("_batch").groupBy(*group_keys)
+                  .agg(*[F.sum(c).alias(c) for c in sum_cols])
+                  .select(*keycols))
+    else:
+        folded = df.drop("_batch").distinct()
+    compacted = (folded
                  .repartition(int(target_files))
                  .withColumn("_batch", F.lit(int(hiwater or 0)))
                  .persist())
@@ -789,6 +807,58 @@ def stream_ivf_cells(
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch").parquet(cells_path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))
+
+
+def stream_lm_counts(
+    stream_df: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """Incremental LM training — the live twin of
+    ``text.lm.lm_counts``: each micro-batch's unigram/bigram counts
+    append to the persistent store as per-batch partials. Counts are
+    ADDITIVE over disjoint slices, so the accumulated store re-sums to
+    the whole-corpus counts and
+    ``lm_doc_logprob_from_store`` scores bit-identically to the batch
+    operator trained on the concatenated corpus (property-tested).
+    This is the third incremental-store flavor: dedup stores fold by
+    ``distinct()``, index stores append immutable rows, count stores
+    MERGE — ``compact_every`` therefore folds with
+    ``compact_store(sum_cols=['c'])``.
+
+    Same exactly-once + run-epoch conventions as the other stores.
+    Unlike the index stores, rows here are per-batch PARTIALS, not
+    facts — consumers must re-aggregate (the from_store reader does)."""
+    from cngi_prototype_spark.text.lm import lm_counts
+
+    epoch_path = checkpoint.rstrip("/") + "/_lm_epoch"
+    run_base: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not run_base:
+            run_base.append(_pin_run_base(spark, epoch_path,
+                                          counts_path, batch_id))
+        eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, counts_path)):
+            compact_store(spark, counts_path, fold_below=eb,
+                          sum_cols=["c"])
+        counts = lm_counts(batch_df, text_col=text, id_col=id_col)
+        (counts.withColumn("_batch", F.lit(eb))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(counts_path))
 
     return (stream_df.writeStream
             .outputMode("append")

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from cngi_prototype_spark.text.analysis import _sql_tokens, _tokens
 
-__all__ = ["lm_doc_logprob", "sql_lm_doc_logprob"]
+__all__ = ["lm_counts", "lm_doc_logprob", "lm_doc_logprob_from_counts",
+           "lm_doc_logprob_from_store", "sql_lm_doc_logprob"]
 
 
 def _doc_grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -102,6 +103,15 @@ def lm_doc_logprob(
     uni = tgrams.groupBy("w").agg(F.count("*").alias("c_w"))
     bi = (tgrams.filter(F.col("prev").isNotNull())
           .groupBy("prev", "w").agg(F.count("*").alias("c_bi")))
+    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize)
+
+
+def _score_grams(grams: DataFrame, uni: DataFrame, bi: DataFrame,
+                 *, alpha: float, quantize: bool) -> DataFrame:
+    """Score positional grams against unigram/bigram count tables —
+    the shared tail of :func:`lm_doc_logprob` (counts built in-plan)
+    and :func:`lm_doc_logprob_from_counts` (counts accumulated by
+    ``streaming.stream_ops.stream_lm_counts``)."""
     ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
     total = uni.agg(F.sum("c_w").alias("n_total"))
     scored = (grams
@@ -120,6 +130,62 @@ def lm_doc_logprob(
                  F.sum("_lp").alias(col),
                  F.sum(F.when(F.col("_lp").isNull(), 1)
                        .otherwise(0)).alias("n_unseen")))
+
+
+def lm_counts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unified LM count rows ``(prev, w, c)`` — unigram rows carry
+    ``prev`` NULL, bigram rows the context token. Additive: counts
+    from disjoint corpus slices SUM to the whole-corpus counts, which
+    is what makes the streaming store
+    (``stream_lm_counts`` + ``compact_store(sum_cols=['c'])``) exact."""
+    grams = _doc_grams(docs, text_col, id_col)
+    uni = (grams.groupBy("w").agg(F.count("*").alias("c"))
+           .select(F.lit(None).cast("string").alias("prev"), "w", "c"))
+    bi = (grams.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "w").agg(F.count("*").alias("c")))
+    return uni.unionByName(bi)
+
+
+def lm_doc_logprob_from_counts(
+    docs: DataFrame,
+    counts: DataFrame,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize: bool = False,
+) -> DataFrame:
+    """Score documents against an externally accumulated
+    :func:`lm_counts` table (possibly per-batch partials — they are
+    re-summed here, so the streaming store needs no pre-merge)."""
+    uni = (counts.filter(F.col("prev").isNull())
+           .groupBy("w").agg(F.sum("c").alias("c_w")))
+    bi = (counts.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "w").agg(F.sum("c").alias("c_bi")))
+    grams = _doc_grams(docs, text_col, id_col)
+    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize)
+
+
+def lm_doc_logprob_from_store(
+    spark,
+    counts_path: str,
+    docs: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Score against the persistent count store maintained by
+    ``streaming.stream_ops.stream_lm_counts`` — drops the ``_batch``
+    epoch column and any full-expiry sentinel row (a sentinel has
+    ``w`` NULL; real unigram rows only ever have ``prev`` NULL)."""
+    counts = spark.read.parquet(counts_path)
+    counts = counts.filter(F.col("w").isNotNull())
+    if "_batch" in counts.columns:
+        counts = counts.drop("_batch")
+    return lm_doc_logprob_from_counts(docs, counts, **kwargs)
 
 
 def sql_lm_doc_logprob(alpha: float = 0.4, quantize: bool = True) -> str:
