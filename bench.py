@@ -306,8 +306,11 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # groupBy shuffle dominate and both scale with the
                   # corpus; query terms match only the original shard
                   # (replica tokens are suffix-bijected), which is the
-                  # honest workload: index build is the scale cost
-                  "bm25_topk"]
+                  # honest workload: index build is the scale cost.
+                  # lm_perplexity: the two count-table shuffle JOINS
+                  # (grams x unigrams, grams x bigrams) — a join-side
+                  # scale mechanism no other rung exercises
+                  "bm25_topk", "lm_perplexity"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",

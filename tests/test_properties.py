@@ -505,3 +505,92 @@ def test_png_roundtrip_property(w, h, ch, seed):
     a = rng.integers(0, 256, size=shape, dtype=np.uint8)
     out = decode_png(png_bytes(a))
     assert out.shape == a.shape and (out == a).all()
+
+
+# ---------------------------------------------------------------------------
+# BM25 / LM scoring: random-corpus parity with pure-python references
+# (the fixed-fixture tests in test_retrieval.py / test_lm.py pin the
+# formulas; these sweep adversarial token layouts — empty docs,
+# repeated tokens, every-doc-identical corpora)
+
+_word = st.sampled_from(["a", "b", "cc", "ddd", "e", "ff", "g"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_bm25_property_matches_reference(spark, texts):
+    import math
+
+    from cngi_prototype_spark.text.retrieval import bm25_topk
+
+    docs = list(enumerate(texts))
+    queries = [(0, "a cc"), (1, "ddd g b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.query_id, r.doc_id): r.score
+           for r in bm25_topk(df, queries, top_n=100).collect()}
+
+    toks = {d: (t.lower().strip().split() or [""]) for d, t in docs}
+    n = len(toks)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    dfreq: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    want: dict[tuple[int, int], float] = {}
+    for qid, qtext in queries:
+        for term in set(qtext.split()):
+            if term not in dfreq:
+                continue
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5)
+                           / (dfreq[term] + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    tfn = (tf * 2.2) / (tf + 1.2 * (0.25
+                                                    + 0.75 * dl[d] / avgdl))
+                    want[(qid, d)] = want.get((qid, d), 0.0) + idf * tfn
+    assert set(got) == set(want)
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, rel=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_lm_property_matches_reference(spark, texts):
+    import math
+
+    from cngi_prototype_spark.text.lm import lm_doc_logprob
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.logprob)
+           for r in lm_doc_logprob(df).collect()}
+
+    toks = {d: (t.lower().strip().split() or [""]) for d, t in docs}
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    n = sum(uni.values())
+    for d, t in toks.items():
+        s = 0.0
+        for i, w in enumerate(t):
+            if i == 0:
+                p = uni[w] / n
+            elif (t[i - 1], w) in bi:
+                p = bi[(t[i - 1], w)] / ctx[t[i - 1]]
+            else:
+                p = 0.4 * uni[w] / n
+            s += math.log(p)
+        assert got[d][0] == len(t)
+        assert got[d][1] == pytest.approx(s, rel=1e-9, abs=1e-12)
