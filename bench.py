@@ -87,9 +87,11 @@ BENCH_QUERIES = [
     "ann_hamming_topk",
     "ann_ivfpq_topk",
     # round-12 (late): BM25 inverted-index retrieval + CCNet-style
-    # stupid-backoff LM perplexity scoring
+    # stupid-backoff LM perplexity scoring + hybrid lexical+vector
+    # retrieval (BM25 shortlist, embedding cosine re-rank)
     "bm25_topk",
     "lm_perplexity",
+    "hybrid_search",
 ]
 
 

@@ -1116,6 +1116,24 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, top_n=20)
 
 
+@register("hybrid_search", None)  # value-gated via ngram_jaccard 'hyb'
+def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape hybrid retrieval: BM25 top-50 shortlist →
+    embedding cosine re-score → weighted blend → top-10 (the blend
+    tier of the same operator is hash-checked as the 'hyb' part of
+    the ngram_jaccard gate)."""
+    from cngi_prototype_spark.similarity.hybrid import hybrid_search
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [(0, "scan merge window sort"),
+          (1, "customer stream batch data"),
+          (2, "spark join filter"), (3, "query group agg"),
+          (4, "fast key value"), (5, "table row column")]
+    qv = (emb.filter(F.col("vec_id") < 6)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return hybrid_search(docs, emb, qs, qv, bm25_n=50, k=10)
+
+
 @register("lm_perplexity", None)  # value-gated via ngram_jaccard 'ppl'
 def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape LM quality scoring: stupid-backoff bigram
@@ -1169,6 +1187,12 @@ def _sql_mix_part() -> str:
 # query matches a nontrivial, distinct doc subset
 _BM25_QUERIES = [(0, "scan merge window"), (1, "customer stream batch"),
                  (2, "spark join")]
+
+
+def _sql_hybrid_part() -> str:
+    from cngi_prototype_spark.similarity.hybrid import sql_hybrid_search
+    return sql_hybrid_search(_BM25_QUERIES, bm25_n=20, k=10,
+                             query_vec_pred="vec_id < 3")
 
 
 @register(
@@ -1237,6 +1261,13 @@ _BM25_QUERIES = [(0, "scan merge window"), (1, "customer stream batch"),
     SELECT 'ppl', doc_id, n_tokens * 1000 + n_unseen,
            CAST(logprob_q AS DOUBLE)
     FROM ({sql_lm_doc_logprob()})
+    UNION ALL
+    -- hybrid lexical+vector retrieval: BM25 shortlist (quantized
+    -- tier) blended with embedding cosine — the score is a pure
+    -- per-row expression over exact inputs (int division + the ann
+    -- tier's bit-mirrored cosine folds), so it hashes unquantized
+    SELECT 'hyb', CAST(query_id AS BIGINT), doc_id, hybrid_score
+    FROM ({_sql_hybrid_part()})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,10 +1331,21 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ppl").alias("part"), F.col("doc_id").alias("id_a"),
         (F.col("n_tokens") * 1000 + F.col("n_unseen")).alias("id_b"),
         F.col("logprob_q").cast("double").alias("jaccard"))
+    from cngi_prototype_spark.similarity.hybrid import hybrid_search
+    emb = _t(spark, sf_dir, "embeddings")
+    hyb = hybrid_search(
+        docs, emb, _BM25_QUERIES,
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        bm25_n=20, k=10).select(
+        F.lit("hyb").alias("part"),
+        F.col("query_id").cast("long").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("hybrid_score").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)
-            .unionByName(bm25).unionByName(ppl))
+            .unionByName(bm25).unionByName(ppl).unionByName(hyb))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:

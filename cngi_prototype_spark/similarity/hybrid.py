@@ -1,0 +1,131 @@
+"""Hybrid lexical + vector retrieval.
+
+The canonical production search composition (Elasticsearch/Vespa/
+retrieval-augmented-training pipelines): BM25 shortlists candidates
+cheaply over the inverted index, dense-embedding cosine re-scores
+them, and a weighted blend ranks the final top-k. Bridges the
+engine's two retrieval tiers (text/retrieval.py, similarity/ann.py).
+
+Scale shape: stage 1 is the BM25 plan (corpus streams once, postings
+shuffle, broadcast query terms); the shortlist is ``bm25_n × queries``
+rows — tiny — so stage 2 BROADCASTS it into the embeddings join (the
+corpus-sized embedding table streams, never shuffles) and the query
+vectors ride a second broadcast. No stage is ever corpus × queries.
+
+Cross-engine exactness: the blend is a pure per-row expression over
+exact inputs — BM25 scores enter as the quantized BIGINT tier
+(aggregation-order-free), the per-query max used for normalization is
+an exact integer max, and the cosine reuses the ann tier's
+bit-mirrored dot/norm folds — so the hybrid score hashes identically
+on both engines without further quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cngi_prototype_spark.similarity.ann import SQL_DVEC, _dvec, cosine, sql_cosine
+from cngi_prototype_spark.text.retrieval import bm25_topk, sql_bm25_topk
+
+__all__ = ["hybrid_search", "sql_hybrid_search"]
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_texts: list[tuple[int, str]],
+    query_vecs: DataFrame,
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    w_lex: float = 0.5,
+    w_vec: float = 0.5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BM25 top-``bm25_n`` shortlist → embedding cosine re-score →
+    ``w_lex·(bm25/maxₚₑᵣ₋query) + w_vec·cos`` blend → top-``k`` →
+    ``(query_id, doc_id, lex_norm, cos_sim, hybrid_score, rank)``.
+
+    ``query_vecs``: ``(query_id, <vec_col>)`` — the dense side of each
+    query (one row per query_id in ``query_texts``). Documents missing
+    an embedding drop out of the blend (inner join — the hybrid score
+    is undefined without both signals)."""
+    cand = bm25_topk(docs, query_texts, top_n=bm25_n, quantize=True,
+                     text_col=text_col, id_col=doc_id_col)
+    wq = Window.partitionBy("query_id")
+    cand = cand.withColumn(
+        "lex_norm",
+        F.col("score_q").cast("double")
+        / F.max("score_q").over(wq).cast("double"))
+    emb = embeddings.select(F.col(vec_id_col).alias("doc_id"),
+                            _dvec(F.col(vec_col)).alias("cv"))
+    qv = query_vecs.select(F.col("query_id"),
+                           _dvec(F.col(vec_col)).alias("qv"))
+    scored = (emb
+              .join(F.broadcast(cand.select("query_id", "doc_id",
+                                            "lex_norm")), "doc_id")
+              .join(F.broadcast(qv), "query_id")
+              .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+              .withColumn("hybrid_score",
+                          F.lit(w_lex) * F.col("lex_norm")
+                          + F.lit(w_vec) * F.col("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hybrid_score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "lex_norm", "cos_sim",
+                    "hybrid_score", F.col("rank").cast("long").alias("rank")))
+
+
+def sql_hybrid_search(
+    query_texts: list[tuple[int, str]],
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    w_lex: float = 0.5,
+    w_vec: float = 0.5,
+    query_vec_pred: str = "vec_id < 3",
+) -> str:
+    """DuckDB twin of :func:`hybrid_search` over the ``documents`` +
+    ``embeddings`` views, with query vectors drawn from ``embeddings``
+    rows matching ``query_vec_pred`` (vec_id = query_id — the gate
+    convention)."""
+    dv = SQL_DVEC.format(v="embedding")
+    cos = sql_cosine("q.qv", "e.cv")
+    return f"""
+    WITH cand0 AS ({sql_bm25_topk(query_texts, top_n=bm25_n,
+                                  quantize=True)}),
+    cand AS (
+      SELECT query_id, doc_id,
+             CAST(score_q AS DOUBLE)
+             / CAST(MAX(score_q) OVER (PARTITION BY query_id)
+                    AS DOUBLE) AS lex_norm
+      FROM cand0
+    ),
+    e AS (SELECT vec_id AS doc_id, {dv} AS cv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {dv} AS qv FROM embeddings
+          WHERE {query_vec_pred}),
+    scored AS (
+      SELECT cand.query_id, cand.doc_id, cand.lex_norm,
+             {cos} AS cos_sim,
+             {w_lex!r} * cand.lex_norm + {w_vec!r} * ({cos}) AS hybrid_score
+      FROM cand
+      JOIN e ON e.doc_id = cand.doc_id
+      JOIN q ON q.query_id = cand.query_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, lex_norm, cos_sim, hybrid_score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY hybrid_score DESC, doc_id ASC) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, lex_norm, cos_sim, hybrid_score, rank
+    FROM ranked WHERE rank <= {k}
+    """
