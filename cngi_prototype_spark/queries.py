@@ -1195,6 +1195,12 @@ def _sql_hybrid_part() -> str:
                              query_vec_pred="vec_id < 3")
 
 
+def _sql_rrf_part() -> str:
+    from cngi_prototype_spark.similarity.hybrid import sql_rrf_search
+    return sql_rrf_search(_BM25_QUERIES, bm25_n=20, k=10,
+                          query_vec_pred="vec_id < 3")
+
+
 @register(
     "ngram_jaccard",
     f"""
@@ -1268,6 +1274,12 @@ def _sql_hybrid_part() -> str:
     -- tier's bit-mirrored cosine folds), so it hashes unquantized
     SELECT 'hyb', CAST(query_id AS BIGINT), doc_id, hybrid_score
     FROM ({_sql_hybrid_part()})
+    UNION ALL
+    -- reciprocal rank fusion over the same two signals (Cormack
+    -- 2009; the Elasticsearch hybrid default): integer ranks fused
+    -- by 1/(60+r) — exact-input rationals, hash-safe unquantized
+    SELECT 'rrf', CAST(query_id AS BIGINT), doc_id, rrf_score
+    FROM ({_sql_rrf_part()})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,21 +1343,30 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ppl").alias("part"), F.col("doc_id").alias("id_a"),
         (F.col("n_tokens") * 1000 + F.col("n_unseen")).alias("id_b"),
         F.col("logprob_q").cast("double").alias("jaccard"))
-    from cngi_prototype_spark.similarity.hybrid import hybrid_search
+    from cngi_prototype_spark.similarity.hybrid import (
+        hybrid_search,
+        rrf_search,
+    )
     emb = _t(spark, sf_dir, "embeddings")
-    hyb = hybrid_search(
-        docs, emb, _BM25_QUERIES,
-        emb.filter(F.col("vec_id") < 3)
-        .select(F.col("vec_id").alias("query_id"), "embedding"),
-        bm25_n=20, k=10).select(
+    qv3 = (emb.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    hyb = hybrid_search(docs, emb, _BM25_QUERIES, qv3,
+                        bm25_n=20, k=10).select(
         F.lit("hyb").alias("part"),
         F.col("query_id").cast("long").alias("id_a"),
         F.col("doc_id").alias("id_b"),
         F.col("hybrid_score").alias("jaccard"))
+    rrf = rrf_search(docs, emb, _BM25_QUERIES, qv3,
+                     bm25_n=20, k=10).select(
+        F.lit("rrf").alias("part"),
+        F.col("query_id").cast("long").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("rrf_score").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)
-            .unionByName(bm25).unionByName(ppl).unionByName(hyb))
+            .unionByName(bm25).unionByName(ppl).unionByName(hyb)
+            .unionByName(rrf))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,8 @@ from pyspark.sql.window import Window
 from cngi_prototype_spark.similarity.ann import SQL_DVEC, _dvec, cosine, sql_cosine
 from cngi_prototype_spark.text.retrieval import bm25_topk, sql_bm25_topk
 
-__all__ = ["hybrid_search", "sql_hybrid_search"]
+__all__ = ["hybrid_search", "rrf_search", "sql_hybrid_search",
+           "sql_rrf_search"]
 
 
 def hybrid_search(
@@ -80,6 +81,104 @@ def hybrid_search(
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "lex_norm", "cos_sim",
                     "hybrid_score", F.col("rank").cast("long").alias("rank")))
+
+
+def rrf_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_texts: list[tuple[int, str]],
+    query_vecs: DataFrame,
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over the same two signals (Cormack et
+    al. 2009; the Elasticsearch hybrid default): fuse by
+    ``Σ 1/(rrf_k + rankₛᵢgₙₐₗ)`` instead of score blending —
+    scale-free, so no per-query normalization is needed. The lexical
+    rank is BM25's (total order: quantized score desc, doc_id); the
+    vector rank orders the SAME shortlist by cosine (cos desc,
+    doc_id). Returns ``(query_id, doc_id, lex_rank, vec_rank,
+    rrf_score, rank)``. Exactness: ranks are integers and the fused
+    score is a sum of exact-input rationals evaluated in signal order
+    — hash-safe unquantized."""
+    cand = bm25_topk(docs, query_texts, top_n=bm25_n, quantize=True,
+                     text_col=text_col, id_col=doc_id_col)
+    emb = embeddings.select(F.col(vec_id_col).alias("doc_id"),
+                            _dvec(F.col(vec_col)).alias("cv"))
+    qv = query_vecs.select(F.col("query_id"),
+                           _dvec(F.col(vec_col)).alias("qv"))
+    scored = (emb
+              .join(F.broadcast(cand.select(
+                  "query_id", "doc_id",
+                  F.col("rank").alias("lex_rank"))), "doc_id")
+              .join(F.broadcast(qv), "query_id")
+              .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"))))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc())
+    scored = scored.withColumn(
+        "vec_rank", F.row_number().over(wv).cast("long"))
+    rrf = (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank"))
+           + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rrf_score", rrf)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "lex_rank", "vec_rank",
+                    "rrf_score", "rank"))
+
+
+def sql_rrf_search(
+    query_texts: list[tuple[int, str]],
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_vec_pred: str = "vec_id < 3",
+) -> str:
+    """DuckDB twin of :func:`rrf_search` (same shortlist, same rank
+    orders, same fusion expression)."""
+    dv = SQL_DVEC.format(v="embedding")
+    cos = sql_cosine("q.qv", "e.cv")
+    return f"""
+    WITH cand AS ({sql_bm25_topk(query_texts, top_n=bm25_n,
+                                 quantize=True)}),
+    e AS (SELECT vec_id AS doc_id, {dv} AS cv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {dv} AS qv FROM embeddings
+          WHERE {query_vec_pred}),
+    scored AS (
+      SELECT cand.query_id, cand.doc_id,
+             cand.rank AS lex_rank, {cos} AS cos_sim
+      FROM cand
+      JOIN e ON e.doc_id = cand.doc_id
+      JOIN q ON q.query_id = cand.query_id
+    ),
+    vr AS (
+      SELECT query_id, doc_id, lex_rank,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)
+               AS vec_rank
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, doc_id, lex_rank, vec_rank,
+             1.0 / ({float(rrf_k)!r} + lex_rank)
+             + 1.0 / ({float(rrf_k)!r} + vec_rank) AS rrf_score
+      FROM vr
+    )
+    SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= {k}
+    """
 
 
 def sql_hybrid_search(

@@ -86,6 +86,32 @@ def test_hybrid_topk_and_weights(spark, frames):
         assert r.hybrid_score == pytest.approx(r.cos_sim, rel=1e-12)
 
 
+def test_rrf_matches_reference(spark, frames):
+    from cngi_prototype_spark.similarity.hybrid import rrf_search
+
+    docs, emb, qv = frames
+    cand = {}
+    for r in bm25_topk(docs, QTEXT, top_n=10, quantize=True).collect():
+        cand[(r.query_id, r.doc_id)] = r.rank
+    # vector ranks over the SAME shortlist (cos desc, doc_id asc)
+    vec_rank = {}
+    for q in {k[0] for k in cand}:
+        ds = [d for (qq, d) in cand if qq == q]
+        ds.sort(key=lambda d: (-_cos(QVEC[q][1], EMB[d][1]), d))
+        for i, d in enumerate(ds):
+            vec_rank[(q, d)] = i + 1
+    want = {key: 1.0 / (60 + lr) + 1.0 / (60 + vec_rank[key])
+            for key, lr in cand.items()}
+    got = {(r.query_id, r.doc_id): (r.lex_rank, r.vec_rank, r.rrf_score)
+           for r in rrf_search(docs, emb, QTEXT, qv,
+                               bm25_n=10, k=10).collect()}
+    assert set(got) == set(want)
+    for key, score in want.items():
+        assert got[key][0] == cand[key]
+        assert got[key][1] == vec_rank[key]
+        assert got[key][2] == pytest.approx(score, rel=1e-12)
+
+
 def test_hybrid_plan_contract(spark, frames):
     docs, emb, qv = frames
     df = hybrid_search(docs, emb, QTEXT, qv, bm25_n=10, k=5)
