@@ -831,6 +831,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     restart_interval = 0
     h = w = 0
     progressive = False
+    prog_scans = 0
     prog: _ProgState | None = None
     geo = None  # (hmax, vmax, mcus_x, mcus_y, grids) once SOF known
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
@@ -915,9 +916,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             i = _dec_prog_scan(
                 blob, i, prog, this_scan, comps, huff, geo,
                 ss, se, ah, al, restart_interval)
+            prog_scans += 1
             continue
         i += 2 + ln
-    if not comps or (not progressive and not scan):
+    # a progressive stream with ZERO decoded scans (truncated after
+    # the headers) must not silently return the all-128 IDCT of an
+    # empty coefficient array — same explicit-failure convention as
+    # the baseline path's missing-SOS error
+    if not comps or (not progressive and not scan) or (
+            progressive and prog_scans == 0):
         raise ValueError("no SOF/SOS found")
 
     hmax, vmax, mcus_x, mcus_y, grids = geo

@@ -52,13 +52,16 @@ UNPRUNED_WHITELIST: dict[str, str] = {}
 
 
 def _struct_fields(read_schema: str) -> int:
-    """Top-level field count of a ``struct<...>`` ReadSchema string
-    (nested ``array<struct<...>>`` commas don't count)."""
+    """Top-level field count of a ``struct<...>`` ReadSchema string —
+    commas nested in ``array<struct<...>>`` OR in parenthesized type
+    arguments (``decimal(12,2)``) don't count."""
     body = read_schema[read_schema.index("<") + 1:]
     depth, fields, seen_any = 0, 0, False
     for ch in body:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
+        elif ch == ")":
+            depth -= 1
         elif ch == ">":
             if depth == 0:
                 break

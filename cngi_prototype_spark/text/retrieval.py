@@ -38,12 +38,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cngi_prototype_spark.text.analysis import TOKEN_SPLIT, _sql_tokens, _tokens
+import re
+
+from cngi_prototype_spark.text.analysis import _sql_tokens, _tokens
 
 __all__ = ["bm25_topk", "bm25_postings", "bm25_score_postings",
            "bm25_topk_from_store", "sql_bm25_topk"]
 
 _QUANT = 1_000_000_000  # nano-unit quantization for the exact gate sum
+
+
+def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Sorted distinct (query_id, term) pairs tokenized to MATCH the
+    corpus tokenizer: ASCII-whitespace split of lower(trim(text)) —
+    Python's default ``str.split()`` splits on *Unicode* whitespace
+    (NBSP etc.) that the engines' ``\\s+`` regex does not, which would
+    make such queries silently miss exact textual matches. Empty
+    terms are dropped (a search string, unlike a document, has no
+    empty-token convention). Residual caveat: exotic case folding
+    (e.g. 'İ') can still differ between Python and SQL ``lower`` —
+    both gate sides take the PYTHON tokens, so the gate stays
+    consistent; only recall on such exotic query text is affected."""
+    return sorted({
+        (int(qid), tok)
+        for qid, qtext in queries
+        for tok in re.split(r"\s+", str(qtext).strip().lower(),
+                            flags=re.ASCII)
+        if tok
+    })
 
 
 def bm25_postings(
@@ -145,11 +167,7 @@ def bm25_score_postings(
     dl_per_doc = post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     stats = dl_per_doc.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-    qrows = sorted({
-        (int(qid), tok)
-        for qid, qtext in queries
-        for tok in str(qtext).lower().strip().split()
-    })
+    qrows = _query_terms(queries)
     qterms = spark.createDataFrame(qrows, "query_id INT, term STRING")
     contrib = (
         post.join(F.broadcast(qterms), "term")
@@ -205,14 +223,12 @@ def sql_bm25_topk(
     quantize: bool = True,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` (same tokenizer, same quantized
-    contribution expression, same total tie-break)."""
-    qrows = sorted({
-        (int(qid), tok)
-        for qid, qtext in queries
-        for tok in str(qtext).lower().strip().split()
-    })
+    contribution expression, same total tie-break). Query terms are
+    SQL-escaped ('' doubling) — they are caller data, not SQL."""
+    qrows = _query_terms(queries)
     values = ", ".join(
-        f"({qid}, '{t}')" for qid, t in qrows)
+        f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid, t in qrows)
     score = ("CAST(SUM(CAST(floor(contrib * 1000000000.0 + 0.5) "
              "AS BIGINT)) AS BIGINT)" if quantize
              else "SUM(contrib)")

@@ -29,6 +29,10 @@ def test_struct_field_counter():
     assert _struct_fields("struct<a:array<struct<x:int,y:int>>,b:int>") == 2
     assert _struct_fields("struct<>") == 0
     assert _struct_fields("struct<a:map<string,array<int>>>") == 1
+    # review finding: decimal(p,s) commas are type args, not fields
+    assert _struct_fields("struct<a:decimal(12,2),b:int>") == 2
+    assert _struct_fields(
+        "struct<q:decimal(15,2),p:decimal(15,2),f:string>") == 3
 
 
 def test_scan_parser_on_real_plan(spark):

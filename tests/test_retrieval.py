@@ -105,6 +105,40 @@ def test_bm25_plan_contract(spark, docs_df):
     assert broadcast_hint_count(df) >= 3
 
 
+def test_bm25_query_quoting_and_tokenizer_parity(spark):
+    """Review findings: (a) query terms containing quotes must be
+    SQL-escaped in the DuckDB twin; (b) query tokenization must match
+    the corpus tokenizer's ASCII-\\s+ split — Python's default
+    str.split() also splits on Unicode whitespace (NBSP), silently
+    missing exact textual matches."""
+    import duckdb
+    import pandas as pd
+
+    from cngi_prototype_spark.text.retrieval import sql_bm25_topk
+
+    docs = [(0, "don't panic"), (1, "foo bar baz"), (2, "plain text")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = [(0, "don't"), (1, "foo bar")]
+
+    # NBSP is NOT a token boundary for the corpus tokenizer, so the
+    # query term must stay 'foo\xa0bar' and hit doc 1 exactly
+    got = {(r.query_id, r.doc_id)
+           for r in bm25_topk(df, queries, top_n=5).collect()}
+    assert (0, 0) in got and (1, 1) in got
+
+    # the SQL twin must parse AND agree despite the apostrophe
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs,
+                                           columns=["doc_id", "text"]))
+    oracle = {(r[0], r[1])
+              for r in con.sql(sql_bm25_topk(queries, top_n=5,
+                                             quantize=True)).fetchall()}
+    spark_q = {(r.query_id, r.doc_id)
+               for r in bm25_topk(df, queries, top_n=5,
+                                  quantize=True).collect()}
+    assert oracle == spark_q
+
+
 def test_bm25_postings_dl_is_token_count(spark, docs_df):
     rows = bm25_postings(docs_df).collect()
     dl = {r.doc_id: r.dl for r in rows}

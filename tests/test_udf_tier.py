@@ -613,6 +613,13 @@ def test_jpeg_progressive_restarts_and_determinism():
     p = jpeg_bytes(img, progressive=True)
     assert p == jpeg_bytes(img, progressive=True)  # deterministic
     assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    # review finding: a progressive stream truncated after the headers
+    # (zero decoded scans) must raise, not return a silent all-gray
+    # IDCT of empty coefficients
+    sos = p.index(b"\xff\xda")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_jpeg(p[:sos] + b"\xff\xd9")
 
 
 def test_jpeg_capability_guards_and_media_wiring():
