@@ -29,8 +29,8 @@ from pyspark.sql.window import Window
 from cngi_prototype_spark.similarity.ann import SQL_DVEC, _dvec, cosine, sql_cosine
 from cngi_prototype_spark.text.retrieval import bm25_topk, sql_bm25_topk
 
-__all__ = ["hybrid_search", "rrf_search", "sql_hybrid_search",
-           "sql_rrf_search"]
+__all__ = ["hybrid_search", "hybrid_search_from_stores", "rrf_search",
+           "sql_hybrid_search", "sql_rrf_search"]
 
 
 def hybrid_search(
@@ -58,6 +58,27 @@ def hybrid_search(
     is undefined without both signals)."""
     cand = bm25_topk(docs, query_texts, top_n=bm25_n, quantize=True,
                      text_col=text_col, id_col=doc_id_col)
+    return _blend_shortlist(cand, embeddings, query_vecs, k=k,
+                            w_lex=w_lex, w_vec=w_vec,
+                            vec_id_col=vec_id_col, vec_col=vec_col)
+
+
+def _blend_shortlist(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    k: int,
+    w_lex: float,
+    w_vec: float,
+    vec_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The cosine re-score + weighted-blend tail over a quantized BM25
+    shortlist ``(query_id, doc_id, score_q, ...)`` — shared by
+    :func:`hybrid_search` (shortlist built in-plan) and
+    :func:`hybrid_search_from_stores` (shortlist from the streaming
+    postings store)."""
     wq = Window.partitionBy("query_id")
     cand = cand.withColumn(
         "lex_norm",
@@ -81,6 +102,36 @@ def hybrid_search(
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "lex_norm", "cos_sim",
                     "hybrid_score", F.col("rank").cast("long").alias("rank")))
+
+
+def hybrid_search_from_stores(
+    spark,
+    postings_path: str,
+    embeddings: DataFrame,
+    query_texts: list[tuple[int, str]],
+    query_vecs: DataFrame,
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    w_lex: float = 0.5,
+    w_vec: float = 0.5,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval served from the incrementally maintained BM25
+    postings store (``streaming.stream_ops.stream_bm25_postings``) —
+    the live-serving composition: lexical shortlist from the store,
+    dense re-score from the embeddings table (itself maintainable via
+    ``stream_ivf_cells`` or any append sink). Equal to
+    :func:`hybrid_search` over the concatenated corpus for any
+    batching (property-tested)."""
+    from cngi_prototype_spark.text.retrieval import bm25_topk_from_store
+
+    cand = bm25_topk_from_store(spark, postings_path, query_texts,
+                                top_n=bm25_n, quantize=True)
+    return _blend_shortlist(cand, embeddings, query_vecs, k=k,
+                            w_lex=w_lex, w_vec=w_vec,
+                            vec_id_col=vec_id_col, vec_col=vec_col)
 
 
 def rrf_search(

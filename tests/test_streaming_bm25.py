@@ -101,6 +101,33 @@ def test_compaction_schedule_invariance(spark, tmp_path, compact_every):
     assert got == _batch_answer(spark)
 
 
+def test_hybrid_serving_from_store_equals_batch(spark, tmp_path):
+    """The live-serving composition: hybrid retrieval with the lexical
+    shortlist drawn from the incrementally built postings store equals
+    the batch hybrid over the concatenated corpus."""
+    from cngi_prototype_spark.similarity.hybrid import (
+        hybrid_search,
+        hybrid_search_from_stores,
+    )
+
+    _run_batches(spark, str(tmp_path), [DOCS[:3], DOCS[3:6], DOCS[6:]])
+    emb = spark.createDataFrame(
+        [(d, [1.0 + d, 0.5 * d, 1.0]) for d, _ in DOCS],
+        "vec_id long, embedding array<double>")
+    qv = spark.createDataFrame(
+        [(0, [1.0, 0.2, 0.3]), (1, [0.1, 1.0, 0.5]), (2, [0.4, 0.4, 1.0])],
+        "query_id long, embedding array<double>")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    want = {(r.query_id, r.doc_id): (r.rank, r.hybrid_score)
+            for r in hybrid_search(docs, emb, QUERIES, qv,
+                                   bm25_n=10, k=5).collect()}
+    got = {(r.query_id, r.doc_id): (r.rank, r.hybrid_score)
+           for r in hybrid_search_from_stores(
+               spark, f"{tmp_path}/post", emb, QUERIES, qv,
+               bm25_n=10, k=5).collect()}
+    assert got == want
+
+
 def test_offline_compaction_preserves_scores(spark, tmp_path):
     _run_batches(spark, str(tmp_path), [DOCS[:4], DOCS[4:]])
     before = spark.read.parquet(f"{tmp_path}/post")
