@@ -917,6 +917,26 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 blob, i, prog, this_scan, comps, huff, geo,
                 ss, se, ah, al, restart_interval)
             prog_scans += 1
+            # strict post-scan resync: the entropy decoder stops AT
+            # the next marker, modulo one never-consumed stuffed pad
+            # byte (FF 00 — the T.81 1-padded final byte) and 0xFF
+            # fill bytes. Anything else means the scan under-consumed
+            # (corrupt/foreign stream); letting the lenient header
+            # walk interpret such bytes as length-prefixed segments
+            # could silently skip a real SOS/DHT — fail loudly.
+            if (i + 1 < len(blob) and blob[i] == 0xFF
+                    and blob[i + 1] == 0x00):
+                i += 2
+            while (i + 1 < len(blob) and blob[i] == 0xFF
+                    and blob[i + 1] == 0xFF):
+                i += 1
+            if i < len(blob) and (
+                    blob[i] != 0xFF
+                    or (i + 1 < len(blob) and blob[i + 1] == 0x00)):
+                raise ValueError(
+                    "corrupt progressive stream: expected a marker "
+                    f"after scan entropy data, got 0x{blob[i]:02x} "
+                    f"at offset {i}")
             continue
         i += 2 + ln
     # a progressive stream with ZERO decoded scans (truncated after

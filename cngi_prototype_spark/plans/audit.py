@@ -45,9 +45,10 @@ from cngi_prototype_spark.plans.inspect import (
 WIDE_TABLE_COLS = 8
 
 # full-width scans that are the operator's semantics, not a pruning
-# failure — name: reason. Currently EMPTY: the audited registry (78
-# entries, PLAN_AUDIT.json) needs no exemptions — even ingest/describe
-# read through projections narrower than the source tables.
+# failure — name: reason. Currently EMPTY: the audited registry (see
+# PLAN_AUDIT.json for the authoritative count) needs no exemptions —
+# even ingest/describe read through projections narrower than the
+# source tables.
 UNPRUNED_WHITELIST: dict[str, str] = {}
 
 

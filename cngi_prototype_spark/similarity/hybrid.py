@@ -80,10 +80,16 @@ def _blend_shortlist(
     :func:`hybrid_search_from_stores` (shortlist from the streaming
     postings store)."""
     wq = Window.partitionBy("query_id")
+    # zero-guarded normalization: if every shortlist contribution
+    # floor-quantized to 0 (pathologically tiny scores), max == 0 and
+    # the division would yield NULL/NaN silently — rank such rows with
+    # an explicit 0.0 lexical contribution instead (vector-only blend)
+    _max_q = F.max("score_q").over(wq).cast("double")
     cand = cand.withColumn(
         "lex_norm",
-        F.col("score_q").cast("double")
-        / F.max("score_q").over(wq).cast("double"))
+        F.when(_max_q > 0,
+               F.col("score_q").cast("double") / _max_q)
+        .otherwise(F.lit(0.0)))
     emb = embeddings.select(F.col(vec_id_col).alias("doc_id"),
                             _dvec(F.col(vec_col)).alias("cv"))
     qv = query_vecs.select(F.col("query_id"),

@@ -20,9 +20,14 @@ Model — stupid backoff with score reset at document starts:
 
 Scale design: bigram extraction is a zero-shuffle projection
 (``transform(sequence(...))`` over the tokenized array); all count
-tables are corpus-bound aggregations with map-side combine; scoring is
-two shuffle joins co-partitioned on the n-gram key (the 1-row total is
-a broadcast). Nothing is ever per-pair or driver-side.
+tables are corpus-bound aggregations with map-side combine. Scoring
+touches the corpus-sized gram stream with exactly ONE shuffle join —
+on ``(prev, w)`` against the bigram table, into which ``c_ctx`` is
+denormalized (a bigram-table-sized window, never a gram-stream join;
+``c_ctx`` is only ever read when ``c_bi`` is non-null, so the
+denormalized form is value-identical). The unigram table is
+vocab-sized (Heaps' law: ≪ corpus) and broadcast by default; the
+1-row total is a broadcast. Nothing is ever per-pair or driver-side.
 
 Cross-engine exactness: per-token log-probabilities are identical IEEE
 expression trees (counts are exact integers, one ``ln``) quantized to
@@ -85,6 +90,7 @@ def lm_doc_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     quantize: bool = False,
+    broadcast_unigrams: bool = True,
 ) -> DataFrame:
     """Per-document stupid-backoff LM score →
     ``(doc_id, n_tokens, logprob)`` (``logprob_q`` BIGINT nano-units
@@ -103,21 +109,35 @@ def lm_doc_logprob(
     uni = tgrams.groupBy("w").agg(F.count("*").alias("c_w"))
     bi = (tgrams.filter(F.col("prev").isNotNull())
           .groupBy("prev", "w").agg(F.count("*").alias("c_bi")))
-    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize)
+    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize,
+                        broadcast_unigrams=broadcast_unigrams)
 
 
 def _score_grams(grams: DataFrame, uni: DataFrame, bi: DataFrame,
-                 *, alpha: float, quantize: bool) -> DataFrame:
+                 *, alpha: float, quantize: bool,
+                 broadcast_unigrams: bool = True) -> DataFrame:
     """Score positional grams against unigram/bigram count tables —
     the shared tail of :func:`lm_doc_logprob` (counts built in-plan)
     and :func:`lm_doc_logprob_from_counts` (counts accumulated by
-    ``streaming.stream_ops.stream_lm_counts``)."""
-    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+    ``streaming.stream_ops.stream_lm_counts``).
+
+    ``c_ctx`` is denormalized into the bigram table via a
+    bigram-table-sized window (it is only read when ``c_bi`` is
+    non-null — see :func:`_logp` — so rows where the bigram is unseen
+    never touch it and the denormalized form is value-identical to a
+    separate ``prev``-keyed join). With ``broadcast_unigrams`` (the
+    default; disable only when the vocab itself exceeds executor
+    memory) the corpus-sized gram stream shuffles exactly once: the
+    ``(prev, w)`` join against the bigram table."""
+    from pyspark.sql import Window
+
+    bi_ctx = bi.withColumn(
+        "c_ctx", F.sum("c_bi").over(Window.partitionBy("prev")))
     total = uni.agg(F.sum("c_w").alias("n_total"))
+    uni_side = F.broadcast(uni) if broadcast_unigrams else uni
     scored = (grams
-              .join(uni, "w", "left")
-              .join(bi, ["prev", "w"], "left")
-              .join(ctx, "prev", "left")
+              .join(uni_side, "w", "left")
+              .join(bi_ctx, ["prev", "w"], "left")
               .crossJoin(F.broadcast(total)))
     lp = F.when(F.col("c_w").isNotNull(), _logp(alpha))
     contrib = (F.floor(lp * F.lit(1e9) + F.lit(0.5)).cast("long")
@@ -159,6 +179,7 @@ def lm_doc_logprob_from_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     quantize: bool = False,
+    broadcast_unigrams: bool = True,
 ) -> DataFrame:
     """Score documents against an externally accumulated
     :func:`lm_counts` table (possibly per-batch partials — they are
@@ -168,7 +189,8 @@ def lm_doc_logprob_from_counts(
     bi = (counts.filter(F.col("prev").isNotNull())
           .groupBy("prev", "w").agg(F.sum("c").alias("c_bi")))
     grams = _doc_grams(docs, text_col, id_col)
-    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize)
+    return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize,
+                        broadcast_unigrams=broadcast_unigrams)
 
 
 def lm_doc_logprob_from_store(

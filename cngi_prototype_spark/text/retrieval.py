@@ -58,14 +58,24 @@ def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     empty-token convention). Residual caveat: exotic case folding
     (e.g. 'İ') can still differ between Python and SQL ``lower`` —
     both gate sides take the PYTHON tokens, so the gate stays
-    consistent; only recall on such exotic query text is affected."""
-    return sorted({
+    consistent; only recall on such exotic query text is affected.
+
+    Raises ``ValueError`` when no query yields any term: the SQL twin
+    interpolates these rows into a ``VALUES`` list, which would be a
+    syntax error on an empty set while the Spark side silently
+    returned no rows — both engines must fail identically."""
+    rows = sorted({
         (int(qid), tok)
         for qid, qtext in queries
         for tok in re.split(r"\s+", str(qtext).strip().lower(),
                             flags=re.ASCII)
         if tok
     })
+    if not rows:
+        raise ValueError(
+            "no query terms: every query string tokenized to zero "
+            "terms (empty/whitespace input)")
+    return rows
 
 
 def bm25_postings(
@@ -177,9 +187,9 @@ def bm25_score_postings(
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id", "doc_id",
-            F.floor(_contrib(k1, b) * F.lit(float(_QUANT)) + F.lit(0.5))
-            .cast("long").alias("contrib_q"),
-            _contrib(k1, b).alias("contrib"),
+            (F.floor(_contrib(k1, b) * F.lit(float(_QUANT)) + F.lit(0.5))
+             .cast("long").alias("contrib_q"))
+            if quantize else _contrib(k1, b).alias("contrib"),
         )
     )
     score_col = "score_q" if quantize else "score"

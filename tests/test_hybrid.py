@@ -120,3 +120,26 @@ def test_hybrid_plan_contract(spark, frames):
     assert "BatchEvalPython" not in plan
     # bm25's three broadcasts + the shortlist + the query vectors
     assert broadcast_hint_count(df) >= 5
+
+
+def test_blend_zero_score_shortlist_yields_zero_lex_norm(spark, frames):
+    """Degenerate shortlist whose scores all quantize to 0 must blend
+    as an explicit 0.0 lexical contribution (vector-only ranking),
+    never a NULL/NaN from a 0/0 normalization (review finding)."""
+    import pyspark.sql.functions as F
+
+    from cngi_prototype_spark.similarity.hybrid import _blend_shortlist
+
+    docs, emb, qv = frames
+    cand = spark.createDataFrame(
+        [(0, d) for d, _ in
+         [(r.doc_id, None) for r in docs.select("doc_id").collect()][:3]],
+        "query_id INT, doc_id BIGINT").withColumn(
+            "score_q", F.lit(0).cast("long"))
+    rows = _blend_shortlist(cand, emb, qv, k=5, w_lex=0.5, w_vec=0.5,
+                            vec_id_col="vec_id", vec_col="embedding").collect()
+    assert rows
+    for r in rows:
+        assert r.lex_norm == 0.0
+        assert not math.isnan(r.hybrid_score)
+        assert r.hybrid_score == pytest.approx(0.5 * r.cos_sim, rel=1e-12)

@@ -316,3 +316,20 @@ def test_degrid_kernel_variant_no_cross_join(spark):
     plan = explain_formatted(df)
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroups" in plan
+
+
+def test_lm_scoring_single_gram_shuffle_join(spark):
+    """lm_doc_logprob's scoring path touches the corpus-sized gram
+    stream with at most ONE shuffle join: c_ctx is denormalized into
+    the bigram table (bigram-sized window, never a prev-keyed gram
+    join) and the vocab-sized unigram table + 1-row total ride
+    broadcasts. Regression for the r12 3-join shape."""
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.queries()["lm_perplexity"](spark, SF)
+    assert broadcast_hint_count(df) >= 2  # unigrams + n_total
+    plan = explain_formatted(df)
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1
+    # the c_ctx window is keyed by prev (bigram-table-sized), and no
+    # unpartitioned window exists anywhere in the plan
+    assert not re.search(r"windowspecdefinition\(\s*[a-z_]*#\d+[^,]*ROWS",
+                         plan)

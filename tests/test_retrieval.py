@@ -144,3 +144,19 @@ def test_bm25_postings_dl_is_token_count(spark, docs_df):
     dl = {r.doc_id: r.dl for r in rows}
     for d, t in DOCS:
         assert dl[d] == len(t.split())
+
+
+def test_query_terms_all_empty_raises(spark):
+    """Queries that tokenize to zero terms must raise identically on
+    both engines — the SQL twin would otherwise emit a bare 'VALUES '
+    syntax error while Spark silently returned nothing (review
+    finding)."""
+    import pytest as _pytest
+
+    from cngi_prototype_spark.text.retrieval import (
+        _query_terms, sql_bm25_topk)
+
+    with _pytest.raises(ValueError, match="no query terms"):
+        _query_terms([(0, "   "), (1, "")])
+    with _pytest.raises(ValueError, match="no query terms"):
+        sql_bm25_topk([(0, " \t ")])

@@ -758,3 +758,37 @@ def test_jpeg_fill_bytes_and_large_scan():
     # pure-python Huffman on ~1.2M coefficients: generous linear-time
     # bound; the quadratic accumulator measured minutes here
     assert sec < 60, sec
+
+
+def test_jpeg_progressive_strict_marker_resync():
+    """A garbage byte where the next marker should sit (simulating an
+    under-consuming scan on a corrupt/foreign stream) must raise, not
+    be leniently skipped — the lenient walk could silently interpret
+    arbitrary bytes as length-prefixed segments and miss a real
+    SOS/DHT (review finding)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cngi_prototype_spark.functions.jpeg import decode_jpeg, jpeg_bytes
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    p = jpeg_bytes(img, quality=70, progressive=True)
+    assert decode_jpeg(p) is not None  # sanity: pristine stream decodes
+    # find the first REAL marker after scan 1's entropy data (skip
+    # stuffed FF00 / RSTn / FF fills — those belong to the scan)
+    first_sos = p.index(b"\xff\xda")
+    ln = int.from_bytes(p[first_sos + 2:first_sos + 4], "big")
+    j = first_sos + 2 + ln
+    while True:
+        j = p.index(b"\xff", j)
+        nxt = p[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            j += 2
+        elif nxt == 0xFF:
+            j += 1
+        else:
+            break
+    corrupt = p[:j] + b"\x55" + p[j:]
+    with _pytest.raises(ValueError, match="expected a marker"):
+        decode_jpeg(corrupt)
