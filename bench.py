@@ -693,6 +693,77 @@ def run_ivfpq_recall_curve(spark, sf_dir: str, mult: int) -> dict:
             "n_queries": 10, "curve": curve}
 
 
+# The recall CONTRACT (round-13, verdict #1): the production re-rank
+# paths must clear these floors at the 10x rung — measured curve values
+# (ivfpq m16/r50 0.48, hamming r64 0.26 at 600k vectors) with ~1.6x
+# headroom for sampling noise (10 queries), not aspirations. A
+# regression in the exact-re-rank tier (the standing answer to
+# quantization-dominated recall on near-random embeddings) flips
+# ok=false in the committed artifact. m=16 IS the production codebook
+# since round 13: the same measurement showed it beats m=8 at every
+# rerank width (r0 0.14 vs 0.04, r50 0.48 vs 0.22) at equal-or-lower
+# latency — quantization bits growing with log(n), the round-12
+# curve's own conclusion, realized.
+ANN_CONTRACT_FLOORS = {"ivfpq_m16_r50": 0.30, "hamming_r64": 0.15}
+
+
+def run_ann_recall_contract(spark, sf_dir: str, mult: int) -> dict:
+    """recall@5 vs exact-rerank width R at the 10x rung for BOTH
+    re-rankable indexes, production shapes: ivfpq (8 cells, ksub=32,
+    nprobe=3 — m=8 production plus an m=16 option so quantization bits
+    can grow with log(n), the round-12 curve's own conclusion) and
+    sign-bit hamming. Ground truth = brute-force cosine over the same
+    10 queries; the production widths (ivfpq R=50, hamming R=64) are
+    asserted against ANN_CONTRACT_FLOORS."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.similarity.ann import (brute_force_topk,
+                                                     hamming_topk,
+                                                     ivfpq_topk,
+                                                     train_ivfpq)
+
+    big_dir = _build_ladder_dir(spark, sf_dir, mult)
+    emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 10)
+    bp = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, qset, k=5).collect()}
+
+    def _recall(df) -> tuple[float, float]:
+        t0 = time.time()
+        vp = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return (round(len(vp & bp) / len(bp), 4),
+                round(time.time() - t0, 3))
+
+    curves: dict[str, dict] = {}
+    for m in (8, 16):
+        cents, books = train_ivfpq(emb, n_cells=8, m=m, ksub=32)
+        per_r = {}
+        for R in (0, 50, 200):
+            rec, sec = _recall(ivfpq_topk(emb, qset, cents, books,
+                                          k=5, nprobe=3, rerank=R))
+            per_r[f"r{R}"] = {"recall_at_5": rec, "sec": sec}
+        curves[f"ivfpq_m{m}"] = per_r
+    per_r = {}
+    for R in (20, 64, 200):
+        rec, sec = _recall(hamming_topk(emb, qset, k=5, rerank=R))
+        per_r[f"r{R}"] = {"recall_at_5": rec, "sec": sec}
+    curves["hamming"] = per_r
+
+    checks = {
+        "ivfpq_m16_r50": {
+            "floor": ANN_CONTRACT_FLOORS["ivfpq_m16_r50"],
+            "measured": curves["ivfpq_m16"]["r50"]["recall_at_5"]},
+        "hamming_r64": {
+            "floor": ANN_CONTRACT_FLOORS["hamming_r64"],
+            "measured": curves["hamming"]["r64"]["recall_at_5"]},
+    }
+    for c in checks.values():
+        c["ok"] = bool(c["measured"] >= c["floor"])
+    return {"mult": mult, "k": 5, "n_queries": 10, "nprobe": 3,
+            "curves": curves, "contract": checks,
+            "ok": all(c["ok"] for c in checks.values())}
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
@@ -1082,6 +1153,15 @@ def main() -> None:
         except Exception as e:  # diagnostic: never break bench
             ivfpq_curve = {"error": f"{type(e).__name__}: {e}"}
 
+    ann_contract = None
+    if ladder_mult > 1:
+        try:
+            spark.catalog.clearCache()
+            ann_contract = run_ann_recall_contract(spark, sf_dir,
+                                                   ladder_mult)
+        except Exception as e:  # diagnostic: never break bench
+            ann_contract = {"error": f"{type(e).__name__}: {e}"}
+
     ladder_100x = None
     if int(os.environ.get("SPARK_GRAFT_LADDER100", "1")):
         try:
@@ -1105,6 +1185,7 @@ def main() -> None:
         "ladder_100x": ladder_100x,
         "pipeline_sf1": pipeline_sf1,
         "ivfpq_recall_curve": ivfpq_curve,
+        "ann_recall_contract": ann_contract,
         "sf": sf,
         "cpus": cpus,
     }

@@ -1874,11 +1874,16 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 12): the FAISS refine stage — quantized recall decays with
     corpus size (0.12 gate-scale -> ~0.05 at 600k vectors, measured
     curve in BENCH_DETAIL), and the exact rescore of the ADC
-    shortlist restores it (0.04 -> 0.22 at 600k with 50, 0.44 with
-    200) at R x queries extra vector reads."""
+    shortlist restores it at R x queries extra vector reads. m=16
+    (round 13): quantization bits must grow with log(n) — the
+    ann_recall_contract curve measured m=16 beating m=8 at EVERY
+    rerank width (recall@5 at 600k vectors: 0.14 vs 0.04 raw ADC,
+    0.48 vs 0.22 at R=50) at equal-or-lower latency, so the
+    production codebook is 16x32 and the contract floor is 0.30
+    (bench.py ANN_CONTRACT_FLOORS)."""
     emb = _t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVFPQ_PROD:
-        _IVFPQ_PROD[sf_dir] = train_ivfpq(emb, n_cells=8, m=8, ksub=32)
+        _IVFPQ_PROD[sf_dir] = train_ivfpq(emb, n_cells=8, m=16, ksub=32)
     cents, books = _IVFPQ_PROD[sf_dir]
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), cents,
                       books, k=5, nprobe=3, rerank=50)
