@@ -321,13 +321,19 @@ _LADDER_LINK = ["region", "nation", "customer", "supplier", "part",
                 "orders"]
 
 
-def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
+def _build_ladder_dir(spark, sf_dir: str, mult: int,
+                      tables: list[str] | None = None) -> str:
     import hashlib
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    # `tables` restricts replication to a subset of _LADDER_REPL (the
+    # 1000x spans rung needs ONLY documents — replicating lineitem at
+    # 1000x would write ~11 GB of parquet nothing reads)
+    repl = {t: c for t, c in _LADDER_REPL.items()
+            if tables is None or t in tables}
     # cache key = absolute source dir + its tables' mtimes: a different
     # dir with the same basename, or a regenerated fixture, must NOT
     # replay a stale replica (the symlinked side tables would then point
@@ -336,8 +342,9 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
         f"{t}:{os.path.getmtime(os.path.join(sf_dir, t + '.parquet'))}"
         for t in sorted(_LADDER_REPL)
         if os.path.exists(os.path.join(sf_dir, t + ".parquet")))
+    subset = "" if tables is None else "|" + ",".join(sorted(repl))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{mult}|{mtimes}|v3".encode()
+        f"{os.path.abspath(sf_dir)}|{mult}|{mtimes}|v3{subset}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"sparkgraft_ladder_{key}")
     done = os.path.join(out, "_LADDER_OK")
@@ -346,7 +353,7 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     ks = F.explode(F.array(*[F.lit(i) for i in range(mult)])).alias("_k")
-    for table, idcol in _LADDER_REPL.items():
+    for table, idcol in repl.items():
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         big = df.select("*", ks)
         if idcol is not None:
@@ -764,6 +771,188 @@ def run_ann_recall_contract(spark, sf_dir: str, mult: int) -> dict:
             "ok": all(c["ok"] for c in checks.values())}
 
 
+def _timed_shuffle(spark, fn, *args) -> tuple[float, float | None]:
+    """_ladder_min plus the per-run shuffle-write delta (MB) from the
+    AppStatusStore — the byte-level witness next to every wall-clock
+    scale number."""
+    from cngi_prototype_spark.plans.inspect import shuffle_totals
+    rs: list[float] = []
+    s0 = shuffle_totals(spark)
+    sec = _ladder_min(fn, spark, *args, runs_out=rs)
+    s1 = shuffle_totals(spark)
+    mb = (round(max(0, s1["write"] - s0["write"]) / len(rs) / 2**20, 2)
+          if s0 and s1 else None)
+    return sec, mb
+
+
+def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
+    """Store-served retrieval at the 10x rung (round-12 verdict #5):
+    the equal-to-batch properties say the incrementally maintained
+    postings store SCORES right; this tier says what serving from it
+    COSTS. Builds the store with the production maintainer
+    (``stream_bm25_postings``, multi-batch availableNow over the
+    rung's documents), then measures ``bm25_topk_from_store`` and
+    ``hybrid_search_from_stores`` against their batch twins in the
+    same session — wall + shuffle-write bytes + an overhead ratio,
+    with a key-set equality spot-check at the rung so the numbers are
+    known to price the SAME answer."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.similarity.hybrid import (
+        hybrid_search, hybrid_search_from_stores)
+    from cngi_prototype_spark.streaming.stream_ops import (
+        stream_bm25_postings)
+    from cngi_prototype_spark.text.retrieval import (bm25_topk,
+                                                     bm25_topk_from_store)
+
+    big_dir = _build_ladder_dir(spark, sf_dir, mult)
+    docs_path = f"{big_dir}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    work = tempfile.mkdtemp(prefix="sparkgraft_store_serving_")
+    post, ck = f"{work}/post", f"{work}/ck"
+    try:
+        # incremental build: availableNow + maxFilesPerTrigger splits
+        # the rung's corpus into real micro-batches through the
+        # production maintainer (epoch partitions, dynamic overwrite)
+        n_files = len(glob.glob(f"{docs_path}/*.parquet"))
+        per_trigger = max(1, n_files // 4)
+        t0 = time.time()
+        q = stream_bm25_postings(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(docs_path), post, ck,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+        build_sec = round(time.time() - t0, 3)
+        store = spark.read.parquet(post)
+        n_batches = store.select("_batch").distinct().count()
+
+        qs = [(0, "scan merge window sort"),
+              (1, "customer stream batch data"),
+              (2, "spark join filter"), (3, "query group agg"),
+              (4, "fast key value"), (5, "table row column")]
+        out: dict[str, dict] = {
+            "build": {"sec": build_sec, "n_docs": n_docs,
+                      "n_batches": n_batches,
+                      "docs_per_sec": round(n_docs / build_sec),
+                      "store_rows": store.count()}}
+
+        # serving: store-served vs batch twin, same session, same
+        # production parameters as the bm25_topk / hybrid_search bench
+        # queries
+        pairs = {
+            "bm25_topk": (
+                lambda s, d: bm25_topk(
+                    spark.read.parquet(f"{d}/documents.parquet"),
+                    qs, top_n=20),
+                lambda s, d: bm25_topk_from_store(
+                    spark, post, qs, top_n=20)),
+        }
+        emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+        qv = (emb.filter(F.col("vec_id") < 6)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        pairs["hybrid_search"] = (
+            lambda s, d: hybrid_search(
+                spark.read.parquet(f"{d}/documents.parquet"),
+                emb, qs, qv, bm25_n=50, k=10),
+            lambda s, d: hybrid_search_from_stores(
+                spark, post, emb, qs, qv, bm25_n=50, k=10))
+        for name, (batch_fn, store_fn) in pairs.items():
+            _run(batch_fn(spark, big_dir))   # codegen/JIT warm
+            _run(store_fn(spark, big_dir))
+            b_sec, b_mb = _timed_shuffle(spark, batch_fn, big_dir)
+            s_sec, s_mb = _timed_shuffle(spark, store_fn, big_dir)
+            # same-answer spot-check at the rung (key sets: scores are
+            # property-tested equal at small scale; here the question
+            # is whether the measured plans return the same rows)
+            bk = {(r["query_id"], r["doc_id"]) for r in
+                  batch_fn(spark, big_dir).collect()}
+            sk = {(r["query_id"], r["doc_id"]) for r in
+                  store_fn(spark, big_dir).collect()}
+            out[name] = {
+                "batch_sec": round(b_sec, 3),
+                "store_sec": round(s_sec, 3),
+                "store_over_batch": round(s_sec / b_sec, 2),
+                "batch_shuffle_mb": b_mb,
+                "store_shuffle_mb": s_mb,
+                "same_topk": bool(bk == sk),
+            }
+        return {"mult": mult, "queries": out}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_spans_decade3(spark, sf_dir: str) -> dict:
+    """`bench.py --spans1000`: third measured decade for the
+    ExactSubstr gram-fingerprint shuffle (round-12 verdict #2). The
+    100x rung measured shuffle-write growth of ~18.6x over its decade
+    and bench.py's saturation analysis predicts fallback to ~10x
+    (linear) once map-side combine stops collapsing same-key grams
+    within map partitions; this rung (1000x, documents-only replica
+    dir) measures that third point. Opt-in — ~15 min of wall — with
+    the artifact committed as SPANS_DECADE3 in BENCH_DETAIL's sibling
+    file."""
+    big100 = _build_ladder_dir(spark, sf_dir, 100, tables=["documents"])
+    big1000 = _build_ladder_dir(spark, sf_dir, 1000,
+                                tables=["documents"])
+    fn = Q.queries()["dedup_spans"]
+    _run(fn(spark, big100))  # codegen/JIT warm
+    t100, mb100 = _timed_shuffle(spark, fn, big100)
+    t1000, mb1000 = _timed_shuffle(spark, fn, big1000)
+    out = {
+        "op": "dedup_spans", "vs_mult": 100, "mult": 1000,
+        "big100_sec": round(t100, 3), "big1000_sec": round(t1000, 3),
+        "ratio_1000x_over_100x": round(t1000 / t100, 2),
+        "scaling_efficiency": round(t1000 / t100 / 10, 3),
+        "shuffle_write_mb_100x": mb100,
+        "shuffle_write_mb_1000x": mb1000,
+        "predicted_shuffle_growth": "~10x (no-collapse ceiling is "
+                                    "linear in rows; bench.py "
+                                    "map-side-combine saturation "
+                                    "analysis)",
+    }
+    if mb100 and mb1000:
+        out["shuffle_growth_1000x_over_100x"] = round(mb1000 / mb100, 2)
+        out["prediction_confirmed"] = bool(mb1000 / mb100 < 13.0)
+    return out
+
+
+def run_pipeline_100x(spark, sf_dir: str) -> dict:
+    """`bench.py --pipeline100`: the composed training-data assembly
+    (filter → dedup → decontaminate → mixture → chunk → pack) at the
+    100x rung (round-12 verdict #3) — the product-story composition
+    measured one decade past its 10x number, with shuffle bytes.
+    Opt-in; artifact committed next to BENCH_DETAIL."""
+    big100 = _build_ladder_dir(spark, sf_dir, 100)
+    big10 = _build_ladder_dir(spark, sf_dir, 10)
+    fn = lambda s, d: _pipeline_training_assembly(s, d)  # noqa: E731
+    # warm run doubles as the result collection (same economics as
+    # run_pipeline_sf1)
+    row10 = fn(spark, big10).collect()[0]
+    t10, mb10 = _timed_shuffle(spark, fn, big10)
+    row100 = fn(spark, big100).collect()[0]
+    t100, mb100 = _timed_shuffle(spark, fn, big100)
+    out = {
+        "op": "pipeline_training_assembly", "vs_mult": 10, "mult": 100,
+        "big10_sec": round(t10, 3), "big100_sec": round(t100, 3),
+        "ratio_100x_over_10x": round(t100 / t10, 2),
+        "scaling_efficiency": round(t100 / t10 / 10, 3),
+        "shuffle_write_mb_10x": mb10,
+        "shuffle_write_mb_100x": mb100,
+        "placements_10x": int(row10["placements"]),
+        "placements_100x": int(row100["placements"]),
+        "n_sequences_100x": int(row100["n_sequences"] or 0),
+    }
+    if mb10 and mb100:
+        out["shuffle_growth_100x_over_10x"] = round(mb100 / mb10, 2)
+    return out
+
+
 def run_ladder(spark, sf_dir: str, mult: int) -> dict:
     qs = Q.queries()
     big_dir = _build_ladder_dir(spark, sf_dir, mult)
@@ -875,14 +1064,19 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
     }
 
 
-def chiles100_tier() -> dict:
+def chiles100_tier(skew: bool = False) -> dict:
     """`bench.py --chiles100`: the CHILES-frac tier at 10x the declared
     fraction (rep 512 -> 5120, 512M vis, ~1.2% of the 2.5 TB CHILES
-    run), uniform coverage only — the skew-vs-uniform ratio is
-    established at the 51.2M rung; this rung tests the SCALE trend.
-    Needs SPARK_GRAFT_MEM=96g (the persisted synthetic input is ~40 GB
-    deserialized). Two untimed priming runs then steal-guarded
-    min-of-N, same throughput accounting as the main tier."""
+    run). Needs SPARK_GRAFT_MEM=96g (the persisted synthetic input is
+    ~40 GB deserialized). Two untimed priming runs then steal-guarded
+    min-of-N, same throughput accounting as the main tier.
+
+    ``skew=True`` (`--chiles100 --skew`, round-12 verdict #6) runs the
+    centrally-condensed coverage INSTEAD — two 40 GB input caches do
+    not co-fit a 96g heap, so the 10x-rung skew ratio is established
+    across two single-tier processes (uniform artifact + skew
+    artifact), each coverage getting the whole heap; the merge script
+    records both and the cross-process caveat."""
     os.environ.setdefault("SPARK_GRAFT_CHILES_REP", "5120")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -904,7 +1098,7 @@ def chiles100_tier() -> dict:
             "spark.driver.extraJavaOptions": "-Xlog:disable",
             "spark.sql.adaptive.coalescePartitions.enabled": "false"})
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
-    img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus)
+    img, n_vis, mat_sec = chiles_frac(spark, sf_dir, cpus, skew=skew)
     for _ in range(2):  # untimed priming (JIT + cache first-touch)
         _run(img)
     runs: list[float] = []
@@ -923,20 +1117,22 @@ def chiles100_tier() -> dict:
     tpsc = n_vis * _CHILES_TAPS / sec / cpus
     steal = mon.stats()
     return {
-        "tier": "chiles_frac_x10",
+        "tier": "chiles_frac_x10" + ("_skew" if skew else ""),
+        "coverage": "skew" if skew else "uniform",
         "declared_fraction": round(n_vis / _CHILES_VIS, 9),
         "n_vis": n_vis,
         "taps_per_vis": _CHILES_TAPS,
         "materialize_sec": mat_sec,
-        "runs_uniform_sec": runs,
+        ("runs_skew_sec" if skew else "runs_uniform_sec"): runs,
         "taps_per_s_core": round(tpsc),
         "baseline_taps_per_s_core": round(_CHILES_TAPS_PER_S_CORE),
         "vs_baseline": round(_CHILES_TAPS_PER_S_CORE / tpsc, 3),
         "steal_suspected": max(runs) / min(runs) > 2.0,
-        "skew_omitted": ("two 40 GB input caches do not both fit a "
-                         "96g heap without disk-backed cache churn; "
-                         "the uniform/skew ratio is established at "
-                         "the 51.2M rung"),
+        "protocol_note": ("single-coverage process: two 40 GB input "
+                          "caches do not co-fit a 96g heap, so the "
+                          "10x-rung skew ratio is established across "
+                          "two single-tier processes (round-12 "
+                          "verdict #6)"),
         **steal,
         "cpus": cpus,
     }
@@ -1162,6 +1358,15 @@ def main() -> None:
         except Exception as e:  # diagnostic: never break bench
             ann_contract = {"error": f"{type(e).__name__}: {e}"}
 
+    store_serving = None
+    if ladder_mult > 1:
+        try:
+            spark.catalog.clearCache()
+            store_serving = run_store_serving_ladder(spark, sf_dir,
+                                                     ladder_mult)
+        except Exception as e:  # diagnostic: never break bench
+            store_serving = {"error": f"{type(e).__name__}: {e}"}
+
     ladder_100x = None
     if int(os.environ.get("SPARK_GRAFT_LADDER100", "1")):
         try:
@@ -1186,6 +1391,7 @@ def main() -> None:
         "pipeline_sf1": pipeline_sf1,
         "ivfpq_recall_curve": ivfpq_curve,
         "ann_recall_contract": ann_contract,
+        "store_serving": store_serving,
         "sf": sf,
         "cpus": cpus,
     }
@@ -1507,7 +1713,26 @@ if __name__ == "__main__":
     elif "--chiles100" in sys.argv:
         Q.PRECISE = False
         try:
-            print(json.dumps(chiles100_tier()))
+            print(json.dumps(chiles100_tier(skew="--skew" in sys.argv)))
+        except Exception as e:
+            print(json.dumps(
+                {"error": f"{type(e).__name__}: {e}"[:300]}))
+            sys.exit(1)
+    elif "--spans1000" in sys.argv or "--pipeline100" in sys.argv:
+        # opt-in third-decade tiers (round-12 verdict #2/#3): own
+        # session, one JSON line — the caller commits the artifact
+        Q.PRECISE = False
+        _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        _s = initialize_framework(
+            cores=_cpus, app_name="bench_decade3",
+            shuffle_partitions=_cpus,
+            extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable",
+                        "spark.ui.retainedStages": "100000"})
+        try:
+            tier = (run_spans_decade3 if "--spans1000" in sys.argv
+                    else run_pipeline_100x)
+            print(json.dumps(tier(_s, _sf)))
         except Exception as e:
             print(json.dumps(
                 {"error": f"{type(e).__name__}: {e}"[:300]}))
