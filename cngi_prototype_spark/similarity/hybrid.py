@@ -166,6 +166,21 @@ def rrf_search(
     — hash-safe unquantized."""
     cand = bm25_topk(docs, query_texts, top_n=bm25_n, quantize=True,
                      text_col=text_col, id_col=doc_id_col)
+    return _rrf_from_shortlist(cand, embeddings, query_vecs, k=k,
+                               rrf_k=rrf_k, vec_id_col=vec_id_col,
+                               vec_col=vec_col)
+
+
+def _rrf_from_shortlist(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    k: int,
+    rrf_k: int,
+    vec_id_col: str,
+    vec_col: str,
+) -> DataFrame:
     emb = embeddings.select(F.col(vec_id_col).alias("doc_id"),
                             _dvec(F.col(vec_col)).alias("cv"))
     qv = query_vecs.select(F.col("query_id"),
@@ -189,6 +204,34 @@ def rrf_search(
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "lex_rank", "vec_rank",
                     "rrf_score", "rank"))
+
+
+def rrf_search_from_stores(
+    spark,
+    postings_path: str,
+    embeddings: DataFrame,
+    query_texts: list[tuple[int, str]],
+    query_vecs: DataFrame,
+    *,
+    bm25_n: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RRF retrieval served from the incrementally maintained BM25
+    postings store — completes the store-served family next to
+    :func:`hybrid_search_from_stores`: lexical ranks come from the
+    store's shortlist, vector ranks from the embeddings table, fused
+    by the same exact-rational expression. Equal to :func:`rrf_search`
+    over the concatenated corpus for any batching (property-tested)."""
+    from cngi_prototype_spark.text.retrieval import bm25_topk_from_store
+
+    cand = bm25_topk_from_store(spark, postings_path, query_texts,
+                                top_n=bm25_n, quantize=True)
+    return _rrf_from_shortlist(cand, embeddings, query_vecs, k=k,
+                               rrf_k=rrf_k, vec_id_col=vec_id_col,
+                               vec_col=vec_col)
 
 
 def sql_rrf_search(

@@ -128,6 +128,34 @@ def test_hybrid_serving_from_store_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_rrf_serving_from_store_equals_batch(spark, tmp_path):
+    """Store-served RRF equals batch RRF over the concatenated corpus:
+    same shortlist, same integer ranks, same exact-rational fusion."""
+    from cngi_prototype_spark.similarity.hybrid import (
+        rrf_search,
+        rrf_search_from_stores,
+    )
+
+    _run_batches(spark, str(tmp_path), [DOCS[:3], DOCS[3:6], DOCS[6:]])
+    emb = spark.createDataFrame(
+        [(d, [1.0 + d, 0.5 * d, 1.0]) for d, _ in DOCS],
+        "vec_id long, embedding array<double>")
+    qv = spark.createDataFrame(
+        [(0, [1.0, 0.2, 0.3]), (1, [0.1, 1.0, 0.5]), (2, [0.4, 0.4, 1.0])],
+        "query_id long, embedding array<double>")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    want = {(r.query_id, r.doc_id):
+            (r.lex_rank, r.vec_rank, r.rrf_score, r.rank)
+            for r in rrf_search(docs, emb, QUERIES, qv,
+                                bm25_n=10, k=5).collect()}
+    got = {(r.query_id, r.doc_id):
+           (r.lex_rank, r.vec_rank, r.rrf_score, r.rank)
+           for r in rrf_search_from_stores(
+               spark, f"{tmp_path}/post", emb, QUERIES, qv,
+               bm25_n=10, k=5).collect()}
+    assert got == want
+
+
 def test_offline_compaction_preserves_scores(spark, tmp_path):
     _run_batches(spark, str(tmp_path), [DOCS[:4], DOCS[4:]])
     before = spark.read.parquet(f"{tmp_path}/post")
