@@ -379,14 +379,23 @@ def _build_ladder_dir(spark, sf_dir: str, mult: int,
             # duplicates of each other — a quadratic cross-shard pair
             # term that measures the replica construction, not the
             # operator. A second letter (k // 26) keeps the suffix a
-            # bijection per shard up to 26^2; shards < 26 keep their
-            # single-letter text byte-identical to the 10x rung's.
+            # bijection per shard up to 26^2, a third (k // 676, the
+            # 1000x rung) up to 26^3; suffix LENGTH encodes the tier,
+            # so shards < 26 keep their single-letter text
+            # byte-identical to the 10x rung's and shards < 676 their
+            # two-letter text byte-identical to the 100x rung's.
             c1 = F.char(F.lit(97) + F.col("_k") % 26)
-            sfx = (c1 if mult <= 26 else
-                   F.when(F.col("_k") < 26, c1).otherwise(
-                       F.concat(c1, F.char(F.lit(97)
-                                           + (F.col("_k") / 26)
-                                           .cast("int") % 26))))
+            c2 = F.char(F.lit(97) + (F.col("_k") / 26).cast("int") % 26)
+            c3 = F.char(F.lit(97) + (F.col("_k") / 676).cast("int") % 26)
+            if mult <= 26:
+                sfx = c1
+            elif mult <= 676:
+                sfx = F.when(F.col("_k") < 26, c1).otherwise(
+                    F.concat(c1, c2))
+            else:
+                sfx = (F.when(F.col("_k") < 26, c1)
+                       .when(F.col("_k") < 676, F.concat(c1, c2))
+                       .otherwise(F.concat(c1, c2, c3)))
             big = big.withColumn(
                 "text",
                 F.when(F.col("_k") == 0, F.col("text")).otherwise(
