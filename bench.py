@@ -811,10 +811,13 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
 
     from pyspark.sql import functions as F
 
+    from cngi_prototype_spark.similarity.ann import (ivf_topk,
+                                                     ivf_topk_from_store,
+                                                     train_ivf_centroids)
     from cngi_prototype_spark.similarity.hybrid import (
         hybrid_search, hybrid_search_from_stores)
     from cngi_prototype_spark.streaming.stream_ops import (
-        stream_bm25_postings)
+        stream_bm25_postings, stream_ivf_cells)
     from cngi_prototype_spark.text.retrieval import (bm25_topk,
                                                      bm25_topk_from_store)
 
@@ -871,6 +874,34 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
                 emb, qs, qv, bm25_n=50, k=10),
             lambda s, d: hybrid_search_from_stores(
                 spark, post, emb, qs, qv, bm25_n=50, k=10))
+
+        # the third streaming store: IVF inverted lists, maintained by
+        # stream_ivf_cells over the rung's embeddings (recall-contract
+        # shape: 8 cells, nprobe=3), priced against the in-plan ivf_topk
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        emb_path = f"{big_dir}/embeddings.parquet"
+        n_efiles = len(glob.glob(f"{emb_path}/*.parquet"))
+        cells, ick = f"{work}/cells", f"{work}/ick"
+        t0 = time.time()
+        q2 = stream_ivf_cells(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", max(1, n_efiles // 4))
+            .parquet(emb_path), cells, ick, centroids=cents,
+        ).trigger(availableNow=True).start()
+        q2.awaitTermination()
+        ivf_build_sec = round(time.time() - t0, 3)
+        n_vecs = emb.count()
+        out["build_ivf"] = {
+            "sec": ivf_build_sec, "n_vecs": n_vecs,
+            "vecs_per_sec": round(n_vecs / ivf_build_sec),
+            "n_batches": spark.read.parquet(cells)
+            .select("_batch").distinct().count()}
+        qset = emb.filter(F.col("vec_id") < 10)
+        pairs["ivf_topk"] = (
+            lambda s, d: ivf_topk(emb, qset, cents, k=5, nprobe=3),
+            lambda s, d: ivf_topk_from_store(
+                spark, cells, qset, cents, k=5, nprobe=3))
+
         for name, (batch_fn, store_fn) in pairs.items():
             _run(batch_fn(spark, big_dir))   # codegen/JIT warm
             _run(store_fn(spark, big_dir))
@@ -879,9 +910,10 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
             # same-answer spot-check at the rung (key sets: scores are
             # property-tested equal at small scale; here the question
             # is whether the measured plans return the same rows)
-            bk = {(r["query_id"], r["doc_id"]) for r in
+            idc = ("neighbor_id" if name == "ivf_topk" else "doc_id")
+            bk = {(r["query_id"], r[idc]) for r in
                   batch_fn(spark, big_dir).collect()}
-            sk = {(r["query_id"], r["doc_id"]) for r in
+            sk = {(r["query_id"], r[idc]) for r in
                   store_fn(spark, big_dir).collect()}
             out[name] = {
                 "batch_sec": round(b_sec, 3),
