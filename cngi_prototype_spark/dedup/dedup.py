@@ -681,45 +681,53 @@ def remove_duplicate_spans(
 
     This is the distributed hash form of the paper's suffix-array
     method (the suffix array is single-machine): fingerprint every
-    n-gram, one shuffle on the fingerprint picks keepers, and the
-    union of removed TOKEN INDICES per document handles overlapping /
-    adjacent duplicate spans with no explicit merge step. The C4
-    three-sentence rule (``text.c4.c4_span_dedup``) is the
-    sentence-level sibling; this one catches sub-sentence boilerplate
-    the sentence splitter hides. Scale: shuffle ∝ corpus token count
-    with map-side combine — the same bound as the Gopher n-gram
-    metrics. The per-position fingerprint is TWO independent
-    ``xxhash64`` values of the token-array slice (16 B; joint
-    collision odds ~2⁻¹²⁸ per pair): the gram string is never even
-    built, and the shuffle key is ~2.5× lighter than the 32-char md5
-    hex this shipped with first. The oracle twin groups on the raw
-    gram string — grouping by a collision-free hash and grouping by
-    the gram itself pick identical keepers, so the outputs hash-match
-    with no shared fingerprint function.
+    n-gram, ONE shuffle on the fingerprint picks keepers (min
+    ``(doc, pos)`` as a whole-group window aggregate — the
+    groupBy-then-join-back form this shipped with shuffled the gram
+    stream twice plus a keeper table, measured 2.7× the bytes at the
+    1000x rung), and the union of removed TOKEN INDICES per document
+    handles overlapping / adjacent duplicate spans with no explicit
+    merge step. The C4 three-sentence rule (``text.c4.c4_span_dedup``)
+    is the sentence-level sibling; this one catches sub-sentence
+    boilerplate the sentence splitter hides. Scale: shuffle ∝ corpus
+    token count — the same bound as the Gopher n-gram metrics. The
+    per-position fingerprint is TWO independent ``xxhash64`` values of
+    the token-array slice (16 B; joint collision odds ~2⁻¹²⁸ per
+    pair): the gram string is never even built, and the shuffle key is
+    ~2.5× lighter than the 32-char md5 hex this shipped with first.
+    The oracle twin groups on the raw gram string — grouping by a
+    collision-free hash and grouping by the gram itself pick identical
+    keepers, so the outputs hash-match with no shared fingerprint
+    function.
     """
-    docs, toks, occ = _span_parts(df, text_col, id_col, n)
-    keeper = occ.groupBy("_h1", "_h2").agg(
-        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
-    dups = (occ.join(keeper, ["_h1", "_h2"])
+    docs, occ = _span_parts(df, text_col, id_col, n)
+    dups = _non_keeper_occurrences(occ)
+    return _rebuild_without_spans(docs, dups, n, id_col)
+
+
+def _non_keeper_occurrences(occ: DataFrame) -> DataFrame:
+    """Every n-gram occurrence that is NOT its fingerprint group's
+    keeper (min ``(doc, pos)``), via a whole-group window min — one
+    shuffle of the gram stream, no join-back."""
+    w = Window.partitionBy("_h1", "_h2")
+    k = F.min(F.struct(F.col("_doc"), F.col("_i"))).over(w)
+    return (occ.withColumn("_k", k)
             .filter(~((F.col("_doc") == F.col("_k._doc"))
-                      & (F.col("_i") == F.col("_k._i")))))
-    return _rebuild_without_spans(docs, toks, dups, n, id_col)
+                      & (F.col("_i") == F.col("_k._i"))))
+            .drop("_k"))
 
 
 def _span_parts(df: DataFrame, text_col: str, id_col: str,
-                n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared ExactSubstr geometry: ``(docs, toks, occ)`` — the
-    filtered token arrays, the positional token table, and one row per
-    n-gram position with the two-seed xxhash64 fingerprint
-    ``(_doc, _i, _h1, _h2)``."""
+                n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared ExactSubstr geometry: ``(docs, occ)`` — the filtered
+    token arrays and one row per n-gram position with the two-seed
+    xxhash64 fingerprint ``(_doc, _i, _h1, _h2)``."""
     from cngi_prototype_spark.text.analysis import _tokens
 
     text = F.col(text_col)
     docs = df.select(
         F.col(id_col).alias("_doc"),
         F.filter(_tokens(text), lambda t: t != "").alias("_t"))
-    toks = docs.select("_doc",
-                       F.posexplode_outer("_t").alias("_idx", "_tok"))
 
     def _fp(i):
         sl = F.slice("_t", i, n)
@@ -735,31 +743,53 @@ def _span_parts(df: DataFrame, text_col: str, id_col: str,
     occ = spans.select("_doc", F.col("sp.i").alias("_i"),
                        F.col("sp.h1").alias("_h1"),
                        F.col("sp.h2").alias("_h2"))
-    return docs, toks, occ
+    return docs, occ
 
 
-def _rebuild_without_spans(docs: DataFrame, toks: DataFrame,
-                           dups: DataFrame, n: int,
+def _rebuild_without_spans(docs: DataFrame, dups: DataFrame, n: int,
                            id_col: str) -> DataFrame:
     """Union the duplicate occurrences' token index ranges per doc
     (overlap/adjacency handled by the set union itself) and rebuild
-    each document from its surviving tokens."""
-    removed = dups.select(
-        "_doc", F.explode(F.sequence(
-            F.col("_i"), F.col("_i") + n - 1)).alias("_idx")).distinct()
-    kept = toks.join(removed, ["_doc", "_idx"], "left_anti")
-    rebuilt = kept.groupBy("_doc").agg(
-        F.count("_tok").alias("_n_kept"),
-        F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
-            lambda x: x["_tok"]), " ").alias("text_dedup"))
-    out = (docs.select("_doc", F.size("_t").alias("n_tokens"))
-           .join(rebuilt, "_doc", "left"))
+    each document from its surviving tokens.
+
+    Plan shape: duplicate START positions aggregate per doc (1/n the
+    rows of shipping expanded ranges), ranges expand and union in a
+    single array expression, and the doc's kept positions come from
+    one hash-based ``array_except`` against the full position range —
+    the token stream itself is never exploded or shuffled (the
+    posexplode → distinct → anti-join → re-group form this shipped
+    with shuffled the corpus token stream twice plus an n×-expanded
+    removed-index stream). The per-doc starts side is
+    aggregate-output-sized, so AQE broadcasts it into the docs join
+    when small."""
+    starts = dups.groupBy("_doc").agg(
+        F.collect_set("_i").alias("_st"))
+    rem = F.array_distinct(F.flatten(F.transform(
+        "_st", lambda s: F.sequence(s, s + n - 1))))
+    # sequence(0, size-1) is DESCENDING for empty docs (size-1 = -1):
+    # guard empty token arrays to an empty kept range
+    kept_idx = F.when(F.size("_t") > 0, F.array_except(
+        F.sequence(F.lit(0), F.size("_t") - 1), rem)).otherwise(
+        F.array().cast("array<int>"))
+    out = (docs.join(starts, "_doc", "left")
+           .withColumn("_kept",
+                       F.when(F.col("_st").isNull(),
+                              F.sequence(F.lit(0), F.size("_t") - 1))
+                       .otherwise(kept_idx)))
+    # empty no-dup docs also hit the descending-sequence edge: reuse
+    # the same size guard on the null-starts branch
+    out = out.withColumn(
+        "_kept", F.when(F.size("_t") > 0, F.col("_kept")).otherwise(
+            F.array().cast("array<int>")))
     return out.select(
-        F.col("_doc").alias(id_col), "n_tokens",
-        (F.col("n_tokens")
-         - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"))
+        F.col("_doc").alias(id_col),
+        F.size("_t").alias("n_tokens"),
+        # the previous form derived n_removed from a bigint count();
+        # keep the column type stable for the oracle hash
+        (F.size("_t") - F.size("_kept")).cast("long").alias("n_removed"),
+        F.array_join(F.transform(
+            "_kept", lambda i: F.element_at("_t", i + 1)),
+            " ").alias("text_dedup"))
 
 
 def spans_dedup_batch(
@@ -792,13 +822,9 @@ def spans_dedup_batch(
     state, the store is a plain parquet table the caller owns (see
     :func:`streaming.stream_ops.stream_dedup_spans`).
     """
-    docs, toks, occ = _span_parts(new_docs, text_col, id_col, n)
-    keeper = occ.groupBy("_h1", "_h2").agg(
-        F.min(F.struct(F.col("_doc"), F.col("_i"))).alias("_k"))
-    within = (occ.join(keeper, ["_h1", "_h2"])
-              .filter(~((F.col("_doc") == F.col("_k._doc"))
-                        & (F.col("_i") == F.col("_k._i"))))
-              .select("_doc", "_i", "_h1", "_h2"))
+    docs, occ = _span_parts(new_docs, text_col, id_col, n)
+    within = _non_keeper_occurrences(occ).select(
+        "_doc", "_i", "_h1", "_h2")
     if seen_grams is not None:
         store = seen_grams.select("_h1", "_h2")
         vs_store = (occ.join(store, ["_h1", "_h2"], "left_semi")
@@ -809,7 +835,7 @@ def spans_dedup_batch(
     else:
         dups = within
         new_grams = occ.select("_h1", "_h2").distinct()
-    rebuilt = _rebuild_without_spans(docs, toks, dups, n, id_col)
+    rebuilt = _rebuild_without_spans(docs, dups, n, id_col)
     return rebuilt, new_grams
 
 
