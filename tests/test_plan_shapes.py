@@ -333,3 +333,20 @@ def test_lm_scoring_single_gram_shuffle_join(spark):
     # unpartitioned window exists anywhere in the plan
     assert not re.search(r"windowspecdefinition\(\s*[a-z_]*#\d+[^,]*ROWS",
                          plan)
+
+
+def test_span_dedup_single_gram_shuffle_no_token_explode(spark):
+    """remove_duplicate_spans touches the corpus-sized gram stream
+    with exactly ONE shuffle (the whole-group window keeper election)
+    and never explodes the token stream: the r13 third-decade rung
+    measured the old groupBy+join-back+posexplode form at 2.7x the
+    shuffle bytes. One Generate = the fingerprint explode; everything
+    else is array expressions over doc-keyed rows."""
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.queries()["dedup_spans"](spark, SF)
+    plan = explain_formatted(df)
+    assert len(re.findall(r"hashpartitioning\(_h1", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    # no gram-keyed join survives (keeper is in-stream, not joined back)
+    assert not re.search(r"Join.*_h1", plan)
