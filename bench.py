@@ -1075,13 +1075,15 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
         # witness that "sub-linear time" isn't hiding super-linear
         # shuffle growth (AppStatusStore deltas; wall-time noise-free).
         # Reading the ratios: ~10 = linear in rows; noticeably ABOVE 10
-        # (dedup_spans measured ~18.6) is map-side combine saturating —
-        # at 10x partial aggregation still collapses same-key rows
-        # within map partitions, at 100x each partition holds mostly
-        # distinct keys so bytes approach the no-collapse ceiling,
-        # which is itself linear in rows (the growth ratio falls back
-        # to ~10 for every further decade); ~1 (ann_ivfpq) means the
-        # op's joins are broadcast and the shuffle is output-sized.
+        # demands a diagnosis, not a story — the old span-dedup plan
+        # measured 18.6x here and this file first explained it as
+        # map-side combine saturating toward a linear no-collapse
+        # ceiling; the r13 third-decade rung (--spans1000) REFUTED
+        # that (16.3x again over the next decade) and the real cause
+        # was the plan shuffling the gram stream twice plus exploding
+        # the token stream (fixed in dedup.py — keeper election is now
+        # an in-stream window min). ~1 (ann_ivfpq) means the op's
+        # joins are broadcast and the shuffle is output-sized.
         if s0 and s1 and s2 and s3:
             w10 = max(0, s1["write"] - s0["write"]) / len(r10)
             w100 = max(0, s3["write"] - s2["write"]) / len(r100)
