@@ -830,14 +830,20 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
     try:
         # incremental build: availableNow + maxFilesPerTrigger splits
         # the rung's corpus into real micro-batches through the
-        # production maintainer (epoch partitions, dynamic overwrite)
-        n_files = len(glob.glob(f"{docs_path}/*.parquet"))
+        # production maintainer (epoch partitions, dynamic overwrite).
+        # The replica dir writes documents as ONE parquet file, and a
+        # file source can't split below file granularity (first r13 run
+        # measured n_batches=1) — stream from a 4-file copy so the
+        # maintainer demonstrably accumulates across micro-batches.
+        src = f"{work}/docs_src"
+        docs.repartition(4).write.parquet(src)
+        n_files = len(glob.glob(f"{src}/*.parquet"))
         per_trigger = max(1, n_files // 4)
         t0 = time.time()
         q = stream_bm25_postings(
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", per_trigger)
-            .parquet(docs_path), post, ck,
+            .parquet(src), post, ck,
         ).trigger(availableNow=True).start()
         q.awaitTermination()
         build_sec = round(time.time() - t0, 3)
@@ -879,14 +885,15 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
         # stream_ivf_cells over the rung's embeddings (recall-contract
         # shape: 8 cells, nprobe=3), priced against the in-plan ivf_topk
         cents = train_ivf_centroids(emb, n_centroids=8)
-        emb_path = f"{big_dir}/embeddings.parquet"
-        n_efiles = len(glob.glob(f"{emb_path}/*.parquet"))
+        emb_src = f"{work}/emb_src"  # 4-file copy: real micro-batches
+        emb.repartition(4).write.parquet(emb_src)
+        n_efiles = len(glob.glob(f"{emb_src}/*.parquet"))
         cells, ick = f"{work}/cells", f"{work}/ick"
         t0 = time.time()
         q2 = stream_ivf_cells(
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", max(1, n_efiles // 4))
-            .parquet(emb_path), cells, ick, centroids=cents,
+            .parquet(emb_src), cells, ick, centroids=cents,
         ).trigger(availableNow=True).start()
         q2.awaitTermination()
         ivf_build_sec = round(time.time() - t0, 3)
@@ -1103,7 +1110,8 @@ def run_ladder_100x(spark, sf_dir: str) -> dict:
             "imaging_chiles_frac": (
                 "dedicated --chiles100 tier (own process, rep=5120 -> "
                 "512M vis, ~40 GB input cache needs a 96g heap); "
-                "artifact: CHILES100_OWNRUN_r12.json")},
+                "artifacts: CHILES100_OWNRUN_r12.json (clean uniform "
+                "0.919), CHILES100_OWNRUN_r13.json (skew rung)")},
     }
 
 
