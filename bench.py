@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "bm25_topk",
     "lm_perplexity",
     "hybrid_search",
+    # round-13: supervised quality/language classifier (multinomial
+    # NB, fastText's pipeline role) + DSIR importance resampling
+    "nb_classify",
+    "dsir_select",
 ]
 
 
@@ -312,7 +316,15 @@ LADDER_QUERIES = ["q1_pricing_summary", "statistics", "text_features",
                   # lm_perplexity: the two count-table shuffle JOINS
                   # (grams x unigrams, grams x bigrams) — a join-side
                   # scale mechanism no other rung exercises
-                  "bm25_topk", "lm_perplexity"]
+                  "bm25_topk", "lm_perplexity",
+                  # round 13: nb_classify — the broadcast-model size is
+                  # the scale risk (replica tokens are suffix-bijected,
+                  # so the vocab — and the pivoted model — genuinely
+                  # grows ~10x while the label set stays fixed).
+                  # dsir_select — bucket tables are size-capped by
+                  # construction; the rung measures the feature-stream
+                  # groupBy(doc_id) and the TakeOrderedAndProject top-k
+                  "nb_classify", "dsir_select"]
 _LADDER_REPL = {  # table -> id column to shift (None = replicate as-is)
     "lineitem": None, "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",

@@ -978,6 +978,16 @@ from cngi_prototype_spark.text.retrieval import (  # noqa: E402
     bm25_topk,
     sql_bm25_topk,
 )
+from cngi_prototype_spark.text.classifier import (  # noqa: E402
+    nb_classify,
+    sql_nb_classify,
+)
+from cngi_prototype_spark.text.dsir import (  # noqa: E402
+    dsir_resample,
+    dsir_weights,
+    sql_dsir_resample,
+    sql_dsir_weights,
+)
 from cngi_prototype_spark.similarity.ann import (  # noqa: E402
     brute_force_topk,
     cosine_pairs,
@@ -1134,6 +1144,27 @@ def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(docs, emb, qs, qv, bm25_n=50, k=10)
 
 
+@register("nb_classify", None)  # value-gated via ngram_jaccard 'nbc'
+def nb_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape Naive Bayes classification: self-train on the
+    lang labels, exact double log-joint scores + margins (the
+    quantized tier of the same operator is hash-checked as the 'nbc'
+    part of the ngram_jaccard gate)."""
+    return nb_classify(_docs(spark, sf_dir))
+
+
+@register("dsir_select", None)  # value-gated via 'dsir'/'dsel' parts
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape DSIR selection: importance-weight the corpus
+    against the lang='en' target and Gumbel-top-k 100 documents (the
+    quantized weight and the selection-key tiers of the same operator
+    are hash-checked as the 'dsir'/'dsel' parts of the ngram_jaccard
+    gate)."""
+    docs = _docs(spark, sf_dir)
+    return dsir_resample(docs, docs.filter(F.col("lang") == "en"),
+                         100, seed=13)
+
+
 @register("lm_perplexity", None)  # value-gated via ngram_jaccard 'ppl'
 def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape LM quality scoring: stupid-backoff bigram
@@ -1280,6 +1311,24 @@ def _sql_rrf_part() -> str:
     -- by 1/(60+r) — exact-input rationals, hash-safe unquantized
     SELECT 'rrf', CAST(query_id AS BIGINT), doc_id, rrf_score
     FROM ({_sql_rrf_part()})
+    UNION ALL
+    -- multinomial Naive Bayes classifier (self-train on lang): the
+    -- predicted label rides md5_num, the winning log-joint is
+    -- nano-quantized BIGINT (order-free sum), exact in a double
+    SELECT 'nbc', doc_id, {sql_md5_num('label_pred')},
+           CAST(score_q AS DOUBLE)
+    FROM ({sql_nb_classify()})
+    UNION ALL
+    -- DSIR importance weights (hashed unigram+bigram LLR vs the
+    -- lang='en' target): nano-quantized BIGINT log-weight sum
+    SELECT 'dsir', doc_id, n_features, CAST(logw_q AS DOUBLE)
+    FROM ({sql_dsir_weights("d.lang = 'en'")})
+    UNION ALL
+    -- DSIR Gumbel-top-k selection (seeded md5 uniform -> Gumbel keys,
+    -- pure per-row expressions over exact inputs — hash-safe
+    -- unquantized, the hyb/rrf precedent)
+    SELECT 'dsel', doc_id, CAST(rank AS BIGINT), gumbel_key
+    FROM ({sql_dsir_resample("d.lang = 'en'", 40, seed=7)})
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,11 +1411,28 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("id_a"),
         F.col("doc_id").alias("id_b"),
         F.col("rrf_score").alias("jaccard"))
+    nbc = nb_classify(docs, quantize=True).select(
+        F.lit("nbc").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        md5_num(F.col("label_pred")).alias("id_b"),
+        F.col("score_q").cast("double").alias("jaccard"))
+    en = docs.filter(F.col("lang") == "en")
+    dsw = dsir_weights(docs, en, quantize=True).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        F.col("n_features").alias("id_b"),
+        F.col("logw_q").cast("double").alias("jaccard"))
+    dsel = dsir_resample(docs, en, 40, seed=7).select(
+        F.lit("dsel").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        F.col("rank").cast("long").alias("id_b"),
+        F.col("gumbel_key").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)
             .unionByName(bm25).unionByName(ppl).unionByName(hyb)
-            .unionByName(rrf))
+            .unionByName(rrf).unionByName(nbc).unionByName(dsw)
+            .unionByName(dsel))
 
 
 def ngram_jaccard_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:

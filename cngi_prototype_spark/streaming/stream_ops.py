@@ -866,6 +866,56 @@ def stream_lm_counts(
             .foreachBatch(step))
 
 
+def stream_nb_counts(
+    stream_df: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    *,
+    label_col: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """Incremental Naive Bayes training — the live twin of
+    ``text.classifier.nb_counts``: each micro-batch's class-conditional
+    token counts (plus NULL-token per-class document counts, the prior
+    numerators) append to the persistent store as per-batch partials.
+    Counts are ADDITIVE over disjoint slices, so the accumulated store
+    re-sums to the whole-corpus model and ``nb_classify_from_store``
+    scores bit-identically to the batch operator trained on the
+    concatenated corpus (property-tested). A count store like the LM
+    store: ``compact_every`` folds with
+    ``compact_store(sum_cols=['c'])``; rows are per-batch PARTIALS,
+    consumers must re-aggregate (the from_store reader does)."""
+    from cngi_prototype_spark.text.classifier import nb_counts
+
+    epoch_path = checkpoint.rstrip("/") + "/_nb_epoch"
+    run_base: list[int] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not run_base:
+            run_base.append(_pin_run_base(spark, epoch_path,
+                                          counts_path, batch_id))
+        eb = run_base[0] + batch_id
+        if (compact_every and batch_id > 0
+                and batch_id % compact_every == 0
+                and _hadoop_exists(spark, counts_path)):
+            compact_store(spark, counts_path, fold_below=eb,
+                          sum_cols=["c"])
+        counts = nb_counts(batch_df, label_col=label_col,
+                           text_col=text, id_col=id_col)
+        (counts.withColumn("_batch", F.lit(eb))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(counts_path))
+
+    return (stream_df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(step))
+
+
 # --------------------------------------------------------------------------
 # incremental sequence packing (training-set assembly over live ingest)
 

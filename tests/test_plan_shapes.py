@@ -350,3 +350,35 @@ def test_span_dedup_single_gram_shuffle_no_token_explode(spark):
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
     # no gram-keyed join survives (keeper is in-stream, not joined back)
     assert not re.search(r"Join.*_h1", plan)
+
+
+def test_nb_classify_broadcast_model_single_score_shuffle(spark):
+    """nb_classify's scoring path: the vocab-sized pivoted model and
+    the 1-row stats ride broadcasts, and the corpus-sized token stream
+    shuffles exactly once (the final groupBy(doc_id), partial aggs
+    map-side). Train-side count aggs are the only other exchanges."""
+    from cngi_prototype_spark.plans import explain_formatted
+    from cngi_prototype_spark.text.classifier import nb_classify
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = nb_classify(docs)
+    assert broadcast_hint_count(df) >= 2  # model + stats row
+    plan = explain_formatted(df)
+    # exactly one doc_id-keyed exchange: the scoring agg
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
+    assert has_partial_aggregation(df)
+    # argmax/margin are pure expressions — no window anywhere
+    assert not re.search(r"\(\d+\) Window\b", plan)
+
+
+def test_dsir_weights_broadcast_buckets_single_score_shuffle(spark):
+    """dsir_weights: both bucket-bounded count tables and the 1-row
+    totals broadcast; the corpus-sized feature stream shuffles exactly
+    once (the final groupBy(doc_id))."""
+    from cngi_prototype_spark.plans import explain_formatted
+    from cngi_prototype_spark.text.dsir import dsir_weights
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dsir_weights(docs, docs.filter("lang = 'en'"))
+    assert broadcast_hint_count(df) >= 2  # merged counts + totals
+    plan = explain_formatted(df)
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
+    assert has_partial_aggregation(df)
