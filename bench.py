@@ -921,6 +921,37 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
             lambda s, d: ivf_topk_from_store(
                 spark, cells, qset, cents, k=5, nprobe=3))
 
+        # the fourth streaming store (r13): NB class-conditional count
+        # partials, maintained by stream_nb_counts; priced against the
+        # self-training batch classifier — serving from the store
+        # skips re-deriving the model counts per call
+        from cngi_prototype_spark.streaming.stream_ops import (
+            stream_nb_counts)
+        from cngi_prototype_spark.text.classifier import (
+            nb_classify, nb_classify_from_store)
+        nbc, nck = f"{work}/nbc", f"{work}/nck"
+        t0 = time.time()
+        q3 = stream_nb_counts(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(src), nbc, nck,
+        ).trigger(availableNow=True).start()
+        q3.awaitTermination()
+        nb_build_sec = round(time.time() - t0, 3)
+        out["build_nb"] = {
+            "sec": nb_build_sec,
+            "docs_per_sec": round(n_docs / nb_build_sec),
+            "n_batches": spark.read.parquet(nbc)
+            .select("_batch").distinct().count()}
+        pairs["nb_classify"] = (
+            lambda s, d: nb_classify(
+                spark.read.parquet(f"{d}/documents.parquet")),
+            lambda s, d: nb_classify_from_store(
+                spark, nbc,
+                spark.read.parquet(f"{d}/documents.parquet")))
+
+        _SPOT_KEYS = {"ivf_topk": ("query_id", "neighbor_id"),
+                      "nb_classify": ("doc_id", "label_pred")}
         for name, (batch_fn, store_fn) in pairs.items():
             _run(batch_fn(spark, big_dir))   # codegen/JIT warm
             _run(store_fn(spark, big_dir))
@@ -929,10 +960,10 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
             # same-answer spot-check at the rung (key sets: scores are
             # property-tested equal at small scale; here the question
             # is whether the measured plans return the same rows)
-            idc = ("neighbor_id" if name == "ivf_topk" else "doc_id")
-            bk = {(r["query_id"], r[idc]) for r in
+            ka, kb = _SPOT_KEYS.get(name, ("query_id", "doc_id"))
+            bk = {(r[ka], r[kb]) for r in
                   batch_fn(spark, big_dir).collect()}
-            sk = {(r["query_id"], r[idc]) for r in
+            sk = {(r[ka], r[kb]) for r in
                   store_fn(spark, big_dir).collect()}
             out[name] = {
                 "batch_sec": round(b_sec, 3),
@@ -1038,7 +1069,14 @@ LADDER100_QUERIES = ["dedup_corpus", "minhash_lsh_candidates",
                      # round 12 (late): the ExactSubstr gram-
                      # fingerprint shuffle is the one scale mechanism
                      # the first four do not exercise
-                     "dedup_spans"]
+                     "dedup_spans",
+                     # round 13: the broadcast-model classifier (the
+                     # suffix-bijected replicas genuinely grow the
+                     # vocab — and the pivoted model — ~10x/decade)
+                     # and the bucket-capped DSIR selection (count
+                     # tables size-capped at B, so the decade should
+                     # price only the feature stream + top-k)
+                     "nb_classify", "dsir_select"]
 
 
 def run_ladder_100x(spark, sf_dir: str) -> dict:
