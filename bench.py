@@ -93,9 +93,11 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "hybrid_search",
     # round-13: supervised quality/language classifier (multinomial
-    # NB, fastText's pipeline role) + DSIR importance resampling
+    # NB, fastText's pipeline role) + DSIR importance resampling +
+    # their composition (NB consistency gate -> DSIR select -> pack)
     "nb_classify",
     "dsir_select",
+    "curation_pipeline",
 ]
 
 
@@ -978,6 +980,35 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_decade3(spark, sf_dir: str, op_name: str,
+                tables: tuple[str, ...] = ("documents",)) -> dict:
+    """`bench.py --decade3 <query>`: generic third measured decade —
+    100x and 1000x documents-only replica rungs, back-to-back in one
+    session, wall + shuffle-write bytes. The spans rung proved the
+    pattern pays (its 1000x point refuted a wrong 2-decade story and
+    forced a replan); this generalizes it to any documents-shaped
+    ladder query. ~10x byte growth over the decade = linear in rows."""
+    big100 = _build_ladder_dir(spark, sf_dir, 100, tables=list(tables))
+    big1000 = _build_ladder_dir(spark, sf_dir, 1000,
+                                tables=list(tables))
+    fn = (LADDER_OVERRIDES.get(op_name) or Q.queries().get(op_name)
+          or getattr(Q, f"{op_name}_q"))
+    _run(fn(spark, big100))  # codegen/JIT warm
+    t100, mb100 = _timed_shuffle(spark, fn, big100)
+    t1000, mb1000 = _timed_shuffle(spark, fn, big1000)
+    out = {
+        "op": op_name, "vs_mult": 100, "mult": 1000,
+        "big100_sec": round(t100, 3), "big1000_sec": round(t1000, 3),
+        "ratio_1000x_over_100x": round(t1000 / t100, 2),
+        "scaling_efficiency": round(t1000 / t100 / 10, 3),
+        "shuffle_write_mb_100x": mb100,
+        "shuffle_write_mb_1000x": mb1000,
+    }
+    if mb100 and mb1000:
+        out["shuffle_growth_1000x_over_100x"] = round(mb1000 / mb100, 2)
+    return out
+
+
 def run_spans_decade3(spark, sf_dir: str) -> dict:
     """`bench.py --spans1000`: third measured decade for the
     ExactSubstr gram-fingerprint shuffle (round-12 verdict #2). The
@@ -1819,9 +1850,12 @@ if __name__ == "__main__":
             print(json.dumps(
                 {"error": f"{type(e).__name__}: {e}"[:300]}))
             sys.exit(1)
-    elif "--spans1000" in sys.argv or "--pipeline100" in sys.argv:
+    elif ("--spans1000" in sys.argv or "--pipeline100" in sys.argv
+          or "--decade3" in sys.argv):
         # opt-in third-decade tiers (round-12 verdict #2/#3): own
-        # session, one JSON line — the caller commits the artifact
+        # session, one JSON line — the caller commits the artifact.
+        # `--decade3 <query>` runs the generic 1000x rung for any
+        # documents-shaped ladder query (r13: minhash_lsh_candidates)
         Q.PRECISE = False
         _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -1831,9 +1865,13 @@ if __name__ == "__main__":
             extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable",
                         "spark.ui.retainedStages": "100000"})
         try:
-            tier = (run_spans_decade3 if "--spans1000" in sys.argv
-                    else run_pipeline_100x)
-            print(json.dumps(tier(_s, _sf)))
+            if "--decade3" in sys.argv:
+                _op = sys.argv[sys.argv.index("--decade3") + 1]
+                print(json.dumps(run_decade3(_s, _sf, _op)))
+            else:
+                tier = (run_spans_decade3 if "--spans1000" in sys.argv
+                        else run_pipeline_100x)
+                print(json.dumps(tier(_s, _sf)))
         except Exception as e:
             print(json.dumps(
                 {"error": f"{type(e).__name__}: {e}"[:300]}))

@@ -1165,6 +1165,29 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          100, seed=13)
 
 
+@register("curation_pipeline", None)  # stages value-gated individually
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus curation with the round-13 operators, as ONE
+    lazy plan (the pipeline_training_assembly discipline — no
+    intermediate persist): NB classifier-consistency gate (keep
+    documents whose self-trained prediction agrees with the recorded
+    lang — the cheap label-noise filter), DSIR importance selection
+    of 200 documents against the lang='en' target over the survivors,
+    then 2048-token sequence packing of the selection. Each stage is
+    the correspondingly-gated operator ('nbc', 'dsir'/'dsel', 'pack'
+    parts), so this entry times composition, not new semantics."""
+    from cngi_prototype_spark.text.training import pack_sequences
+    docs = _docs(spark, sf_dir)
+    pred = nb_classify(docs).select("doc_id", "label_pred")
+    kept = (docs.join(pred, "doc_id")
+            .filter(F.col("label_pred") == F.col("lang"))
+            .drop("label_pred"))
+    sel = dsir_resample(kept, kept.filter(F.col("lang") == "en"),
+                        200, seed=13)
+    chosen = kept.join(sel.select("doc_id"), "doc_id")
+    return pack_sequences(chosen, 2048, eod_tokens=1)
+
+
 @register("lm_perplexity", None)  # value-gated via ngram_jaccard 'ppl'
 def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape LM quality scoring: stupid-backoff bigram

@@ -174,7 +174,11 @@ def nb_classify_from_counts(
 
     def lp(i: int) -> Column:
         num = (F.coalesce(F.col(f"_c_{i}"), F.lit(0)) + 1).cast("double")
-        den = (F.col(f"_n_{i}") + F.col("_v")).cast("double")
+        # a class whose training docs carry no tokens has n_l = 0 (the
+        # SQL twin derives classes from the priors table for the same
+        # reason — dropping the class entirely would diverge)
+        den = (F.coalesce(F.col(f"_n_{i}"), F.lit(0))
+               + F.col("_v")).cast("double")
         return _q(F.log(num / den), quantize)
 
     agg = (j.groupBy("doc_id")
@@ -233,7 +237,7 @@ def sql_nb_classify(
     toks = _sql_tokens("text")
     lp = _sql_q(
         "ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)"
-        " / CAST(nl.n_l + v.v AS DOUBLE))", quantize)
+        " / CAST(COALESCE(nl.n_l, 0) + v.v AS DOUBLE))", quantize)
     pr = _sql_q(
         "ln(CAST(pri.d_l AS DOUBLE) / CAST(dt.d_total AS DOUBLE))", quantize)
     sfx = "_q" if quantize else ""
@@ -253,10 +257,15 @@ def sql_nb_classify(
     pri AS (SELECT label, COUNT(*)::BIGINT AS d_l FROM d GROUP BY label),
     dt AS (SELECT COUNT(*)::BIGINT AS d_total FROM d),
     scored AS (
-      SELECT g.doc_id, nl.label AS label, {lp} AS lp
+      -- classes come from the PRIORS table (every labeled class has
+      -- >= 1 doc), not from token counts: a class whose docs carry no
+      -- tokens must still score (n_l = 0), mirroring the Spark side
+      SELECT g.doc_id, pri.label AS label, {lp} AS lp
       FROM g
-      CROSS JOIN nl CROSS JOIN v
-      LEFT JOIN counts c ON c.label = nl.label AND c.token = g.token
+      CROSS JOIN pri
+      LEFT JOIN nl ON nl.label = pri.label
+      CROSS JOIN v
+      LEFT JOIN counts c ON c.label = pri.label AND c.token = g.token
     ),
     per AS (
       SELECT doc_id, label, COUNT(*)::BIGINT AS n_tokens,

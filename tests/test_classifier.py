@@ -161,3 +161,20 @@ def test_counts_additive(spark, docs_df):
               .sum("c").withColumnRenamed("sum(c)", "c").collect()}
     whole = {(r.label, r.token): r.c for r in nb_counts(docs_df).collect()}
     assert merged == whole
+
+
+def test_token_free_class_still_scores(spark):
+    """Degenerate guard: a class whose only training doc has NULL text
+    contributes doc-count priors but zero token rows — it must still
+    be scored (n_l = 0 in the smoothing denominator), not silently
+    dropped. Pins the Spark/SQL agreement on deriving classes from
+    the priors table, not the token-count table."""
+    df = spark.createDataFrame(
+        [(0, "aa bb aa", "x"), (1, "aa bb", "x"), (2, None, "y")],
+        SCHEMA)
+    rows = nb_classify(df.filter("text IS NOT NULL"),
+                       train_docs=df).collect()
+    # every scored row carries finite scores for the argmax over BOTH
+    # classes; class y (token-free) loses on every token, so x wins
+    assert {r.label_pred for r in rows} == {"x"}
+    assert all(r.margin > 0 for r in rows)
