@@ -980,6 +980,13 @@ def run_store_serving_ladder(spark, sf_dir: str, mult: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# which tables a --decade3 op needs replicated (default: documents);
+# everything else is omitted from the replica dir to bound its size
+_DECADE3_TABLES = {"ann_ivfpq_topk": ("embeddings",),
+                   "ann_pq_topk": ("embeddings",),
+                   "ann_hamming_topk": ("embeddings",)}
+
+
 def run_decade3(spark, sf_dir: str, op_name: str,
                 tables: tuple[str, ...] = ("documents",)) -> dict:
     """`bench.py --decade3 <query>`: generic third measured decade —
@@ -988,6 +995,7 @@ def run_decade3(spark, sf_dir: str, op_name: str,
     pattern pays (its 1000x point refuted a wrong 2-decade story and
     forced a replan); this generalizes it to any documents-shaped
     ladder query. ~10x byte growth over the decade = linear in rows."""
+    tables = _DECADE3_TABLES.get(op_name, tables)
     big100 = _build_ladder_dir(spark, sf_dir, 100, tables=list(tables))
     big1000 = _build_ladder_dir(spark, sf_dir, 1000,
                                 tables=list(tables))
