@@ -1182,6 +1182,13 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (docs.join(pred, "doc_id")
             .filter(F.col("label_pred") == F.col("lang"))
             .drop("label_pred"))
+    # `kept` is a DIAMOND node (DSIR raw side + target side + the
+    # final selection join all consume it); left lazy, every consumer
+    # re-runs the NB scoring join (measured 12 s -> ~5 s at sf0.1).
+    # Stage-boundary materialization is what a production pipeline
+    # does between classifier and selector — localCheckpoint, not
+    # persist, per the CacheManager-contamination rule (dedup.py).
+    kept = kept.localCheckpoint(eager=True)
     sel = dsir_resample(kept, kept.filter(F.col("lang") == "en"),
                         200, seed=13)
     chosen = kept.join(sel.select("doc_id"), "doc_id")
