@@ -1029,29 +1029,17 @@ def run_spans_decade3(spark, sf_dir: str) -> dict:
     within map partitions; this rung (1000x, documents-only replica
     dir) measures that third point. Opt-in — ~15 min of wall — with
     the artifact committed as SPANS_DECADE3 in BENCH_DETAIL's sibling
-    file."""
-    big100 = _build_ladder_dir(spark, sf_dir, 100, tables=["documents"])
-    big1000 = _build_ladder_dir(spark, sf_dir, 1000,
-                                tables=["documents"])
-    fn = Q.queries()["dedup_spans"]
-    _run(fn(spark, big100))  # codegen/JIT warm
-    t100, mb100 = _timed_shuffle(spark, fn, big100)
-    t1000, mb1000 = _timed_shuffle(spark, fn, big1000)
-    out = {
-        "op": "dedup_spans", "vs_mult": 100, "mult": 1000,
-        "big100_sec": round(t100, 3), "big1000_sec": round(t1000, 3),
-        "ratio_1000x_over_100x": round(t1000 / t100, 2),
-        "scaling_efficiency": round(t1000 / t100 / 10, 3),
-        "shuffle_write_mb_100x": mb100,
-        "shuffle_write_mb_1000x": mb1000,
-        "predicted_shuffle_growth": "~10x (no-collapse ceiling is "
-                                    "linear in rows; bench.py "
-                                    "map-side-combine saturation "
-                                    "analysis)",
-    }
-    if mb100 and mb1000:
-        out["shuffle_growth_1000x_over_100x"] = round(mb1000 / mb100, 2)
-        out["prediction_confirmed"] = bool(mb1000 / mb100 < 13.0)
+    file. Measurement protocol delegates to the generic
+    :func:`run_decade3`; this wrapper only adds the prediction
+    bookkeeping the round-12 verdict asked to confirm."""
+    out = run_decade3(spark, sf_dir, "dedup_spans")
+    out["predicted_shuffle_growth"] = ("~10x (no-collapse ceiling is "
+                                       "linear in rows; bench.py "
+                                       "map-side-combine saturation "
+                                       "analysis)")
+    growth = out.get("shuffle_growth_1000x_over_100x")
+    if growth is not None:
+        out["prediction_confirmed"] = bool(growth < 13.0)
     return out
 
 

@@ -984,6 +984,7 @@ from cngi_prototype_spark.text.classifier import (  # noqa: E402
 )
 from cngi_prototype_spark.text.dsir import (  # noqa: E402
     dsir_resample,
+    dsir_resample_from_weights,
     dsir_weights,
     sql_dsir_resample,
     sql_dsir_weights,
@@ -1354,10 +1355,12 @@ def _sql_rrf_part() -> str:
     SELECT 'dsir', doc_id, n_features, CAST(logw_q AS DOUBLE)
     FROM ({sql_dsir_weights("d.lang = 'en'")})
     UNION ALL
-    -- DSIR Gumbel-top-k selection (seeded md5 uniform -> Gumbel keys,
-    -- pure per-row expressions over exact inputs — hash-safe
-    -- unquantized, the hyb/rrf precedent)
-    SELECT 'dsel', doc_id, CAST(rank AS BIGINT), gumbel_key
+    -- DSIR Gumbel-top-k selection: the key carries two nested ln()
+    -- draws, so it is nano-quantized for the hash (the repo's ln
+    -- convention — a 1-ulp libm/Math.log divergence is absorbed by
+    -- the 5e-10 rounding bin)
+    SELECT 'dsel', doc_id, CAST(rank AS BIGINT),
+           CAST(floor(gumbel_key * 1000000000.0 + 0.5) AS DOUBLE)
     FROM ({sql_dsir_resample("d.lang = 'en'", 40, seed=7)})
     """,
 )
@@ -1447,16 +1450,24 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_num(F.col("label_pred")).alias("id_b"),
         F.col("score_q").cast("double").alias("jaccard"))
     en = docs.filter(F.col("lang") == "en")
-    dsw = dsir_weights(docs, en, quantize=True).select(
+    # ONE weight pipeline feeds both DSIR parts (the keying step is a
+    # pure per-row expression over the quantized weights)
+    w = dsir_weights(docs, en, quantize=True)
+    dsw = w.select(
         F.lit("dsir").alias("part"),
         F.col("doc_id").alias("id_a"),
         F.col("n_features").alias("id_b"),
         F.col("logw_q").cast("double").alias("jaccard"))
-    dsel = dsir_resample(docs, en, 40, seed=7).select(
+    # the selection KEY carries two nested ln() draws — quantize it to
+    # nano-units for the hash (1-ulp libm-vs-Math.log divergence is
+    # ~2e-16 ≪ the 5e-10 rounding bin), the repo's ln convention;
+    # |key| ~ 1e2 so key*1e9 stays exact in a double
+    dsel = dsir_resample_from_weights(w, 40, seed=7).select(
         F.lit("dsel").alias("part"),
         F.col("doc_id").alias("id_a"),
         F.col("rank").cast("long").alias("id_b"),
-        F.col("gumbel_key").alias("jaccard"))
+        F.floor(F.col("gumbel_key") * F.lit(1e9) + F.lit(0.5))
+        .cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)

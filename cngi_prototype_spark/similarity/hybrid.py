@@ -300,10 +300,15 @@ def sql_hybrid_search(
     WITH cand0 AS ({sql_bm25_topk(query_texts, top_n=bm25_n,
                                   quantize=True)}),
     cand AS (
+      -- zero-guarded normalization, mirroring the Spark side: a
+      -- shortlist whose every contribution floor-quantized to 0
+      -- ranks with an explicit 0.0 lexical term (vector-only blend)
       SELECT query_id, doc_id,
-             CAST(score_q AS DOUBLE)
-             / CAST(MAX(score_q) OVER (PARTITION BY query_id)
-                    AS DOUBLE) AS lex_norm
+             CASE WHEN MAX(score_q) OVER (PARTITION BY query_id) > 0
+                  THEN CAST(score_q AS DOUBLE)
+                       / CAST(MAX(score_q) OVER (PARTITION BY query_id)
+                              AS DOUBLE)
+                  ELSE 0.0 END AS lex_norm
       FROM cand0
     ),
     e AS (SELECT vec_id AS doc_id, {dv} AS cv FROM embeddings),

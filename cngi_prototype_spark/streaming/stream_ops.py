@@ -873,7 +873,6 @@ def stream_nb_counts(
     *,
     label_col: str = "lang",
     text: str = "text",
-    id_col: str = "doc_id",
     compact_every: int | None = None,
 ):
     """Incremental Naive Bayes training — the live twin of
@@ -904,7 +903,7 @@ def stream_nb_counts(
             compact_store(spark, counts_path, fold_below=eb,
                           sum_cols=["c"])
         counts = nb_counts(batch_df, label_col=label_col,
-                           text_col=text, id_col=id_col)
+                           text_col=text)
         (counts.withColumn("_batch", F.lit(eb))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

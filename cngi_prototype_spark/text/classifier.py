@@ -73,7 +73,6 @@ def nb_counts(
     *,
     label_col: str = "lang",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Unified NB count rows ``(label, token, c)`` — token rows carry
     class-conditional token counts, NULL-token rows the per-class
@@ -112,8 +111,7 @@ def nb_classify(
     knob). ``quantize=True`` emits BIGINT nano-unit ``score_q`` /
     ``margin_q`` — the exact-gate form."""
     counts = nb_counts(train_docs if train_docs is not None else docs,
-                       label_col=label_col, text_col=text_col,
-                       id_col=id_col)
+                       label_col=label_col, text_col=text_col)
     return nb_classify_from_counts(
         docs, counts, text_col=text_col, id_col=id_col, quantize=quantize)
 
@@ -129,6 +127,11 @@ def nb_classify_from_counts(
     """Score documents against an externally accumulated
     :func:`nb_counts` table (possibly per-batch partials — they are
     re-summed here, so the streaming store needs no pre-merge)."""
+    # label IS NOT NULL also drops compact_store's full-expiry
+    # sentinel (an all-NULL row) — the bm25_topk_from_store guard,
+    # without which the sentinel would fabricate a NULL class and
+    # break the sorted() label collect
+    counts = counts.filter(F.col("label").isNotNull())
     tok = (counts.filter(F.col("token").isNotNull())
            .groupBy("label", "token").agg(F.sum("c").alias("c")))
     pri = (counts.filter(F.col("token").isNull())
@@ -286,7 +289,10 @@ def sql_nb_classify(
            MAX(n_tokens)::BIGINT AS n_tokens,
            MIN(label) FILTER (WHERE t = best) AS label_pred,
            CAST(MAX(best) AS {typ}) AS score{sfx},
-           CAST(MAX(best) - list_sort(list(t))[COUNT(*) - 1] AS {typ})
+           -- single-label training: index 0 is NULL in 1-based DuckDB
+           -- lists; COALESCE to best mirrors the Spark margin of 0
+           CAST(MAX(best) - COALESCE(list_sort(list(t))[COUNT(*) - 1],
+                                     MAX(best)) AS {typ})
              AS margin{sfx}
     FROM r GROUP BY doc_id
     """

@@ -52,6 +52,7 @@ from cngi_prototype_spark.text.analysis import (
 )
 
 __all__ = ["dsir_features", "dsir_weights", "dsir_resample",
+           "dsir_resample_from_weights",
            "sql_dsir_weights", "sql_dsir_resample"]
 
 _U_MOD = 1 << 30  # uniform-grid size for the seeded Gumbel draw
@@ -166,14 +167,29 @@ def dsir_resample(
     the corpus; the rank window runs over the already-bounded k rows."""
     w = dsir_weights(docs, target_docs, buckets=buckets,
                      text_col=text_col, id_col=id_col, quantize=True)
+    return dsir_resample_from_weights(w, k, seed=seed,
+                                      temperature=temperature)
+
+
+def dsir_resample_from_weights(
+    weights: DataFrame,
+    k: int,
+    *,
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The Gumbel-top-k keying/selection step of :func:`dsir_resample`
+    over an already-computed quantized weights table — the keying is a
+    pure per-row expression, so callers that also need the weights
+    (the gate query) reuse one weight pipeline instead of two."""
     key = (F.col("logw_q").cast("double") / F.lit(1e9)
            / F.lit(float(temperature))
            + _gumbel(F.col("doc_id"), seed))
     from pyspark.sql import Window
-    keyed = w.select("doc_id", "n_features",
-                     (F.col("logw_q").cast("double") / F.lit(1e9))
-                     .alias("logw"),
-                     key.alias("gumbel_key"))
+    keyed = weights.select("doc_id", "n_features",
+                           (F.col("logw_q").cast("double") / F.lit(1e9))
+                           .alias("logw"),
+                           key.alias("gumbel_key"))
     order = [F.col("gumbel_key").desc(), F.col("doc_id").asc()]
     topk = keyed.orderBy(*order).limit(k)
     # window over k rows, not the corpus — bounded by construction

@@ -178,3 +178,22 @@ def test_token_free_class_still_scores(spark):
     # classes; class y (token-free) loses on every token, so x wins
     assert {r.label_pred for r in rows} == {"x"}
     assert all(r.margin > 0 for r in rows)
+
+
+def test_store_expiry_sentinel_ignored(spark, docs_df):
+    """compact_store's full-expiry sentinel is an all-NULL row; the
+    from-counts reader must drop it (label IS NOT NULL, the
+    bm25_topk_from_store guard) instead of fabricating a NULL class
+    and crashing the sorted() label collect."""
+    from pyspark.sql import functions as F
+    counts = nb_counts(docs_df).unionByName(
+        docs_df.sparkSession.createDataFrame(
+            [(None, None, None)], "label string, token string, c long"))
+    from cngi_prototype_spark.text.classifier import (
+        nb_classify_from_counts)
+    got = {r.doc_id: r.label_pred
+           for r in nb_classify_from_counts(
+               docs_df, counts, quantize=True).collect()}
+    want = {r.doc_id: r.label_pred
+            for r in nb_classify(docs_df, quantize=True).collect()}
+    assert got == want
