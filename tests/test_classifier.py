@@ -185,7 +185,6 @@ def test_store_expiry_sentinel_ignored(spark, docs_df):
     from-counts reader must drop it (label IS NOT NULL, the
     bm25_topk_from_store guard) instead of fabricating a NULL class
     and crashing the sorted() label collect."""
-    from pyspark.sql import functions as F
     counts = nb_counts(docs_df).unionByName(
         docs_df.sparkSession.createDataFrame(
             [(None, None, None)], "label string, token string, c long"))
