@@ -1079,18 +1079,17 @@ def _sql_text_features() -> str:
 @register("text_features", _sql_text_features)
 def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cngi_prototype_spark.text.analysis import scrub_pii
-    from cngi_prototype_spark.text.gopher import (
-        gopher_quality_filter,
-        gopher_repetition,
-    )
+    from cngi_prototype_spark.text.gopher import gopher_annotate
     docs = _docs(spark, sf_dir)
     tf = text_features(docs)
     sc = scrub_pii(docs).select(
         "doc_id", F.md5("text").alias("scrub_md5"),
         "n_email", "n_ipv4", "n_phone")
-    rep = gopher_repetition(docs).drop("n_chars")
-    qual = gopher_quality_filter(docs)
-    return tf.join(sc, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
+    # r14: repetition + quality ride one fused projection pass (same
+    # columns as the old rep ⋈ qual pair, n_chars dropped as before —
+    # text_features carries its own)
+    ann = gopher_annotate(docs).drop("n_chars")
+    return tf.join(sc, "doc_id").join(ann, "doc_id")
 
 
 def text_features_bench_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,14 +1103,14 @@ def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape Gopher corpus filtering: repetition metrics +
     the seven document-quality rules, one row per document with keep /
     reason. Value-hashed (all columns) through the text_features gate;
-    this entry runs the operator pair at its production scope."""
-    from cngi_prototype_spark.text.gopher import (
-        gopher_quality_filter,
-        gopher_repetition,
-    )
-    docs = _docs(spark, sf_dir)
-    rep = gopher_repetition(docs)
-    return rep.join(gopher_quality_filter(docs), "doc_id")
+    this entry runs the operator pair at its production scope.
+
+    r14: one fused per-document pass (column-identical to the old
+    ``gopher_repetition ⋈ gopher_quality_filter`` — both operands are
+    pure projections since the in-row repetition rewrite, so the join
+    bought two extra corpus passes and an exchange pair for nothing)."""
+    from cngi_prototype_spark.text.gopher import gopher_annotate
+    return gopher_annotate(_docs(spark, sf_dir))
 
 
 @register("bm25_topk", None)  # value-gated via ngram_jaccard 'bm25' part

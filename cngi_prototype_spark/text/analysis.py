@@ -356,6 +356,13 @@ def token_frequencies(
         F.countDistinct("_doc").alias("n_docs"))
     g = g.filter(F.col("n_occurrences") >= min_count)
     g = g.withColumn("_pfx", F.substring("token", 1, 2))
+    # r14: the bucket-size branch below is DERIVED from g, and without
+    # a materialization Catalyst re-plans the whole corpus tokenize +
+    # count for it (two scans, two corpus aggregations — measured in
+    # plans/r14/token_frequencies_before.txt). g is vocabulary-sized
+    # (Heaps' law, ≪ corpus), so an eager localCheckpoint is a bounded
+    # materialization that cuts the corpus work to one pass.
+    g = g.localCheckpoint()
     sizes = g.groupBy("n_occurrences", "_pfx").agg(
         F.count(F.lit(1)).alias("_bsz"))
     cum = Window.orderBy(

@@ -69,30 +69,117 @@ def _sql_nonempty_tokens(text: str) -> str:
     return f"list_filter({_sql_tokens(text)}, t -> t <> '')"
 
 
-def _unit_stats(df: DataFrame, unit: Column, *, id_col: str,
-                prefix: str) -> DataFrame:
-    """(doc → exploded unit → count) → per-doc repeated-occurrence sums.
+def _sum_len(arr: Column) -> Column:
+    """Σ length(element) as BIGINT — exact integers, order-free."""
+    return F.aggregate(
+        F.transform(arr, lambda u: F.length(u).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
 
-    Repeats collapse map-side in the first groupBy (partial count), so
-    the shuffle carries one row per distinct unit per doc.
+
+def _unit_frac(units: Column, distinct: Column) -> Column:
+    """dup_*_frac = Σ_v(c_v − 1) / Σ_v c_v computed in-row:
+    Σ_v(c_v − 1) = size(units) − size(distinct)."""
+    n_units = F.size(units)
+    return F.when(n_units > 0,
+                  (n_units - F.size(distinct)).cast("double")
+                  / n_units.cast("double")).otherwise(F.lit(0.0))
+
+
+def _unit_char_frac(units: Column, distinct: Column,
+                    n_chars: Column) -> Column:
+    """dup_*_char_frac = Σ_v(c_v − 1)·len(v) / n_chars in-row:
+    Σ_v(c_v − 1)·len(v) = Σlen(units) − Σlen(distinct)."""
+    return F.when(n_chars > 0,
+                  (_sum_len(units) - _sum_len(distinct)).cast("double")
+                  / n_chars.cast("double")).otherwise(F.lit(0.0))
+
+
+def _gram_chars(t: Column, n: int, *, top: bool) -> Column:
+    """Top/duplicated n-gram character count (BIGINT) over one
+    document's word n-grams, as ONE single-pass ``aggregate`` over the
+    sorted gram array.
+
+    Sorting makes equal grams adjacent, so a run-length pass yields
+    the identical (gram, count) multiset as the old explode →
+    groupBy(doc, n, gram).  The sorted array is the aggregate's
+    *argument* — evaluated once per row — and the lambda touches only
+    the O(1) accumulator struct and the current element.  (An earlier
+    in-row form indexed the sorted array from inside ``filter`` /
+    ``zip_with`` lambdas; higher-order-function lambdas are
+    re-evaluated per element with no common-subexpression elimination,
+    so every element re-sorted the array — quadratic per document.
+    Likewise an accumulator that concat-builds a runs array would be
+    quadratic in distinct grams; the accumulator here is fixed-size.)
+
+    ``top``: winner = max (count, gram) struct over all runs — field
+    order c then gram, the same tie-break as the old
+    ``max(struct(c, gram))`` — then chars = c·len(gram) if c > 1.
+    ``dup``: chars = Σ over runs with c ≥ 2 of c·len(gram).
+    The '' sentinel for ``prev`` cannot collide with a real gram
+    (tokens are non-empty and n ≥ 2) and its c = 0 run flushes to 0.
     """
-    ex = df.select(F.col(id_col), F.col("n_chars"),
-                   F.explode(unit).alias("u"))
-    cnt = ex.groupBy(id_col, "n_chars", "u").agg(F.count(F.lit(1)).alias("c"))
-    rep = F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
-    out = cnt.groupBy(id_col, "n_chars").agg(
-        F.sum("c").alias("n_units"),
-        F.sum(rep).alias("n_rep"),
-        F.sum(rep * F.length("u")).alias("n_rep_chars"))
-    frac = (F.col("n_rep").cast("double")
-            / F.col("n_units").cast("double"))
-    cfrac = F.when(F.col("n_chars") > 0,
-                   F.col("n_rep_chars").cast("double")
-                   / F.col("n_chars").cast("double")).otherwise(F.lit(0.0))
-    return out.select(
-        id_col,
-        frac.alias(f"dup_{prefix}_frac"),
-        cfrac.alias(f"dup_{prefix}_char_frac"))
+    grams = F.when(F.size(t) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+        lambda i: F.array_join(F.slice(t, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    s = F.array_sort(grams)
+    long0 = F.lit(0).cast("long")
+    long1 = F.lit(1).cast("long")
+    if top:
+        zero = F.struct(
+            F.lit("").alias("prev"), long0.alias("c"),
+            F.struct(long0.alias("c"), F.lit("").alias("gram"))
+            .alias("best"))
+
+        def step(a: Column, x: Column) -> Column:
+            flushed = F.greatest(
+                a["best"],
+                F.struct(a["c"].alias("c"), a["prev"].alias("gram")))
+            return F.when(x == a["prev"], F.struct(
+                a["prev"].alias("prev"), (a["c"] + long1).alias("c"),
+                a["best"].alias("best"))
+            ).otherwise(F.struct(
+                x.alias("prev"), long1.alias("c"),
+                flushed.alias("best")))
+
+        def fin(a: Column) -> Column:
+            w = F.greatest(
+                a["best"],
+                F.struct(a["c"].alias("c"), a["prev"].alias("gram")))
+            return (F.when(w["c"] > 1, w["c"] * F.length(w["gram"]))
+                    .otherwise(long0))
+    else:
+        zero = F.struct(
+            F.lit("").alias("prev"), long0.alias("c"),
+            long0.alias("acc"))
+
+        def _flush(a: Column) -> Column:
+            return a["acc"] + F.when(
+                a["c"] >= 2, a["c"] * F.length(a["prev"])).otherwise(long0)
+
+        def step(a: Column, x: Column) -> Column:
+            return F.when(x == a["prev"], F.struct(
+                a["prev"].alias("prev"), (a["c"] + long1).alias("c"),
+                a["acc"].alias("acc"))
+            ).otherwise(F.struct(
+                x.alias("prev"), long1.alias("c"),
+                _flush(a).alias("acc")))
+
+        def fin(a: Column) -> Column:
+            return _flush(a)
+
+    return F.aggregate(s, zero, step, fin)
+
+
+def _gram_frac(t: Column, n_chars: Column, n: int, *,
+               top: bool) -> Column:
+    """top_/dup_{n}gram_char_frac — :func:`_gram_chars` over the staged
+    token array, divided once at the end (same integer sums and
+    (c, gram) struct-max tie-break as the old grouped aggregation)."""
+    name = (f"top_{n}gram_char_frac" if top else f"dup_{n}gram_char_frac")
+    val = _gram_chars(t, n, top=top)
+    return F.when(n_chars > 0, val.cast("double")
+                  / n_chars.cast("double")).otherwise(F.lit(0.0)).alias(name)
 
 
 def _sql_unit_stats(source: str, unit_list: str, *, prefix: str) -> str:
@@ -130,66 +217,46 @@ def gopher_repetition(
     ``dup_{n}gram_char_frac`` for n in ``dup_ns``.  Missing structure
     (no lines, too few tokens for an n-gram) yields 0.0, so every input
     document appears exactly once.
+
+    Plan shape (r14 optimization): a pure per-document PROJECTION.
+    Every metric is a within-document count, so it is computed in-row
+    over the token/line arrays (duplicate sums via size/Σlen deltas
+    against ``array_distinct``; n-gram counts via sorted-array value
+    runs) instead of the old explode → corpus-sized
+    groupBy(doc, n, gram) shuffle → three joins back onto the spine.
+    Zero exchanges, one scan, no corpus-sized shuffle at any scale;
+    values are bit-identical (same integer sums, same (c, gram)
+    struct-max tie-break, one final BIGINT/BIGINT double division).
     """
     text = F.col(text_col)
-    base = df.select(F.col(id_col), F.length(text).alias("n_chars"),
-                     text.alias("__text"))
-
-    lines = _unit_stats(
-        base.withColumn("__u", _lines(F.col("__text"), "\n")),
-        F.col("__u"), id_col=id_col, prefix="line")
-    paras = _unit_stats(
-        base.withColumn("__u", _lines(F.col("__text"), "\n\n")),
-        F.col("__u"), id_col=id_col, prefix="para")
-
-    all_ns = tuple(top_ns) + tuple(dup_ns)
-    toks = base.select(
-        id_col, "n_chars", _nonempty_tokens(F.col("__text")).alias("t"))
-    grams = (toks
-             .select(id_col, "n_chars", "t",
-                     F.explode(F.array(*[F.lit(n) for n in all_ns]))
-                     .alias("n"))
-             .select(id_col, "n_chars", "n", F.explode(
-                 F.when(F.size("t") >= F.col("n"), F.transform(
-                     F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
-                     lambda i: F.array_join(F.slice("t", i, F.col("n")),
-                                            " ")))
-                 .otherwise(F.array().cast("array<string>"))).alias("gram")))
-    gcnt = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c"))
-    # winner = max (count, gram): ties break to the lexicographically
-    # LAST gram — any deterministic rule works, this one is one struct
-    # max in both engines.
-    stats = gcnt.groupBy(id_col, "n_chars", "n").agg(
-        F.max(F.struct("c", "gram")).alias("w"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
-              .otherwise(F.lit(0))).alias("dupc"))
-    top_chars = F.when(F.col("w.c") > 1,
-                       F.col("w.c") * F.length("w.gram")).otherwise(F.lit(0))
-    gram_cols = []
-    for n in top_ns:
-        gram_cols.append(
-            (F.max(F.when(F.col("n") == n, top_chars)).cast("double")
-             / F.col("n_chars").cast("double"))
-            .alias(f"top_{n}gram_char_frac"))
-    for n in dup_ns:
-        gram_cols.append(
-            (F.max(F.when(F.col("n") == n, F.col("dupc"))).cast("double")
-             / F.col("n_chars").cast("double"))
-            .alias(f"dup_{n}gram_char_frac"))
-    gram_wide = stats.groupBy(id_col, "n_chars").agg(*gram_cols)
-
-    out = (base.select(id_col, "n_chars")
-           .join(lines, id_col, "left")
-           .join(paras, id_col, "left")
-           .join(gram_wide.drop("n_chars"), id_col, "left"))
-    fracs = ([f"dup_{p}_frac" for p in ("line", "para")]
-             + [f"dup_{p}_char_frac" for p in ("line", "para")]
-             + [f"top_{n}gram_char_frac" for n in top_ns]
-             + [f"dup_{n}gram_char_frac" for n in dup_ns])
-    return out.select(
+    staged = df.select(
+        F.col(id_col), F.length(text).alias("n_chars"),
+        _nonempty_tokens(text).alias("__toks"),
+        _lines(text, "\n").alias("__lines"),
+        _lines(text, "\n\n").alias("__paras"))
+    # second projection boundary: the distinct arrays are each read by
+    # 2 metric expressions below — stage them so CollapseProject keeps
+    # one evaluation per row (the minhash __sh pattern); each gram
+    # metric is a single-pass aggregate over the staged __toks column,
+    # referenced exactly once
+    mid = staged.select(
+        id_col, "n_chars", "__toks", "__lines", "__paras",
+        F.array_distinct("__lines").alias("__ldist"),
+        F.array_distinct("__paras").alias("__pdist"))
+    nc = F.col("n_chars")
+    toks = F.col("__toks")
+    return mid.select(
         id_col, "n_chars",
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in fracs])
+        _unit_frac(F.col("__lines"), F.col("__ldist"))
+        .alias("dup_line_frac"),
+        _unit_frac(F.col("__paras"), F.col("__pdist"))
+        .alias("dup_para_frac"),
+        _unit_char_frac(F.col("__lines"), F.col("__ldist"), nc)
+        .alias("dup_line_char_frac"),
+        _unit_char_frac(F.col("__paras"), F.col("__pdist"), nc)
+        .alias("dup_para_char_frac"),
+        *[_gram_frac(toks, nc, n, top=True) for n in top_ns],
+        *[_gram_frac(toks, nc, n, top=False) for n in dup_ns])
 
 
 def sql_gopher_repetition(
@@ -306,16 +373,25 @@ def gopher_quality_filter(
         id_col, text.alias("__text"),
         _nonempty_tokens(text).alias("__toks"),
         _lines(text, "\n").alias("__lines"))
+    # second boundary: the scalar metrics (aggregates over the arrays)
+    # are themselves referenced by 2-3 rule expressions each
+    m = staged.select(id_col, *_quality_mid_cols())
+    return m.select(
+        id_col, *_quality_out_cols(th)
+    ).withColumn("keep", F.col("reason").isNull())
+
+
+def _quality_mid_cols() -> list[Column]:
+    """Scalar quality metrics from the staged ``__text`` / ``__toks`` /
+    ``__lines`` columns (shared by :func:`gopher_quality_filter` and
+    the fused :func:`gopher_annotate`)."""
     toks = F.col("__toks")
     lines = F.col("__lines")
     text = F.col("__text")
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
     n_ellipsis = (F.length(text)
                   - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
-    # second boundary: the scalar metrics (aggregates over the arrays)
-    # are themselves referenced by 2-3 rule expressions each
-    m = staged.select(
-        id_col,
+    return [
         F.size(toks).alias("__nw"),
         F.aggregate(F.transform(toks, lambda t: F.length(t)),
                     F.lit(0), lambda a, x: a + x).alias("__sumlen"),
@@ -328,7 +404,12 @@ def gopher_quality_filter(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
         .alias("__nalpha"),
         F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
-        .alias("__nstop"))
+        .alias("__nstop")]
+
+
+def _quality_out_cols(th: dict) -> list[Column]:
+    """Raw features, rule booleans and first-failure ``reason`` from
+    the :func:`_quality_mid_cols` outputs."""
     n_words = F.col("__nw")
     # try_divide: NULL on n_words == 0, matching DuckDB's `/` (Spark 4
     # ANSI mode would raise instead).
@@ -360,8 +441,7 @@ def gopher_quality_filter(
     for r in _RULES:
         expr = (F.when(~ok[r], r) if expr is None
                 else expr.when(~ok[r], r))
-    return m.select(
-        id_col,
+    return [
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_word_ratio"),
@@ -371,6 +451,53 @@ def gopher_quality_filter(
         stop_hits.alias("stop_hits"),
         *[ok[r].alias(f"ok_{r}") for r in _RULES],
         expr.alias("reason"),
+    ]
+
+
+def gopher_annotate(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+    **thresholds,
+) -> DataFrame:
+    """Repetition metrics + quality rules in ONE per-document pass —
+    column-for-column identical to
+    ``gopher_repetition(df).join(gopher_quality_filter(df), id_col)``
+    but with a single scan, a single tokenize, and zero joins (both
+    operand families are per-document projections since the r14
+    in-row repetition rewrite; the join added two corpus passes and a
+    doc_id exchange pair for no information)."""
+    th = {**GOPHER_THRESHOLDS, **thresholds}
+    text = F.col(text_col)
+    staged = df.select(
+        F.col(id_col), F.length(text).alias("n_chars"),
+        text.alias("__text"),
+        _nonempty_tokens(text).alias("__toks"),
+        _lines(text, "\n").alias("__lines"),
+        _lines(text, "\n\n").alias("__paras"))
+    mid = staged.select(
+        id_col, "n_chars", "__toks", "__lines", "__paras",
+        F.array_distinct("__lines").alias("__ldist"),
+        F.array_distinct("__paras").alias("__pdist"),
+        *_quality_mid_cols())
+    nc = F.col("n_chars")
+    toks = F.col("__toks")
+    return mid.select(
+        id_col, "n_chars",
+        _unit_frac(F.col("__lines"), F.col("__ldist"))
+        .alias("dup_line_frac"),
+        _unit_frac(F.col("__paras"), F.col("__pdist"))
+        .alias("dup_para_frac"),
+        _unit_char_frac(F.col("__lines"), F.col("__ldist"), nc)
+        .alias("dup_line_char_frac"),
+        _unit_char_frac(F.col("__paras"), F.col("__pdist"), nc)
+        .alias("dup_para_char_frac"),
+        *[_gram_frac(toks, nc, n, top=True) for n in top_ns],
+        *[_gram_frac(toks, nc, n, top=False) for n in dup_ns],
+        *_quality_out_cols(th),
     ).withColumn("keep", F.col("reason").isNull())
 
 

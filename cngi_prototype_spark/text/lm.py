@@ -106,9 +106,23 @@ def lm_doc_logprob(
     grams = _doc_grams(docs, text_col, id_col)
     tgrams = (grams if train_docs is None
               else _doc_grams(train_docs, text_col, id_col))
-    uni = tgrams.groupBy("w").agg(F.count("*").alias("c_w"))
-    bi = (tgrams.filter(F.col("prev").isNotNull())
-          .groupBy("prev", "w").agg(F.count("*").alias("c_bi")))
+    # r14: ONE corpus pass builds both count tables. The unified
+    # (prev, w) count — prev NULL marking position-1 grams — yields
+    #   c_w  = Σ over every prev (incl. NULL) of c(prev, w)
+    #          (every occurrence of w has exactly one prev slot), and
+    #   c_bi = the prev-NOT-NULL rows verbatim.
+    # The table is bigram-vocab-bounded, so the localCheckpoint is a
+    # bounded materialization (NOT a corpus-sized cache) that stops the
+    # uni/bi diamond from re-tokenizing and re-aggregating the corpus
+    # once per branch (the old form paid the gram pass twice and
+    # shuffled two count tables instead of one). Eager by design: the
+    # counts job runs at plan-build, mirroring dedup.py's documented
+    # convention.
+    unified = (tgrams.groupBy("prev", "w")
+               .agg(F.count("*").alias("c")).localCheckpoint())
+    uni = unified.groupBy("w").agg(F.sum("c").alias("c_w"))
+    bi = (unified.filter(F.col("prev").isNotNull())
+          .select("prev", "w", F.col("c").alias("c_bi")))
     return _score_grams(grams, uni, bi, alpha=alpha, quantize=quantize,
                         broadcast_unigrams=broadcast_unigrams)
 

@@ -149,10 +149,54 @@ def bm25_topk(
     selection parameters travel the same way). Duplicate terms within
     one query collapse to one occurrence (set-of-terms semantics, the
     standard bag-of-words simplification for short queries).
+
+    Plan shape (r14): the old form built the full corpus postings
+    three times (scoring stream, document frequencies, corpus stats —
+    three tokenize passes, each with a corpus-sized (doc, term)
+    shuffle plus a dl window exchange). Query terms are a driver
+    literal, so matching moves in-row (``filter(toks, isin(terms))``)
+    and ``dl`` becomes ``size(toks)``: nothing corpus-sized is ever
+    exploded or shuffled. Two tokenize passes remain (matched-tf build
+    and the 1-row corpus stats aggregate); the match-bounded tf table
+    is localCheckpoint'ed (eager, at plan build — the dedup.py
+    convention) so the df branch does not re-run the match pass.
+    Values are identical: same tokenizer (empty-token convention
+    included), same exact-integer tf/df/N/Σdl, same contribution
+    expression. The store path (:func:`bm25_score_postings` over a
+    postings table) is unchanged.
     """
-    post = bm25_postings(docs, text_col=text_col, id_col=id_col)
-    return bm25_score_postings(post, queries, k1=k1, b=b, top_n=top_n,
-                               quantize=quantize)
+    spark = docs.sparkSession
+    qrows = _query_terms(queries)
+    qterms = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    terms = sorted({t for _, t in qrows})
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id", F.size("__toks").alias("dl"),
+        F.filter("__toks", lambda t: t.isin(*terms)).alias("__q"))
+    # exact integer corpus totals; one row, broadcast (scan-only pass:
+    # no explode, no shuffle)
+    stats = staged.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").alias("sum_dl"))
+    tf = (staged.filter(F.size("__q") > 0)
+          .select("doc_id", "dl", F.explode("__q").alias("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf"))
+          .localCheckpoint())  # match-bounded, read twice below
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            (F.floor(_contrib(k1, b) * F.lit(float(_QUANT)) + F.lit(0.5))
+             .cast("long").alias("contrib_q"))
+            if quantize else _contrib(k1, b).alias("contrib"),
+        )
+    )
+    return _topn_scores(contrib, top_n=top_n, quantize=quantize)
 
 
 def bm25_score_postings(
@@ -192,6 +236,13 @@ def bm25_score_postings(
             if quantize else _contrib(k1, b).alias("contrib"),
         )
     )
+    return _topn_scores(contrib, top_n=top_n, quantize=quantize)
+
+
+def _topn_scores(contrib: DataFrame, *, top_n: int,
+                 quantize: bool) -> DataFrame:
+    """Per-(query, doc) contribution sum → ranked top-``top_n`` — the
+    shared tail of :func:`bm25_topk` and :func:`bm25_score_postings`."""
     score_col = "score_q" if quantize else "score"
     scores = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("contrib_q").alias("score_q")

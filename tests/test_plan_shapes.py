@@ -382,3 +382,87 @@ def test_dsir_weights_broadcast_buckets_single_score_shuffle(spark):
     plan = explain_formatted(df)
     assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
     assert has_partial_aggregation(df)
+
+
+# --- r14 optimization-round plan shapes ------------------------------------
+
+
+def test_gopher_repetition_pure_projection(spark):
+    """r14: the repetition metrics are within-document counts computed
+    in-row (sorted-run n-gram counting, array_distinct unit dedup) —
+    the plan must contain NO join, NO explode and NO shuffle beyond
+    the _docs spread repartition (the old form shuffled a corpus×9
+    gram stream and joined three metric tables back onto the spine)."""
+    from cngi_prototype_spark.plans import explain_formatted
+    from cngi_prototype_spark.text.gopher import gopher_repetition
+    df = gopher_repetition(Q._docs(spark, SF))
+    plan = explain_formatted(df)
+    assert count_exchanges(df) <= 1  # only the _docs repartition
+    assert len(read_schemas(df)) == 1  # one corpus scan
+    assert not re.search(r"\(\d+\) (SortMergeJoin|BroadcastHashJoin"
+                         r"|ShuffledHashJoin|Generate)\b", plan)
+
+
+def test_gopher_annotate_matches_join_form(spark):
+    """gopher_annotate ≡ gopher_repetition ⋈ gopher_quality_filter:
+    identical columns in identical order, identical values, one scan."""
+    from cngi_prototype_spark.text.gopher import (
+        gopher_annotate, gopher_quality_filter, gopher_repetition)
+    docs = Q._docs(spark, SF)
+    fused = gopher_annotate(docs)
+    joined = gopher_repetition(docs).join(
+        gopher_quality_filter(docs), "doc_id")
+    assert fused.columns == joined.columns
+    assert len(read_schemas(fused)) == 1
+    a = sorted(fused.collect(), key=lambda r: r.doc_id)
+    b = sorted(joined.collect(), key=lambda r: r.doc_id)
+    assert a == b
+
+
+def test_bm25_no_corpus_postings_shuffle(spark):
+    """r14: bm25_topk matches query terms in-row (driver-literal isin)
+    and derives dl as size(tokens): exactly two corpus passes in total
+    (the matched-tf build — materialized behind the localCheckpoint,
+    so it appears as a Scan ExistingRDD — plus the 1-row stats
+    aggregate, the single parquet scan left in the final plan), and no
+    corpus-wide (doc, term) postings shuffle — every exchange is over
+    match-bounded or model-sized rows. The dl window over the full
+    postings table is gone."""
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.bm25_topk_q(spark, SF)
+    plan = explain_formatted(df)
+    assert len(read_schemas(df)) == 1
+    assert re.search(r"Scan ExistingRDD", plan)
+    # the old plan's full-postings dl window partitioned by doc_id only
+    assert not re.search(r"hashpartitioning\(doc_id#\d+, \d+\)", plan)
+
+
+def test_token_frequencies_single_corpus_pass(spark):
+    """r14: the bucket-size branch reuses the checkpointed vocab-sized
+    count table instead of re-tokenizing the corpus — the one corpus
+    pass happens at checkpoint materialization, so the final plan reads
+    only the checkpointed table (zero parquet scans, both the ranking
+    and the bucket-size branch fed by Scan ExistingRDD)."""
+    from cngi_prototype_spark.plans import explain_formatted
+    df = Q.queries()["token_frequencies"](spark, SF)
+    assert len(read_schemas(df)) == 0
+    assert re.search(r"Scan ExistingRDD", explain_formatted(df))
+
+
+def test_lm_scoring_single_corpus_scan(spark):
+    """r14: both LM count tables derive from one checkpointed unified
+    (prev, w) aggregation, so the final plan scans the corpus once
+    (the scoring gram stream)."""
+    df = Q.queries()["lm_perplexity"](spark, SF)
+    assert len(read_schemas(df)) == 1
+
+
+def test_imaging_weights_single_grid_build_per_weighting(spark):
+    """r14: the 1-tap weight grid builds once per weighting (Hermitian
+    arms explode from one pass; the grid checkpoint feeds both the
+    factors aggregate and the degrid join) — the briggs+uniform bench
+    union scans the visibilities twice (once per final degrid join),
+    not ten times."""
+    import bench
+    df = bench.BENCH_OVERRIDES["imaging_weights"](spark, SF)
+    assert len(read_schemas(df)) == 2
