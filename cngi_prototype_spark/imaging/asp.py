@@ -116,9 +116,15 @@ def deconvolve_adaptive_scale_pixel(
     """
     widths = widths if widths is not None else [1.0, 2.0, 4.0]
 
-    both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
-        psf_df.select(chan, pol, "l_idx", "m_idx", psf),
-        on=[chan, pol, "l_idx", "m_idx"], how="inner")
+    if psf_df is image_df:
+        # fused make_image_and_psf output: both cubes already share the
+        # rows — skip the per-pixel join (and the duplicated grid
+        # build) entirely, as deconvolve_point_clean does
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image, psf)
+    else:
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
+            psf_df.select(chan, pol, "l_idx", "m_idx", psf),
+            on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
     if out == "components":
         schema = T.StructType([

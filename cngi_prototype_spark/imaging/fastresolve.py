@@ -105,9 +105,15 @@ def deconvolve_fast_resolve(
         T.StructField("error", T.DoubleType()),
     ])
 
-    both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
-        psf_df.select(chan, pol, "l_idx", "m_idx", psf),
-        on=[chan, pol, "l_idx", "m_idx"], how="inner")
+    if psf_df is image_df:
+        # fused make_image_and_psf output: both cubes already share the
+        # rows — skip the per-pixel join (and the duplicated grid
+        # build) entirely, as deconvolve_point_clean does
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image, psf)
+    else:
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
+            psf_df.select(chan, pol, "l_idx", "m_idx", psf),
+            on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
     def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         li, mi, (dirty, psf_a) = plane_arrays(pdf, image, psf)

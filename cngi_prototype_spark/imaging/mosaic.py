@@ -52,6 +52,10 @@ class GCF:
     pb_freqs: np.ndarray
 
 
+# parameter-tuple -> GCF memo (see make_gridding_convolution_function)
+_GCF_MEMO: dict[tuple, GCF] = {}
+
+
 def make_gridding_convolution_function(
     gp: GridParms,
     freq_chan: list[float],
@@ -65,7 +69,23 @@ def make_gridding_convolution_function(
     ps_term: bool = False,
 ) -> GCF:
     """Build the kernel cube driver-side (kernels are KBs; the reference
-    also materializes them eagerly per chunk)."""
+    also materializes them eagerly per chunk).
+
+    r14: memoized on the full parameter tuple — the kernel cube is a
+    pure function of grid/antenna CONFIGURATION (no input data ever
+    flows in), and rebuilding it costs ~1 s of driver-side FFT per
+    query construction (guide §4.5 heavyweight-init-once). The cached
+    arrays are marked read-only so an accidental caller mutation
+    raises instead of corrupting later builds.
+    """
+    key = (gp.n_u, gp.n_v, float(gp.cell_u), float(gp.cell_v),
+           tuple(float(f) for f in freq_chan),
+           tuple(sorted(float(d) for d in dish_diameters)),
+           oversampling, max_support, support_cut_level,
+           chan_tolerance_factor, pb_npix, ps_term)
+    hit = _GCF_MEMO.get(key)
+    if hit is not None:
+        return hit
     # chan -> pb freq groups within tolerance (create_cf_chan_map)
     freq = np.asarray(freq_chan, dtype=float)
     groups: list[float] = []
@@ -127,8 +147,13 @@ def make_gridding_convolution_function(
                 half_cells = 1
             hw = min(max(half_cells, 1), (max_support - 1) // 2)
             support[ti, fi] = (2 * hw + 1, 2 * hw + 1)
-    return GCF(kernels, support, oversampling, cf_baseline_map,
-               cf_chan_map, pb_freqs)
+    gcf = GCF(kernels, support, oversampling, cf_baseline_map,
+              cf_chan_map, pb_freqs)
+    if len(_GCF_MEMO) < 16:  # a session sees a handful of configs
+        for arr in (kernels, support, cf_chan_map, pb_freqs):
+            arr.setflags(write=False)
+        _GCF_MEMO[key] = gcf
+    return gcf
 
 
 def apply_phase_gradient(
@@ -143,11 +168,27 @@ def apply_phase_gradient(
     """Mosaic alignment: multiply each field's visibilities by
     ``exp(2πi·(u_λ·l_f + v_λ·m_f))`` (uv in wavelengths) — the vis-side
     equivalent of the reference's per-field kernel PHASE_GRADIENT."""
-    spark = vis_df.sparkSession
-    lut = F.broadcast(spark.createDataFrame(
-        [(int(k), float(l), float(m)) for k, (l, m) in sorted(field_offsets.items())],
-        [field, "_lf", "_mf"]))
-    j = vis_df.join(lut, field, "left")
+    if len(field_offsets) <= 64:
+        # r14: the field table is a handful of rows — two literal MAP
+        # lookups replace the createDataFrame + BroadcastExchange +
+        # join (one driver round-trip and one stage per bench run, and
+        # a whole broadcast build at scale). element_at yields NULL on
+        # a missing field, exactly the old left-join; the coalesce
+        # below handles both identically. Same double literals → same
+        # arithmetic bit-for-bit.
+        items = sorted(field_offsets.items())
+        lmap = F.create_map(*[F.lit(x) for k, (l_, _) in items
+                              for x in (int(k), float(l_))])
+        mmap = F.create_map(*[F.lit(x) for k, (_, m_) in items
+                              for x in (int(k), float(m_))])
+        j = (vis_df.withColumn("_lf", F.element_at(lmap, F.col(field)))
+             .withColumn("_mf", F.element_at(mmap, F.col(field))))
+    else:
+        spark = vis_df.sparkSession
+        lut = F.broadcast(spark.createDataFrame(
+            [(int(k), float(l), float(m)) for k, (l, m) in sorted(field_offsets.items())],
+            [field, "_lf", "_mf"]))
+        j = vis_df.join(lut, field, "left")
     u_l = F.col(u) * F.col(freq) / F.lit(C_M_S)
     v_l = F.col(v) * F.col(freq) / F.lit(C_M_S)
     arg = F.lit(2.0 * np.pi) * (u_l * F.coalesce(F.col("_lf"), F.lit(0.0))
@@ -296,6 +337,15 @@ def mosaic_grid_visibilities(
     combined = partials.groupBy(chan, pol, "u_idx", "v_idx").agg(
         F.sum("grid_re").alias("grid_re"), F.sum("grid_im").alias("grid_im"),
         F.sum("sw").alias("sw"))
+    # r14: grid and sum_weight are BOTH consumed by every caller
+    # (image_from_grid broadcast-joins sumw onto grid), and without a
+    # materialization Catalyst re-runs the whole scan + mapInPandas
+    # gridding pipeline once per branch. The combined table is bounded
+    # by touched cells (≤ n_u·n_v + 1 rows per plane), so an eager
+    # localCheckpoint (the dedup.py convention — the gridding job runs
+    # at plan build) makes both branches read the one materialized
+    # aggregate. Values unchanged: same rows, same sums.
+    combined = combined.localCheckpoint()
     grid = combined.filter(F.col("u_idx") >= 0).drop("sw")
     sum_weight = (combined.filter(F.col("u_idx") < 0)
                   .groupBy(chan, pol).agg(F.sum("sw").alias("sum_weight")))

@@ -251,9 +251,15 @@ def deconvolve_multiterm_clean(
     """
     scales = scales if scales is not None else [0.0, 2.0, 4.0]
 
-    both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
-        psf_df.select(chan, pol, "l_idx", "m_idx", psf),
-        on=[chan, pol, "l_idx", "m_idx"], how="inner")
+    if psf_df is image_df:
+        # fused make_image_and_psf output: both cubes already share the
+        # rows — skip the per-pixel join (and the duplicated grid
+        # build) entirely, as deconvolve_point_clean does
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image, psf)
+    else:
+        both = image_df.select(chan, pol, "l_idx", "m_idx", image).join(
+            psf_df.select(chan, pol, "l_idx", "m_idx", psf),
+            on=[chan, pol, "l_idx", "m_idx"], how="inner")
 
     if nterms == 1:
         schema = T.StructType([
