@@ -117,19 +117,27 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
-    # bucket-size guardrail
-    sized = melted.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "bhash")),
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(F.col(id_col).alias("id_a"), "band", "bhash")
-    b = sized.select(F.col(id_col).alias("id_b"), "band", "bhash")
-    return (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # r14 plan shape: ONE corpus-sized shuffle. The old form window-
+    # counted buckets (corpus shuffle #1) and self-joined the sized
+    # table (the whole melted subtree re-derived per side — two corpus
+    # scans — plus join shuffle #2). Grouping each bucket's ids into a
+    # sorted array instead yields the identical pair set: within a
+    # bucket every id appears once (melted has one row per (doc,
+    # band)), so in-bucket (i < j) combinations over the sorted array
+    # are exactly the id_a < id_b pairs, and the bucket-size guardrail
+    # becomes a size() filter on the same count.
+    buckets = (melted.groupBy("band", "bhash")
+               .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                    .alias("_ids"))
+               .filter((F.size("_ids") >= 2)
+                       & (F.size("_ids") <= max_bucket)))
+    return (buckets
+            .select(F.col("_ids"),
+                    F.posexplode("_ids").alias("_i", "id_a"))
+            .select("id_a",
+                    F.explode(F.slice(F.col("_ids"), F.col("_i") + 2,
+                                      F.size("_ids"))).alias("id_b"))
+            .distinct())
 
 
 def sql_minhash_lsh_candidates(num_hashes: int = 8, bands: int = 4,
@@ -227,7 +235,16 @@ def ngram_jaccard_pairs(
     """
     if candidates is not None:
         if per_pair_shingle is None:
-            per_pair_shingle = df.count() > 200_000
+            # r14: decide from Catalyst's size estimate instead of a
+            # count() job — the old form paid a full corpus pass (scan
+            # + the _docs repartition) at every plan build. The
+            # measured ~200k-doc crossover corresponds to ~24 MB under
+            # Catalyst's estimator on the bench corpus (~118 B/doc);
+            # the branch choice affects only plan shape — values are
+            # identical either way (docstring above), so an estimate
+            # is safe where a count was overkill.
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            per_pair_shingle = int(str(stats.sizeInBytes())) > 24 * 2**20
         if per_pair_shingle:
             a = df.select(F.col(id_col).alias("id_a"),
                           F.col(text_col).alias("_ta"))
