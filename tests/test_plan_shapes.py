@@ -466,3 +466,105 @@ def test_imaging_weights_single_grid_build_per_weighting(spark):
     import bench
     df = bench.BENCH_OVERRIDES["imaging_weights"](spark, SF)
     assert len(read_schemas(df)) == 2
+
+
+def test_minhash_lsh_candidates_one_corpus_shuffle(spark):
+    """r14: bucket pairs come from one groupBy(band, bhash)
+    collect_list pass — no Window guardrail shuffle, no two-sided
+    self-join (the old plan derived the shingle+band subtree once per
+    join side). Exactly one corpus scan; pair set identical to the
+    join form by construction (one row per (doc, band) per bucket)."""
+    from cngi_prototype_spark.dedup.dedup import minhash_lsh_candidates
+    from cngi_prototype_spark.plans import explain_formatted
+    df = minhash_lsh_candidates(Q._docs(spark, SF), num_hashes=8,
+                                bands=4, shingle_n=3)
+    plan = explain_formatted(df)
+    assert len(read_schemas(df)) == 1
+    assert not re.search(r"\(\d+\) (Window|SortMergeJoin"
+                         r"|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+    # guardrail still bites: max_bucket=1 can emit no pairs
+    few = minhash_lsh_candidates(Q._docs(spark, SF), num_hashes=8,
+                                 bands=4, shingle_n=3, max_bucket=1)
+    assert few.count() == 0
+
+
+def test_minhash_lsh_candidates_matches_join_form(spark):
+    """Value equivalence of the r14 bucket-pair plan against the
+    original window + self-join formulation, run inline."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.dedup.dedup import (minhash_lsh_candidates,
+                                                  minhash_signatures)
+    docs = Q._docs(spark, SF)
+    new = {(r.id_a, r.id_b) for r in
+           minhash_lsh_candidates(docs, num_hashes=8, bands=4,
+                                  shingle_n=3).collect()}
+    sigs = minhash_signatures(docs, "text", "doc_id", 8, 3)
+    band_cols = [F.md5(F.concat_ws("|", *[F.col(f"mh{b * 2 + r}")
+                                          for r in range(2)])).alias(f"band{b}")
+                 for b in range(4)]
+    banded = sigs.select("doc_id", *band_cols)
+    melted = banded.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bhash"))
+        for b in range(4)])).alias("bb")).select("doc_id", "bb.band", "bb.bhash")
+    sized = melted.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
+    ).filter(F.col("bucket_n") <= 1000)
+    a = sized.select(F.col("doc_id").alias("id_a"), "band", "bhash")
+    b = sized.select(F.col("doc_id").alias("id_b"), "band", "bhash")
+    old = {(r.id_a, r.id_b) for r in
+           a.join(b, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct().collect()}
+    assert new == old and len(new) > 0
+
+
+def test_deconvolver_fused_input_single_grid_build(spark):
+    """r14: same-object image/psf input skips the per-pixel self-join
+    in mtclean and fastresolve (deconvolve_point_clean already did) —
+    one gridding subtree, no join."""
+    from cngi_prototype_spark.imaging.fastresolve import (
+        deconvolve_fast_resolve)
+    from cngi_prototype_spark.imaging.image import make_image_and_psf
+    from cngi_prototype_spark.imaging.mtclean import (
+        deconvolve_multiterm_clean)
+    from cngi_prototype_spark.plans import explain_formatted
+    vis = Q._uv_vis(spark, SF)
+    fused = make_image_and_psf(vis, Q._GP, image_size=(16, 16),
+                               weight="weight")
+    for out in (deconvolve_fast_resolve(fused, fused),
+                deconvolve_multiterm_clean(fused, fused, niter=2)):
+        plan = explain_formatted(out)
+        # the sum-of-weights LeftOuter broadcast join inside
+        # make_image_and_psf legitimately remains — what must be gone
+        # is the per-pixel image⋈psf INNER self-join (and with it the
+        # duplicated gridding subtree)
+        assert not re.search(
+            r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) Inner",
+            plan)
+        assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas",
+                              plan)) == 2  # grid + solver, once each
+
+
+def test_mosaic_phase_gradient_map_literal(spark):
+    """r14: small field-offset tables apply as literal MAP lookups —
+    no join, no createDataFrame; missing fields coalesce to 0.0 (the
+    old left-join semantics)."""
+    from pyspark.sql import functions as F
+
+    from cngi_prototype_spark.imaging.mosaic import apply_phase_gradient
+    from cngi_prototype_spark.plans import explain_formatted
+    from cngi_prototype_spark.imaging.grid import GridParms
+    gp = GridParms(n_u=16, n_v=16, cell_u=1e-4, cell_v=1e-4)
+    vis = spark.createDataFrame(
+        [(0, 10.0, 5.0, 1e9, 1.0, 0.5), (7, 20.0, -3.0, 1e9, 2.0, -1.0)],
+        "field_id int, u double, v double, freq double, "
+        "data_re double, data_im double")
+    out = apply_phase_gradient(vis, {0: (1e-4, 2e-4)}, gp)
+    plan = explain_formatted(out)
+    assert not re.search(r"\(\d+\) (SortMergeJoin|BroadcastHashJoin"
+                         r"|ShuffledHashJoin)\b", plan)
+    rows = {r.field_id: r for r in out.collect()}
+    # field 7 is absent from the offsets: phase arg 0 -> data unchanged
+    assert rows[7].data_re == 2.0 and rows[7].data_im == -1.0
+    assert rows[0].data_re != 1.0  # rotated
