@@ -158,6 +158,7 @@ def grid_visibilities(
     salt_probe: bool = False,
     rows_hint: int | None = None,
     with_psf: bool = False,
+    fuse_sumw: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid visibilities → ``(grid_df, sum_weight_df)``.
 
@@ -176,6 +177,29 @@ def grid_visibilities(
     data-invalid ones (the data row set is a subset of the weight
     row set — null/zero weight zeroes the weighted data — so the
     image aggregation sees only exact +0.0 extra terms).
+
+    ``fuse_sumw=True`` (explode variant only) removes the standalone
+    sum-of-weights subtree — the second full pass over the
+    visibilities that callers consuming BOTH outputs otherwise pay:
+    each row's normalizer term ``w·(nu·nv)`` rides the CENTER tap
+    ((0, 0) is always in ``gp.taps()``) into the cell aggregation and
+    the grid keeps the per-cell partials as an extra ``_swc`` column
+    (``_swpc`` for the PSF normalizer under ``with_psf``) — the
+    dense-planes path's embedded ``sum_w_norm`` design. The per-plane
+    image kernels sum the partials in-plane, so there is no sumw
+    broadcast join and no materialization barrier (an earlier
+    ``localCheckpoint`` diamond variant measured 2-8x SLOWER than the
+    unfused plan: fresh-RDD materialization overhead plus losing AQE
+    over the truncated lineage). The returned ``sum_weight`` is the
+    plane rollup of the partials, for parity/back-compat only —
+    consuming it alongside the grid re-runs the subtree once.
+    In ``precise`` mode the 1e-9 quanta stay BIGINT through both
+    aggregation levels (int64 across the Arrow boundary), so the
+    rollup is bit-identical to the standalone branch (sum of the same
+    integers, one final divide). In production (double) mode the
+    association changes (per-cell partials instead of the (du, dv)
+    pre-reduce) — last-ulp only, and every fused caller is a rows-only
+    surface.
     """
     psf_fused = with_psf and variant == "explode"
     prepared = _prepare(df, gp, u, v, freq, weight, re, im,
@@ -282,6 +306,16 @@ def grid_visibilities(
                "_wd_im"]
         if with_psf:
             sel.append("_w_psf")
+        if fuse_sumw:
+            # only the RAW weight column rides the explode; the
+            # normalizer term is evaluated inside the aggregate input
+            # below. Computing w·(nu·nv) here, pre-explode, looks
+            # cheaper (once per row, not per tap) but adds two
+            # element_at LUT lookups to the geometry projection and
+            # pushes it past the codegen threshold — the interpreted
+            # fallback rebuilds the norm array literal per row
+            # (measured 2.3 s -> 38.7 s on dirty_image at sf0.1).
+            sel.append("_w_img" if psf_fused else weight)
         e = prepared.select(*sel, F.explode(taps).alias("_tap"))
         conv = (
             _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
@@ -291,6 +325,23 @@ def grid_visibilities(
                 agg(conv * F.col("_wd_im")).alias("grid_im")]
         if with_psf:
             aggs.append(agg(conv * F.col("_w_psf")).alias("psf_re"))
+        if fuse_sumw:
+            # normalizer terms on the CENTER tap only, evaluated in the
+            # aggregate input where conv's array indexing is already in
+            # codegen (nu/nv reference _du/_dv, which survive into e);
+            # in precise mode quantize per row so the exact same BIGINT
+            # quanta the standalone branch would sum flow through both
+            # aggregation levels
+            center = (F.col("_tap.iu") == 0) & (F.col("_tap.iv") == 0)
+            swt = (F.col("_w_img") if psf_fused else F.col(weight)) * (nu * nv)
+            swpt = F.col("_w_psf") * (nu * nv) if psf_fused else None
+            if precise:
+                swt = F.floor(swt * F.lit(1.0e9)).cast("long")
+                if swpt is not None:
+                    swpt = F.floor(swpt * F.lit(1.0e9)).cast("long")
+            aggs.append(F.sum(F.when(center, swt)).alias("_swc"))
+            if psf_fused:
+                aggs.append(F.sum(F.when(center, swpt)).alias("_swpc"))
         grid = (
             e.groupBy(
                 chan, pol,
@@ -299,6 +350,33 @@ def grid_visibilities(
             )
             .agg(*aggs)
         )
+        if fuse_sumw:
+            # the partials STAY in the grid rows (the dense-planes
+            # sum_w_norm design): the per-plane image kernel sums them
+            # itself, so neither a second visibilities pass nor a sumw
+            # broadcast join nor a materialization barrier exists. A
+            # cell no center tap landed on coalesces to an exact zero —
+            # also keeping precise-mode partials non-null so they cross
+            # the Arrow boundary as int64 (a nullable long column
+            # arrives in pandas as float64 and loses BIGINT exactness
+            # past 2^53).
+            zero = F.lit(0).cast("long") if precise else F.lit(0.0)
+            grid = grid.withColumn("_swc", F.coalesce("_swc", zero))
+            if psf_fused:
+                grid = grid.withColumn("_swpc", F.coalesce("_swpc", zero))
+
+            def _plane(col: str) -> Column:
+                return (F.sum(col) / F.lit(1.0e9)) if precise else F.sum(col)
+
+            # back-compat/parity surface: the rollup of the embedded
+            # partials. Callers consuming BOTH outputs separately would
+            # re-run the gridding subtree once for it — the fused
+            # consumers (make_image / make_psf / make_image_and_psf)
+            # read only the grid and normalize from _swc in-plane.
+            sw_cols = [_plane("_swc").alias("sum_weight")]
+            if psf_fused:
+                sw_cols.append(_plane("_swpc").alias("sum_weight_psf"))
+            sum_weight = grid.groupBy(chan, pol).agg(*sw_cols)
         return grid, sum_weight
 
     if variant == "kernel":

@@ -37,9 +37,25 @@ from cngi_prototype_spark.imaging.kernels import airy_disk, pswf
 C_M_S = 299792458.0
 
 
+def _embedded_sumw(pdf: pd.DataFrame, col: str) -> float:
+    """Plane normalizer from fused per-cell partials
+    (``grid_visibilities(fuse_sumw=True)``): int64 partials are the
+    precise-mode 1e-9 BIGINT quanta (exact integer sum, ONE final
+    divide — bit-identical to the standalone sum-of-weights branch);
+    float64 partials are production mode (plain sum)."""
+    s = pdf[col].sum()
+    if pd.api.types.is_integer_dtype(pdf[col].dtype):
+        # long→double cast BEFORE the divide, exactly like the
+        # standalone branch's F.sum(quanta)/1e9 (a direct int/1e9
+        # true-division rounds the quotient instead and can differ in
+        # the last ulp once the sum passes 2^53)
+        return float(int(s)) / 1.0e9
+    return float(s)
+
+
 def image_from_grid(
     grid_df: DataFrame,
-    sumw_df: DataFrame,
+    sumw_df: DataFrame | None,
     gp: GridParms,
     *,
     image_size: tuple[int, int] | None = None,
@@ -52,6 +68,12 @@ def image_from_grid(
 
     Output rows: ``(chan, pol, l_idx, m_idx, <out>)`` with the plane
     cropped from the padded ``(gp.n_u, gp.n_v)`` to ``image_size``.
+
+    ``sumw_df=None`` requires a grid carrying the fused per-cell
+    normalizer partials (``grid_visibilities(fuse_sumw=True)``'s
+    ``_swc`` column): the plane kernel sums them in-plane instead of
+    broadcast-joining a standalone sum-of-weights table — same design
+    as ``image_planes_from_dense``'s embedded ``sum_w_norm``.
     """
     n_u, n_v = gp.n_u, gp.n_v
     crop = image_size or (n_u, n_v)
@@ -63,7 +85,16 @@ def image_from_grid(
         T.StructField(out, T.DoubleType()),
     ])
 
-    joined = grid_df.join(F.broadcast(sumw_df), on=[chan, pol], how="left")
+    embedded_sw = sumw_df is None
+    if embedded_sw:
+        if "_swc" not in grid_df.columns:
+            raise ValueError(
+                "image_from_grid needs either a sumw_df or a grid "
+                "carrying the fused _swc partials (fuse_sumw=True)")
+        joined = grid_df
+    else:
+        joined = grid_df.join(F.broadcast(sumw_df), on=[chan, pol],
+                              how="left")
 
     def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = np.zeros((n_u, n_v), np.complex128)
@@ -72,7 +103,10 @@ def image_from_grid(
         img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
         lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
         img = img[lo_u:lo_u + crop[0], lo_v:lo_v + crop[1]].real * (n_u * n_v)
-        sw = pdf["sum_weight"].iloc[0]
+        if embedded_sw:
+            sw = _embedded_sumw(pdf, "_swc")
+        else:
+            sw = pdf["sum_weight"].iloc[0]
         if sw is None or pd.isna(sw) or sw == 0:
             sw = 1.0
         img = img / sw
@@ -200,9 +234,12 @@ def make_image(vis_df: DataFrame, gp: GridParms, *,
         sumw_arg = None if "sum_w_norm" in partials.columns else sumw
         return image_planes_from_dense(partials, sumw_arg, gp,
                                        image_size=image_size, out="image")
+    fused = variant == "explode"
     grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
-                                   variant=variant, **cols)
-    return image_from_grid(grid, sumw, gp, image_size=image_size, out="image")
+                                   variant=variant,
+                                   fuse_sumw=fused, **cols)
+    return image_from_grid(grid, None if fused else sumw, gp,
+                           image_size=image_size, out="image")
 
 
 def make_grid(vis_df: DataFrame, gp: GridParms, *,
@@ -246,9 +283,9 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
     set), the image by ``sum_weight`` (the data-valid subset), exactly
     as the separate passes do.
     """
-    grid, sumw = grid_visibilities(vis_df, gp, weight=weight,
-                                   variant="explode", with_psf=True,
-                                   **cols)
+    grid, _sumw = grid_visibilities(vis_df, gp, weight=weight,
+                                    variant="explode", with_psf=True,
+                                    fuse_sumw=True, **cols)
     n_u, n_v = gp.n_u, gp.n_v
     crop = image_size or (n_u, n_v)
     chan, pol = cols.get("chan", "chan"), cols.get("pol", "pol")
@@ -260,14 +297,16 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
         T.StructField("image", T.DoubleType()),
         T.StructField("psf", T.DoubleType()),
     ])
-    joined = grid.join(F.broadcast(sumw), on=[chan, pol], how="left")
+    # no sumw broadcast join: the fused grid carries the per-cell
+    # normalizer partials (_swc / _swpc) and the plane kernel sums them
+    joined = grid
 
     def plane(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ui = pdf["u_idx"].to_numpy(int)
         vi = pdf["v_idx"].to_numpy(int)
 
         def _sw(col: str) -> float:
-            v = pdf[col].iloc[0]
+            v = _embedded_sumw(pdf, col)
             return 1.0 if (v is None or pd.isna(v) or v == 0) else v
 
         lo_u, lo_v = n_u // 2 - crop[0] // 2, n_v // 2 - crop[1] // 2
@@ -278,8 +317,8 @@ def make_image_and_psf(vis_df: DataFrame, gp: GridParms, *,
         corr = np.outer(cu, cv)
         outs = []
         for re_col, im_col, sw in (
-                ("grid_re", "grid_im", _sw("sum_weight")),
-                ("psf_re", None, _sw("sum_weight_psf"))):
+                ("grid_re", "grid_im", _sw("_swc")),
+                ("psf_re", None, _sw("_swpc"))):
             g = np.zeros((n_u, n_v), np.complex128)
             vals = pdf[re_col].to_numpy(float).astype(np.complex128)
             if im_col is not None:
@@ -309,9 +348,12 @@ def make_psf(vis_df: DataFrame, gp: GridParms, *,
              **cols) -> DataFrame:
     """PSF = imaged weight-sampling function (make_psf.py:113-131)."""
     cols.pop("re", None), cols.pop("im", None)
+    fused = variant == "explode"
     grid, sumw = grid_visibilities(vis_df, gp, weight=weight, re=None, im=None,
-                                   variant=variant, **cols)
-    return image_from_grid(grid, sumw, gp, image_size=image_size, out="psf")
+                                   variant=variant,
+                                   fuse_sumw=fused, **cols)
+    return image_from_grid(grid, None if fused else sumw, gp,
+                           image_size=image_size, out="psf")
 
 
 def make_empty_sky_image(

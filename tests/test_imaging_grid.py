@@ -170,3 +170,68 @@ def test_dense_planes_subsalt_parity(spark):
     gr = np.zeros((64, 64), complex)
     gr[rp.u_idx, rp.v_idx] = rp.grid_re + 1j * rp.grid_im
     assert np.abs(g - gr).max() < 1e-9
+
+
+def test_fused_sumw_matches_standalone(spark, vis_pdf):
+    """r14: ``fuse_sumw=True`` replaces the standalone sum-of-weights
+    pass with per-cell center-tap partials EMBEDDED in the grid rows
+    (the dense path's sum_w_norm design). Grid cells must be IDENTICAL
+    (same aggregation), the partials non-null (int64 across Arrow in
+    precise mode), and the rollup sum_weight bit-identical in precise
+    mode (same BIGINT quanta, one final divide) / allclose in double
+    mode (association moves from the (du, dv) pre-reduce to per-cell
+    partials)."""
+    df = spark.createDataFrame(vis_pdf).repartition(5)
+    for precise in (True, False):
+        g0, s0 = grid_visibilities(df, GP, variant="explode",
+                                   precise=precise)
+        g1, s1 = grid_visibilities(df, GP, variant="explode",
+                                   precise=precise, fuse_sumw=True)
+        assert g1.columns == g0.columns + ["_swc"]
+        a = {(r.chan, r.pol): r.sum_weight for r in s0.toPandas().itertuples()}
+        b = {(r.chan, r.pol): r.sum_weight for r in s1.toPandas().itertuples()}
+        assert set(a) == set(b)
+        for k in a:
+            if precise:
+                assert a[k] == b[k], "precise sum_weight must be bit-equal"
+            else:
+                assert a[k] == pytest.approx(b[k], rel=1e-12)
+        key = ["chan", "pol", "u_idx", "v_idx"]
+        p0 = g0.toPandas().sort_values(key).reset_index(drop=True)
+        p1 = g1.toPandas().sort_values(key).reset_index(drop=True)
+        assert len(p0) == len(p1)
+        assert (p0[key].to_numpy() == p1[key].to_numpy()).all()
+        assert (p0.grid_re.to_numpy() == p1.grid_re.to_numpy()).all()
+        assert (p0.grid_im.to_numpy() == p1.grid_im.to_numpy()).all()
+        # partials: non-null, exact dtype contract, and their plane sum
+        # IS the standalone sum_weight
+        swc = p1["_swc"]
+        assert not swc.isna().any()
+        import pandas.api.types as pt
+        assert pt.is_integer_dtype(swc.dtype) == precise
+        for k in a:
+            mask = (p1.chan == k[0]) & (p1.pol == k[1])
+            tot = swc[mask].sum()
+            tot = float(int(tot)) / 1.0e9 if precise else float(tot)
+            if precise:
+                assert tot == a[k]
+            else:
+                assert tot == pytest.approx(a[k], rel=1e-12)
+
+
+def test_fused_sumw_with_psf_matches_standalone(spark, vis_pdf):
+    """r14: the with_psf fused-gridding path under ``fuse_sumw=True``
+    keeps sum_weight AND sum_weight_psf (weight-valid row set) right."""
+    df = spark.createDataFrame(vis_pdf)
+    g0, s0 = grid_visibilities(df, GP, variant="explode", with_psf=True)
+    g1, s1 = grid_visibilities(df, GP, variant="explode", with_psf=True,
+                               fuse_sumw=True)
+    assert g1.columns == g0.columns + ["_swc", "_swpc"]
+    a = {(r.chan, r.pol): (r.sum_weight, r.sum_weight_psf)
+         for r in s0.toPandas().itertuples()}
+    b = {(r.chan, r.pol): (r.sum_weight, r.sum_weight_psf)
+         for r in s1.toPandas().itertuples()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-12)
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-12)
