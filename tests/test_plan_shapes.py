@@ -568,3 +568,36 @@ def test_mosaic_phase_gradient_map_literal(spark):
     # field 7 is absent from the offsets: phase arg 0 -> data unchanged
     assert rows[7].data_re == 2.0 and rows[7].data_im == -1.0
     assert rows[0].data_re != 1.0  # rotated
+
+
+def test_fused_image_single_scan_no_sumw_join(spark):
+    """r14 §10: the explode-path make_image / make_image_and_psf plans
+    contain exactly ONE visibilities scan and NO join — the
+    sum-of-weights normalizer rides the grid rows as fused per-cell
+    partials (_swc) instead of a standalone aggregate broadcast-joined
+    per plane."""
+    from cngi_prototype_spark.imaging.grid import GridParms
+    from cngi_prototype_spark.imaging.image import (
+        make_image,
+        make_image_and_psf,
+    )
+    from cngi_prototype_spark.plans import explain_formatted
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    vis = ev.select(
+        ((F.col("event_id") % 1000) / 2.0 - 250.0).alias("u"),
+        ((F.col("user_id") % 1000) / 2.0 - 250.0).alias("v"),
+        F.lit(1.0e9).alias("freq"),
+        F.lit(0).alias("chan"), F.lit(0).alias("pol"),
+        (F.col("value") / 100.0).alias("data_re"),
+        F.lit(0.0).alias("data_im"),
+        F.lit(1.0).alias("weight"))
+    gp = GridParms(n_u=32, n_v=32, cell_u=2.5e-5, cell_v=2.5e-5)
+    for df in (make_image(vis, gp, image_size=(16, 16), weight="weight"),
+               make_image_and_psf(vis, gp, image_size=(16, 16),
+                                  weight="weight")):
+        plan = explain_formatted(df)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert not re.search(r"\(\d+\) (SortMergeJoin|BroadcastHashJoin"
+                             r"|ShuffledHashJoin)\b", plan)
