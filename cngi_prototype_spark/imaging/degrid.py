@@ -161,6 +161,19 @@ def _degrid_kernel(
     hash, with the GRID side replicated once per sub-bucket — grid
     replication is cheap because a slab holds at most
     (slab_w + 2·half) · n_v cells regardless of vis count.
+
+    The payload rides THROUGH the cogroup (r14): the slab kernel
+    receives every vis column and emits them back next to the model
+    columns, and out-of-bounds rows bypass the cogroup via a
+    shuffle-free union with NULL models. The corpus is therefore
+    scanned once and shuffled once (the cogroup exchange); the old
+    shape re-scanned the vis side and sort-merge-joined the model
+    columns back on ``row_id`` — two more corpus-sized exchanges +
+    sorts that only existed to re-attach two doubles. Per-row model
+    values are unchanged (same gather, same NULL rules); the only
+    semantic difference is under DUPLICATE ``row_id`` values, where
+    the old join multiplied rows and this form stays strictly
+    one-output-row-per-input-row (the documented contract).
     """
     W = int(slab_w)
     half, support, ov = gp.half, gp.support, gp.oversampling
@@ -188,8 +201,8 @@ def _degrid_kernel(
                  & (F.col("_v_c") - half >= 0))
     geom = geom.withColumn("_ok", in_bounds)
 
-    vsel = (geom.filter("_ok")
-            .select(row_id, chan, pol, "_u_c", "_v_c", "_du", "_dv")
+    vis_cols = list(vis_df.columns)
+    vsel = (geom.filter("_ok").drop("_ok")
             .withColumn("_s", (F.col("_u_c") / W).cast("int")))
     gsel = (grid_df
             .select(chan, pol, "u_idx", "v_idx", "grid_re", "grid_im",
@@ -199,19 +212,18 @@ def _degrid_kernel(
                     .alias("_s"))
             .filter(F.col("_s") >= 0))
 
-    rid_type = vis_df.schema[row_id].dataType
-    schema = T.StructType([
-        T.StructField(row_id, rid_type),
-        T.StructField(out[0], T.DoubleType()),
-        T.StructField(out[1], T.DoubleType()),
-    ])
+    schema = T.StructType(
+        [vis_df.schema[c] for c in vis_cols]
+        + [T.StructField(out[0], T.DoubleType()),
+           T.StructField(out[1], T.DoubleType())])
 
     def slab_fn(key: tuple, vpdf: pd.DataFrame,
                 gpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(vpdf):
-            return pd.DataFrame({row_id: pd.Series(dtype="int64"),
-                                 out[0]: pd.Series(dtype="float64"),
-                                 out[1]: pd.Series(dtype="float64")})
+            res = vpdf[vis_cols].copy()
+            res[out[0]] = pd.Series(dtype="float64")
+            res[out[1]] = pd.Series(dtype="float64")
+            return res
         s = int(key[2])
         base = s * W - half
         h = W + 2 * half
@@ -242,8 +254,9 @@ def _degrid_kernel(
         with np.errstate(invalid="ignore"):
             model = np.where(norm > 0, acc / np.where(norm > 0, norm, 1),
                              np.nan + 0j)
-        res = pd.DataFrame({row_id: vpdf[row_id].to_numpy(),
-                            out[0]: model.real, out[1]: model.imag})
+        res = vpdf[vis_cols].copy()
+        res[out[0]] = model.real
+        res[out[1]] = model.imag
         bad = norm <= 0
         if bad.any():  # NULL, not NaN — the explode-path convention
             res.loc[bad, [out[0], out[1]]] = None
@@ -255,7 +268,12 @@ def _degrid_kernel(
         npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cnts = [((int(r[chan]), int(r[pol]), int(r["_s"])), int(r["count"]))
                 for r in vsel.groupBy(chan, pol, "_s").count().collect()]
-        hot = _slab_salt_map(cnts, npart)
+        # the pandas frame now carries the payload columns too, so the
+        # ~64 MB byte budget must use the actual row width (~8 B per
+        # numeric column), not the old fixed 7-column estimate
+        hot = _slab_salt_map(
+            cnts, npart,
+            cap_rows=(64 << 20) // max(56, 8 * (len(vsel.columns) + 1)))
         if hot:
             hot_df = spark.createDataFrame(
                 [(c, p, s, n) for (c, p, s), n in hot.items()],
@@ -280,8 +298,15 @@ def _degrid_kernel(
     keyed = (vsel.groupBy(*keys)
              .cogroup(gsel.groupBy(*keys))
              .applyInPandas(slab_fn, schema))
-    return geom.drop("_u_c", "_v_c", "_du", "_dv", "_ok").join(
-        keyed, on=row_id, how="left")
+    # out-of-bounds rows (incl. NULL geometry) never reach the cogroup;
+    # they rejoin the result through a shuffle-free union with NULL
+    # models — the left-join NULL semantics of the old shape, without
+    # the row_id re-shuffle of the whole payload
+    oob = (geom.filter(F.col("_ok").isNull() | ~F.col("_ok"))
+           .select(*vis_cols)
+           .withColumn(out[0], F.lit(None).cast("double"))
+           .withColumn(out[1], F.lit(None).cast("double")))
+    return keyed.unionByName(oob)
 
 
 def _slab_salt_map(cnts: list[tuple[tuple, int]], npart: int,

@@ -240,3 +240,41 @@ def test_slab_salt_map_bounds_group_size():
     # no splits when groups sit well under the fair share (the normal
     # regime: #slabs > npart, uniform coverage)
     assert _slab_salt_map([((0, 0, s), 100) for s in range(16)], 8) == {}
+
+
+def test_degrid_kernel_carries_payload_no_rowid_join(spark):
+    """r14 plan shape: the kernel path carries the payload THROUGH the
+    cogroup and unions the out-of-bounds rows back — no row_id
+    re-shuffle (SortMergeJoin/ShuffledHashJoin) anywhere in the plan.
+    Payload columns (including a non-numeric one) must survive
+    bit-identical next to the models, on both in- and out-of-bounds
+    rows."""
+    from cngi_prototype_spark.plans import explain_formatted
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # ±6000 m: a real mix of in-bounds rows and out-of-bounds NULLs
+    vis = pd.DataFrame({
+        "row_id": np.arange(n),
+        "u": rng.uniform(-6e3, 6e3, n), "v": rng.uniform(-6e3, 6e3, n),
+        "freq": np.full(n, 1.0e9),
+        "chan": np.zeros(n, np.int32), "pol": np.zeros(n, np.int32),
+        "data_re": rng.normal(size=n), "data_im": rng.normal(size=n),
+        "tag": [f"t{i%5}" for i in range(n)],
+    })
+    grid_pdf = pd.DataFrame({
+        "chan": [0], "pol": [0], "u_idx": [16], "v_idx": [16],
+        "grid_re": [1.0], "grid_im": [0.0]})
+    vdf, gdf = spark.createDataFrame(vis), spark.createDataFrame(grid_pdf)
+    df = degrid_visibilities(vdf, gdf, GP, variant="kernel")
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan and "Union" in plan
+    out = df.toPandas().sort_values("row_id").reset_index(drop=True)
+    assert len(out) == n
+    assert list(out.columns) == list(vis.columns) + ["model_re", "model_im"]
+    for c in ["u", "v", "data_re", "data_im"]:
+        np.testing.assert_array_equal(out[c].to_numpy(), vis[c].to_numpy())
+    assert (out["tag"] == vis["tag"]).all()
+    # both regimes present; OOB rows have NULL models with intact payload
+    assert out.model_re.isna().any() and (~out.model_re.isna()).any()
