@@ -47,15 +47,26 @@ def test_scan_parser_on_real_plan(spark):
 
 
 def test_shuffle_totals_delta(spark):
-    from pyspark.sql import functions as F
-
+    # shuffle_totals sums the AppStatusStore, which EVICTS old stages
+    # past spark.ui.retainedStages (the bench raises it to 100000 for
+    # exactly this reason; the shared test session keeps the default).
+    # In a long-lived session an eviction between the two samples can
+    # shrink the total by more than a tiny query adds, so (a) shuffle
+    # enough bytes to swamp any plausible eviction churn and (b) retry
+    # once if an eviction still lands inside the window.
     from cngi_prototype_spark.plans.inspect import shuffle_totals
 
-    s0 = shuffle_totals(spark)
-    assert s0 is not None  # py4j surface present on this Spark
-    spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count() \
-        .collect()
-    s1 = shuffle_totals(spark)
+    assert shuffle_totals(spark) is not None  # py4j surface present
+    from pyspark.sql import functions as F
+    big = (spark.range(3_000_000)
+           .select("id", F.col("id").alias("b"))
+           .repartition(8))  # ~48 MB shuffled; noop keeps the columns
+    for _ in range(2):
+        s0 = shuffle_totals(spark)
+        big.write.format("noop").mode("overwrite").save()
+        s1 = shuffle_totals(spark)
+        if s1["write"] > s0["write"] and s1["read"] > s0["read"]:
+            break
     assert s1["write"] > s0["write"]
     assert s1["read"] > s0["read"]
 
