@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     # checkpoint at the classifier->selector diamond)
     "nb_classify",
     "dsir_select",
+    # round-15: shared-scan fusion of the 8-operator flag suite (one
+    # events materialization, 18 parquet scans -> 0 in the final plan);
+    # a NEW entry — `flagging_suite` keeps timing the declared unfused
+    # gate form for round-over-round comparability
+    "flagging_suite_fused",
 ]
 
 
@@ -1287,14 +1292,7 @@ def main() -> None:
                 # bench session runs several thousand)
                 "spark.ui.retainedStages": "100000"}
 
-    # The baseline-comparison tier runs FIRST, in its own process: a
-    # new SparkSession in this process would reuse the py4j JVM, and
-    # even a subprocess started after the 40-query session competes
-    # with the parent JVM's retained heap — measured 5.8 s standalone
-    # vs 6.9-7.5 s when anything else has run (vs_baseline 0.93 vs
-    # 1.1-1.22 for the identical plan). First = genuinely cold machine.
-    chiles, chiles_err = _chiles_in_subprocess(sf_dir, cpus)
-
+    t_bench0 = time.time()
     spark = initialize_framework(cores=cpus, app_name="bench",
                                  shuffle_partitions=cpus,
                                  extra_conf=gc_quiet)
@@ -1437,6 +1435,24 @@ def main() -> None:
                                 if len(rs) > runs),
     }
 
+    # The baseline-comparison (CHILES) tier runs in its own subprocess
+    # (own cold JVM) but AFTER the main query tier (r15; it ran FIRST
+    # through r14). Rationale: the r14 driver artifacts show one
+    # degraded chiles window can consume the entire outer bench budget
+    # before a single per-query number lands (the 8-core run lost the
+    # subprocess to its 2400 s timeout and the 32-core run rc=124'd).
+    # Running it late trades a slightly warmer machine (a subprocess
+    # after the query session measured ~6.9-7.5 s vs 5.8 s standalone
+    # on the round-12 tier — well inside the 2x vs_baseline budget)
+    # for the guarantee that the high-value per-query tier is always
+    # in the artifact; the tier's internal deadline (see _chiles_tier)
+    # bounds its worst case either way. Nudge the parent JVM to give
+    # heap back before the child starts.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    chiles, chiles_err = _chiles_in_subprocess(sf_dir, cpus)
     if chiles is None:
         # fallback: measure in-process (degraded but recorded as such).
         # GUARDED: this re-run shares the main session's JVM (heap size
@@ -1445,10 +1461,16 @@ def main() -> None:
         # crashed the process and no bench line printed at all. A dead
         # chiles tier now degrades to chiles: {"error": ...} in the
         # artifact instead of costing the whole round its bench.
+        # The fallback REUSES the shared session and never stops it:
+        # initialize_framework getOrCreate()-s the same SparkContext in
+        # this process, and the r14 8-core driver bench died exactly
+        # here — the fallback's session stop tore down the context and
+        # every later tier (ladder/contract) ConnectionRefused'd.
         try:
             spark.catalog.clearCache()
-            chiles = _chiles_tier(sf_dir, cpus, gc_quiet)
+            chiles = _chiles_tier(sf_dir, cpus, gc_quiet, spark=spark)
             chiles["in_process_fallback"] = chiles_err
+            spark.catalog.clearCache()
         except Exception as e:
             chiles = {"error": f"subprocess: {chiles_err}; in-process "
                                f"{type(e).__name__}: {e}"[:300]}
@@ -1456,55 +1478,83 @@ def main() -> None:
         timings["imaging_chiles_frac"] = chiles.pop("_uniform_sec")
         timings["imaging_chiles_frac_skew"] = chiles.pop("_skew_sec")
 
+    # Diagnostic tiers (ladder/recall/store): skip what no longer fits
+    # the outer window instead of letting the whole artifact rc=124 —
+    # the driver records a skipped tier, not a missing bench. Budget is
+    # wall-clock since the main session started, parameterised for
+    # slower hosts; the per-query tier and chiles above always run.
+    bench_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE",
+                                          "2700"))
+
+    def _over_budget(tier: str):
+        elapsed = time.time() - t_bench0
+        if elapsed <= bench_deadline:
+            return None
+        return {"skipped": f"bench deadline: {elapsed:.0f}s elapsed > "
+                           f"{bench_deadline:.0f}s budget before {tier}"}
+
     ladder = None
     ladder_mult = int(os.environ.get("SPARK_GRAFT_LADDER", "10"))
     if ladder_mult > 1:
         try:
-            spark.catalog.clearCache()
-            ladder = run_ladder(spark, sf_dir, ladder_mult)
+            ladder = _over_budget("ladder")
+            if ladder is None:
+                spark.catalog.clearCache()
+                ladder = run_ladder(spark, sf_dir, ladder_mult)
         except Exception as e:  # ladder is diagnostic: never break bench
             ladder = {"error": f"{type(e).__name__}: {e}"}
 
     pipeline_sf1 = None
     if ladder_mult > 1:
         try:
-            spark.catalog.clearCache()
-            pipeline_sf1 = run_pipeline_sf1(spark, sf_dir, ladder_mult)
+            pipeline_sf1 = _over_budget("pipeline_sf1")
+            if pipeline_sf1 is None:
+                spark.catalog.clearCache()
+                pipeline_sf1 = run_pipeline_sf1(spark, sf_dir,
+                                                ladder_mult)
         except Exception as e:  # diagnostic: never break bench
             pipeline_sf1 = {"error": f"{type(e).__name__}: {e}"}
 
     ivfpq_curve = None
     if ladder_mult > 1:
         try:
-            spark.catalog.clearCache()
-            ivfpq_curve = run_ivfpq_recall_curve(spark, sf_dir,
-                                                 ladder_mult)
+            ivfpq_curve = _over_budget("ivfpq_recall_curve")
+            if ivfpq_curve is None:
+                spark.catalog.clearCache()
+                ivfpq_curve = run_ivfpq_recall_curve(spark, sf_dir,
+                                                     ladder_mult)
         except Exception as e:  # diagnostic: never break bench
             ivfpq_curve = {"error": f"{type(e).__name__}: {e}"}
 
     ann_contract = None
     if ladder_mult > 1:
         try:
-            spark.catalog.clearCache()
-            ann_contract = run_ann_recall_contract(spark, sf_dir,
-                                                   ladder_mult)
+            ann_contract = _over_budget("ann_recall_contract")
+            if ann_contract is None:
+                spark.catalog.clearCache()
+                ann_contract = run_ann_recall_contract(spark, sf_dir,
+                                                       ladder_mult)
         except Exception as e:  # diagnostic: never break bench
             ann_contract = {"error": f"{type(e).__name__}: {e}"}
 
     store_serving = None
     if ladder_mult > 1:
         try:
-            spark.catalog.clearCache()
-            store_serving = run_store_serving_ladder(spark, sf_dir,
-                                                     ladder_mult)
+            store_serving = _over_budget("store_serving")
+            if store_serving is None:
+                spark.catalog.clearCache()
+                store_serving = run_store_serving_ladder(spark, sf_dir,
+                                                         ladder_mult)
         except Exception as e:  # diagnostic: never break bench
             store_serving = {"error": f"{type(e).__name__}: {e}"}
 
     ladder_100x = None
     if int(os.environ.get("SPARK_GRAFT_LADDER100", "1")):
         try:
-            spark.catalog.clearCache()
-            ladder_100x = run_ladder_100x(spark, sf_dir)
+            ladder_100x = _over_budget("ladder_100x")
+            if ladder_100x is None:
+                spark.catalog.clearCache()
+                ladder_100x = run_ladder_100x(spark, sf_dir)
         except Exception as e:  # diagnostic: never break bench
             ladder_100x = {"error": f"{type(e).__name__}: {e}"}
 
@@ -1603,9 +1653,15 @@ def _chiles_in_subprocess(sf_dir: str, cpus: int):
                  # SPARK_GRAFT_MEM still wins.
                  "SPARK_GRAFT_MEM": os.environ.get("SPARK_GRAFT_MEM",
                                                    "32g")},
-            # 16 interleaved pairs at heavy-steal run times must fit:
-            # worst measured pair ~85 s -> ~23 min ceiling + startup
-            capture_output=True, text=True, timeout=2400)
+            # outer cap = the tier's internal deadline (default 900 s,
+            # see _chiles_tier) + startup/materialize/teardown margin;
+            # the internal deadline is what normally bounds a degraded
+            # window — this timeout is the backstop for a hung child
+            capture_output=True, text=True,
+            timeout=float(os.environ.get(
+                "SPARK_GRAFT_CHILES_TIMEOUT",
+                str(float(os.environ.get("SPARK_GRAFT_CHILES_DEADLINE",
+                                         "900")) + 600))))
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -1629,7 +1685,9 @@ def _settled(rs: list[float], window: float = 1.15) -> bool:
 
 
 def _interleaved_runs(img_u, img_s, base: int = 6,
-                      extra: int = 10) -> tuple[list[float], list[float]]:
+                      extra: int = 10,
+                      deadline_at: float | None = None,
+                      ) -> tuple[list[float], list[float]]:
     """Interleaved uniform/skew timed runs with a settle criterion.
 
     Interleaving makes the uniform/skew RATIO steal-invariant evidence:
@@ -1650,6 +1708,11 @@ def _interleaved_runs(img_u, img_s, base: int = 6,
     # samples; calm windows still stop at the base 6 pairs.
     for i in range(base + extra):
         if i >= base and _settled(u_runs) and _settled(s_runs):
+            break
+        # internal deadline (r15): stop STARTING pairs once past it,
+        # but always complete at least one timed pair so the tier is
+        # never empty — see _chiles_tier
+        if i >= 1 and deadline_at is not None and time.time() > deadline_at:
             break
         t0 = time.time()
         _run(img_u)
@@ -1714,15 +1777,34 @@ class _StealMonitor:
         }
 
 
-def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
+def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict,
+                 spark=None) -> dict:
     """The tier itself (fresh session in THIS process; `--chiles-tier`
     mode calls it from a fresh process). Returns the chiles dict plus
-    `_uniform_sec`/`_skew_sec` for the timings table."""
+    `_uniform_sec`/`_skew_sec` for the timings table.
+
+    ``spark``: an existing session to REUSE (the in-process fallback
+    path). In that mode the session is never stopped here — in local
+    mode it is the process-wide SparkContext, and stopping it kills
+    every tier that follows (the r14 8-core driver failure).
+
+    The tier carries an internal deadline
+    (``SPARK_GRAFT_CHILES_DEADLINE``, seconds, default 900): once
+    elapsed tier time passes it, remaining interleaved pairs are
+    skipped and the runs recorded so far are emitted (flagged
+    ``deadline_hit``). One degraded window can therefore never eat the
+    bench's outer budget — the worst measured heavy-steal pair was
+    ~85 s, so even a late deadline check strands at most ~2 runs."""
+    deadline = float(os.environ.get("SPARK_GRAFT_CHILES_DEADLINE",
+                                    "900"))
+    t_tier0 = time.time()
     mon = _StealMonitor()
     mon.start()
-    spark = initialize_framework(cores=cpus, app_name="bench_chiles",
-                                 shuffle_partitions=cpus,
-                                 extra_conf=gc_quiet)
+    own_session = spark is None
+    if own_session:
+        spark = initialize_framework(cores=cpus, app_name="bench_chiles",
+                                     shuffle_partitions=cpus,
+                                     extra_conf=gc_quiet)
     _run(spark.read.parquet(f"{sf_dir}/region.parquet"))
     # Build and persist BOTH tiers up front (uniform + skewed uv): the
     # timed runs interleave (see _interleaved_runs), so both cached vis
@@ -1749,13 +1831,19 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
     # see directly); the min is the engine's throughput, the max is
     # the host's mood, and interleaving keeps the uniform/skew ratio
     # honest through bursts.
-    for _ in range(2):
+    for i in range(2):
+        # at least one priming pair always runs; the second is skipped
+        # when the window is so degraded the deadline is already close
+        if i and time.time() - t_tier0 > 0.5 * deadline:
+            break
         _run(img)
         _run(img_s)
     uniform_runs, skew_runs = _interleaved_runs(
         img, img_s,
         base=int(os.environ.get("SPARK_GRAFT_CHILES_PAIRS", "6")),
-        extra=int(os.environ.get("SPARK_GRAFT_CHILES_EXTRA", "10")))
+        extra=int(os.environ.get("SPARK_GRAFT_CHILES_EXTRA", "10")),
+        deadline_at=t_tier0 + deadline)
+    deadline_hit = time.time() - t_tier0 > deadline
     chiles_sec = min(uniform_runs)
     taps_per_s_core = n_vis * _CHILES_TAPS / chiles_sec / cpus
     skew_sec = min(skew_runs)
@@ -1796,11 +1884,16 @@ def _chiles_tier(sf_dir: str, cpus: int, gc_quiet: dict) -> dict:
         "steal_suspected": bool(
             max(uniform_runs) / min(uniform_runs) > 2.0
             or max(skew_runs) / min(skew_runs) > 2.0),
+        # True when the internal deadline cut the interleave loop short
+        # (the emitted runs are whatever had completed — min still
+        # valid, settle flags above say how trustworthy)
+        "deadline_hit": deadline_hit,
         **mon.stats(),
         "_uniform_sec": chiles_sec,
         "_skew_sec": skew_sec,
     }
-    spark.stop()
+    if own_session:
+        spark.stop()
     return chiles
 
 

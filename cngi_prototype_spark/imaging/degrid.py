@@ -25,7 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cngi_prototype_spark.imaging.grid import GridParms, _cgk_at, _scaled_pos
+from cngi_prototype_spark.imaging.grid import (
+    GridParms,
+    _cgk_at,
+    _flit_arr,
+    _scaled_pos,
+    _tap_explode,
+    _tap_iu_iv,
+)
 from cngi_prototype_spark.imaging.kernels import pswf
 
 _BROADCAST_CELLS = 4_000_000
@@ -85,17 +92,21 @@ def degrid_visibilities(
                  & (F.col("_v_c") + half < gp.n_v) & (F.col("_v_c") - half >= 0))
     geom = geom.withColumn("_ok", in_bounds)
 
-    cgk_lit = F.array(*[F.lit(float(x)) for x in gp.kernel_1d()])
-    taps = F.array(*[F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
-                     for iu, iv in gp.taps()])
+    # kernel LUT + tap indices built driver-cheap (r15): one expr-string
+    # array literal and one exploded sequence instead of ~900 py4j
+    # round trips per build — see grid.py _flit_arr/_tap_explode
+    cgk_lit = _flit_arr(gp.kernel_1d())
+    sup, lo = gp.support, -gp.half
+    tiu, tiv = _tap_iu_iv(sup, lo)
+    sel = [row_id, chan, pol, "_u_c", "_v_c", "_du", "_dv"]
     e = (geom.filter("_ok")
-         .select(row_id, chan, pol, "_u_c", "_v_c", "_du", "_dv",
-                 F.explode(taps).alias("_tap")))
-    conv = (_cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
-            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iv") * gp.oversampling + F.col("_dv")))
+         .select(*sel, _tap_explode(sup, lo))
+         .select(*sel, tiu.alias("_tiu"), tiv.alias("_tiv")))
+    conv = (_cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tiu") * gp.oversampling + F.col("_du"))
+            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tiv") * gp.oversampling + F.col("_dv")))
     e = e.select(row_id, chan, pol,
-                 (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
-                 (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"),
+                 (F.col("_u_c") + F.col("_tiu")).alias("u_idx"),
+                 (F.col("_v_c") + F.col("_tiv")).alias("v_idx"),
                  conv.alias("_conv"))
 
     g = grid_df
@@ -166,14 +177,25 @@ def _degrid_kernel(
     receives every vis column and emits them back next to the model
     columns, and out-of-bounds rows bypass the cogroup via a
     shuffle-free union with NULL models. The corpus is therefore
-    scanned once and shuffled once (the cogroup exchange); the old
-    shape re-scanned the vis side and sort-merge-joined the model
-    columns back on ``row_id`` — two more corpus-sized exchanges +
-    sorts that only existed to re-attach two doubles. Per-row model
-    values are unchanged (same gather, same NULL rules); the only
-    semantic difference is under DUPLICATE ``row_id`` values, where
-    the old join multiplied rows and this form stays strictly
-    one-output-row-per-input-row (the documented contract).
+    SHUFFLED once (the cogroup exchange); the remaining scans are
+    cheap column-pruned re-reads (the out-of-bounds union branch
+    re-reads the vis source). The old shape re-scanned the vis side
+    and sort-merge-joined the model columns back on ``row_id`` — two
+    more corpus-sized exchanges + sorts that only existed to re-attach
+    two doubles. Per-row model values are unchanged (same gather, same
+    NULL rules); the only semantic difference is under DUPLICATE
+    ``row_id`` values, where the old join multiplied rows and this
+    form stays strictly one-output-row-per-input-row (the documented
+    contract).
+
+    The cogroup runs ``applyInArrow`` (r15; was ``applyInPandas``):
+    payload columns cross the boundary as raw Arrow arrays and are
+    sliced back into the result untouched — the pandas round-trip
+    coerced a nullable integer column to float64 (NULL forces the
+    dtype), silently corrupting int64 payloads past 2^53. Only the
+    four geometry columns are ever materialized to numpy; every other
+    column is type-preserving end to end (nullable ints, timestamps,
+    decimals, nested types included).
     """
     W = int(slab_w)
     half, support, ov = gp.half, gp.support, gp.oversampling
@@ -217,28 +239,35 @@ def _degrid_kernel(
         + [T.StructField(out[0], T.DoubleType()),
            T.StructField(out[1], T.DoubleType())])
 
-    def slab_fn(key: tuple, vpdf: pd.DataFrame,
-                gpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(vpdf):
-            res = vpdf[vis_cols].copy()
-            res[out[0]] = pd.Series(dtype="float64")
-            res[out[1]] = pd.Series(dtype="float64")
-            return res
-        s = int(key[2])
-        base = s * W - half
+    def _np(col, dtype):
+        # ChunkedArray -> numpy; the geometry columns are non-null by
+        # construction (in-bounds filter), so this never sees a mask
+        return col.to_numpy(zero_copy_only=False).astype(dtype,
+                                                         copy=False)
+
+    def slab_fn(key: tuple, vtab, gtab):
+        import pyarrow as pa
+
+        f64 = pa.float64()
+        if not vtab.num_rows:
+            res = vtab.select(vis_cols)
+            return (res.append_column(out[0], pa.array([], type=f64))
+                    .append_column(out[1], pa.array([], type=f64)))
+        s = key[2].as_py() if hasattr(key[2], "as_py") else int(key[2])
+        base = int(s) * W - half
         h = W + 2 * half
         plane = np.zeros((h, n_v), np.complex128)
-        if len(gpdf):
-            ui = gpdf["u_idx"].to_numpy(np.int64) - base
+        if gtab.num_rows:
+            ui = _np(gtab.column("u_idx"), np.int64) - base
             keep = (ui >= 0) & (ui < h)
             plane[ui[keep],
-                  gpdf["v_idx"].to_numpy(np.int64)[keep]] = (
-                gpdf["grid_re"].to_numpy(np.float64)[keep]
-                + 1j * gpdf["grid_im"].to_numpy(np.float64)[keep])
-        uc = vpdf["_u_c"].to_numpy(np.int64)
-        vc = vpdf["_v_c"].to_numpy(np.int64)
-        fu = lut[vpdf["_du"].to_numpy(np.int64) + 128]  # (n, support)
-        fv = lut[vpdf["_dv"].to_numpy(np.int64) + 128]
+                  _np(gtab.column("v_idx"), np.int64)[keep]] = (
+                _np(gtab.column("grid_re"), np.float64)[keep]
+                + 1j * _np(gtab.column("grid_im"), np.float64)[keep])
+        uc = _np(vtab.column("_u_c"), np.int64)
+        vc = _np(vtab.column("_v_c"), np.int64)
+        fu = lut[_np(vtab.column("_du"), np.int64) + 128]  # (n, support)
+        fv = lut[_np(vtab.column("_dv"), np.int64) + 128]
         n = len(uc)
         acc = np.empty(n, np.complex128)
         norm = np.empty(n, np.float64)
@@ -254,13 +283,12 @@ def _degrid_kernel(
         with np.errstate(invalid="ignore"):
             model = np.where(norm > 0, acc / np.where(norm > 0, norm, 1),
                              np.nan + 0j)
-        res = vpdf[vis_cols].copy()
-        res[out[0]] = model.real
-        res[out[1]] = model.imag
-        bad = norm <= 0
-        if bad.any():  # NULL, not NaN — the explode-path convention
-            res.loc[bad, [out[0], out[1]]] = None
-        return res
+        bad = norm <= 0  # NULL, not NaN — the explode-path convention
+        res = vtab.select(vis_cols)
+        return (res.append_column(
+                    out[0], pa.array(model.real, type=f64, mask=bad))
+                .append_column(
+                    out[1], pa.array(model.imag, type=f64, mask=bad)))
 
     keys = [chan, pol, "_s"]
     if salt_probe:
@@ -268,12 +296,14 @@ def _degrid_kernel(
         npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cnts = [((int(r[chan]), int(r[pol]), int(r["_s"])), int(r["count"]))
                 for r in vsel.groupBy(chan, pol, "_s").count().collect()]
-        # the pandas frame now carries the payload columns too, so the
-        # ~64 MB byte budget must use the actual row width (~8 B per
-        # numeric column), not the old fixed 7-column estimate
+        # the cogroup frame carries the payload columns too, so the
+        # ~64 MB byte budget must use the actual row width — estimated
+        # per field TYPE (variable-width string/binary columns are
+        # charged 48 B, not the 8 B a fixed per-column constant assumed,
+        # so a fat text payload can't silently blow the frame budget)
         hot = _slab_salt_map(
             cnts, npart,
-            cap_rows=(64 << 20) // max(56, 8 * (len(vsel.columns) + 1)))
+            cap_rows=(64 << 20) // max(56, _est_row_bytes(vsel.schema)))
         if hot:
             hot_df = spark.createDataFrame(
                 [(c, p, s, n) for (c, p, s), n in hot.items()],
@@ -297,7 +327,7 @@ def _degrid_kernel(
             keys = keys + ["_sub"]
     keyed = (vsel.groupBy(*keys)
              .cogroup(gsel.groupBy(*keys))
-             .applyInPandas(slab_fn, schema))
+             .applyInArrow(slab_fn, schema))
     # out-of-bounds rows (incl. NULL geometry) never reach the cogroup;
     # they rejoin the result through a shuffle-free union with NULL
     # models — the left-join NULL semantics of the old shape, without
@@ -309,6 +339,21 @@ def _degrid_kernel(
     return keyed.unionByName(oob)
 
 
+def _est_row_bytes(schema: T.StructType) -> int:
+    """Conservative in-memory row-width estimate for the cogroup frame
+    budget: fixed-width types at their natural width, variable-width
+    (string/binary) charged 48 B each, anything exotic (nested/decimal)
+    32 B — errs HIGH so the ~64 MB frame cap errs toward more
+    sub-buckets, never an oversized in-memory frame."""
+    width = 8  # frame/offset overhead per row
+    fixed = {"double": 8, "long": 8, "timestamp": 8, "integer": 4,
+             "float": 4, "date": 4, "short": 2, "byte": 1, "boolean": 1}
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        width += fixed.get(t, 48 if t in ("string", "binary") else 32)
+    return width
+
+
 def _slab_salt_map(cnts: list[tuple[tuple, int]], npart: int,
                    cap_rows: int = (64 << 20) // 56,
                    ) -> dict[tuple, int]:
@@ -316,10 +361,10 @@ def _slab_salt_map(cnts: list[tuple[tuple, int]], npart: int,
     vis counts. A group splits when it exceeds a core's fair share
     (wall-clock: the stage runs at ~max(total/npart, max_group), so
     splitting smaller groups buys nothing — grid.py's fair-share
-    trigger) or when its pandas frame would outgrow ~64 MB at ~56 B
-    per 7-column row (memory: ``applyInPandas`` materializes the whole
-    group). The fairness factor is npart-bounded; the byte factor is
-    not — memory correctness beats scheduling granularity."""
+    trigger) or when its Arrow frame would outgrow ~64 MB at the
+    schema-estimated row width (memory: the cogroup materializes the
+    whole group). The fairness factor is npart-bounded; the byte
+    factor is not — memory correctness beats scheduling granularity."""
     if not cnts:
         return {}
     total = sum(n for _, n in cnts)

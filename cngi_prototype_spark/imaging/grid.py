@@ -134,6 +134,27 @@ def _prepare(df: DataFrame, gp: GridParms, u: str, v: str, freq: str,
     )
 
 
+# one-py4j-call array literals — shared with the ANN tier; see
+# functions/lits.py for the build-cost and value-exactness notes
+from cngi_prototype_spark.functions.lits import flit_arr as _flit_arr  # noqa: E402
+
+
+def _tap_explode(sup: int, lo: int, alias: str = "_ti") -> Column:
+    """Tap-index explode: ``sequence(0, sup²-1)`` instead of a literal
+    array of sup² (iu, iv) structs — the struct form costs ~3·sup²
+    py4j calls per build (289 structs at CHILES support 17). The
+    (iu, iv) pair derives from the index in-row (div/mod, two codegen
+    int ops); enumeration order is identical to ``GridParms.taps()``
+    (iu-major), so per-partition addend order is unchanged."""
+    return F.explode(F.sequence(F.lit(0), F.lit(sup * sup - 1))).alias(alias)
+
+
+def _tap_iu_iv(sup: int, lo: int, idx: str = "_ti") -> tuple[Column, Column]:
+    iu = (F.expr(f"{idx} div {sup}") + F.lit(lo)).cast("int")
+    iv = (F.pmod(F.col(idx), F.lit(sup)) + F.lit(lo)).cast("int")
+    return iu, iv
+
+
 def _cgk_at(cgk_lit: Column, ov: int, tap: int, off: Column) -> Column:
     # kernel lookup cgk[abs(oversampling·i_tap + frac_idx)] (SG:345-355)
     return F.element_at(cgk_lit, F.abs(F.lit(ov * tap) + off) + 1)
@@ -224,7 +245,7 @@ def grid_visibilities(
                                          F.col(weight)).otherwise(0.0))
             .withColumn("_w_psf", F.coalesce(F.col(weight), F.lit(0.0))))
     cgk = gp.kernel_1d()
-    cgk_lit = F.array(*[F.lit(float(x)) for x in cgk])
+    cgk_lit = _flit_arr(cgk)
 
     def agg(c: Column) -> Column:
         if not precise:
@@ -267,7 +288,7 @@ def grid_visibilities(
         for x in terms[1:]:
             acc = acc + x
         norm_vals.append(acc)
-    norm_arr = F.array(*[F.lit(v) for v in norm_vals])
+    norm_arr = _flit_arr(norm_vals)
     nu = F.element_at(norm_arr, F.col("_du") + F.lit(half_ov + 1))
     nv = F.element_at(norm_arr, F.col("_dv") + F.lit(half_ov + 1))
     w_img = F.col("_w_img") if psf_fused else F.col(weight)
@@ -298,10 +319,6 @@ def grid_visibilities(
         sum_weight = pre.groupBy(chan, pol).agg(*fin_aggs)
 
     if variant == "explode":
-        taps = F.array(*[
-            F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
-            for iu, iv in gp.taps()
-        ])
         sel = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re",
                "_wd_im"]
         if with_psf:
@@ -316,10 +333,17 @@ def grid_visibilities(
             # fallback rebuilds the norm array literal per row
             # (measured 2.3 s -> 38.7 s on dirty_image at sf0.1).
             sel.append("_w_img" if psf_fused else weight)
-        e = prepared.select(*sel, F.explode(taps).alias("_tap"))
+        # tap indices from ONE exploded sequence (r15; was a literal
+        # array of support² structs — ~3·support² py4j calls per query
+        # build): same enumeration order as gp.taps(), two int ops per
+        # exploded row in codegen
+        sup, lo = gp.support, -gp.half
+        tiu, tiv = _tap_iu_iv(sup, lo)
+        e = (prepared.select(*sel, _tap_explode(sup, lo))
+             .select(*sel, tiu.alias("_tiu"), tiv.alias("_tiv")))
         conv = (
-            _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iu") * gp.oversampling + F.col("_du"))
-            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tap.iv") * gp.oversampling + F.col("_dv"))
+            _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tiu") * gp.oversampling + F.col("_du"))
+            * _cgk_at(cgk_lit, gp.oversampling, 0, F.col("_tiv") * gp.oversampling + F.col("_dv"))
         )
         aggs = [agg(conv * F.col("_wd_re")).alias("grid_re"),
                 agg(conv * F.col("_wd_im")).alias("grid_im")]
@@ -332,7 +356,7 @@ def grid_visibilities(
             # in precise mode quantize per row so the exact same BIGINT
             # quanta the standalone branch would sum flow through both
             # aggregation levels
-            center = (F.col("_tap.iu") == 0) & (F.col("_tap.iv") == 0)
+            center = (F.col("_tiu") == 0) & (F.col("_tiv") == 0)
             swt = (F.col("_w_img") if psf_fused else F.col(weight)) * (nu * nv)
             swpt = F.col("_w_psf") * (nu * nv) if psf_fused else None
             if precise:
@@ -345,8 +369,8 @@ def grid_visibilities(
         grid = (
             e.groupBy(
                 chan, pol,
-                (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
-                (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"),
+                (F.col("_u_c") + F.col("_tiu")).alias("u_idx"),
+                (F.col("_v_c") + F.col("_tiv")).alias("v_idx"),
             )
             .agg(*aggs)
         )

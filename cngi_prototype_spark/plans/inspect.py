@@ -78,6 +78,47 @@ def shuffle_totals(spark) -> dict[str, int] | None:
         return None
 
 
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate, or ``None``
+    when it cannot be read — the job-free way to pick a plan SHAPE by
+    input size (both shapes must compute identical values; estimates
+    are never allowed to change a result).
+
+    PySpark exposes no public statistics API (Dataset.queryExecution
+    is JVM-only), so this goes through ``_jdf`` — wrapped here, once,
+    with the failure mode pinned: any py4j/attribute drift across Spark
+    versions returns ``None`` and the caller falls back to its
+    conservative default branch.
+
+    Known blind spots of the estimator (document at the call site which
+    direction is safe):
+    - over a ``localCheckpoint``/``ExistingRDD`` input there are no
+      column stats and the estimate degrades to
+      ``spark.sql.defaultSizeInBytes`` (Long.Max) — a huge
+      OVER-estimate;
+    - file-source estimates are the COMPRESSED on-disk size times an
+      expansion factor, so heavily compressed columns under-estimate
+      their in-memory width.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:  # noqa: BLE001 — version-drift guard, see docstring
+        return None
+
+
+def estimated_rows(df: DataFrame, bytes_per_row: int) -> int | None:
+    """Row-count estimate derived from :func:`estimated_size_bytes`
+    with a caller-supplied (deliberately LOW) bytes-per-row divisor, so
+    the result errs toward OVER-estimating rows. Callers must only use
+    it where the over-estimate direction is the safe/conservative
+    branch. Returns ``None`` when no estimate is available."""
+    size = estimated_size_bytes(df)
+    if size is None:
+        return None
+    return max(1, size // max(1, bytes_per_row))
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when a HashAggregate appears upstream of an Exchange that is
     followed by the final HashAggregate — Spark's map-side combine."""

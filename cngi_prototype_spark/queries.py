@@ -30,6 +30,7 @@ synthetic cube. Reference citations live in the operator docstrings.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,7 +110,27 @@ def _precise() -> bool:
     return PRECISE
 
 
+# Source override for shared-scan fusion (r15, flagging_suite_fused):
+# inside the context manager every `_t(..., "events")` returns the
+# given DataFrame (a checkpointed single materialization) instead of a
+# fresh parquet scan. Queries are built sequentially on the driver, so
+# a module global is safe; the override never leaks past the `with`.
+_EVENTS_OVERRIDE: DataFrame | None = None
+
+
+@contextmanager
+def _events_source(df: DataFrame):
+    global _EVENTS_OVERRIDE
+    _EVENTS_OVERRIDE = df
+    try:
+        yield
+    finally:
+        _EVENTS_OVERRIDE = None
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events" and _EVENTS_OVERRIDE is not None:
+        return _EVENTS_OVERRIDE
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -4924,6 +4945,28 @@ def flagging_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register("flagging_suite_fused", None)  # rows-only: the oracle window
+# is full (50/50) and the values are the gated flagging_suite's — the
+# fused/unfused row-set identity is unit-tested instead
+def flagging_suite_fused_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-scan variant of :func:`flagging_suite_q` (r15, guide
+    §2.4/§6): the eight flag operators each derive their base
+    projection from the same events table, costing the unfused plan 18
+    parquet scans of one source. Here the raw events are materialized
+    ONCE (eager localCheckpoint) and every operator reads that
+    ExistingRDD — one events scan total (inside the checkpoint job),
+    zero in the final plan. Values are identical by construction: the
+    checkpoint holds the exact scan output, and each operator applies
+    the same expressions to it (fused-vs-unfused row equality is
+    pinned by tests/test_flags.py). Opt-in (a separate bench entry and
+    a separate registry name): at 100 TB re-scanning a column-pruned
+    parquet source 18x and materializing it once are different
+    I/O-vs-storage trades — callers pick per deployment."""
+    ev = _t(spark, sf_dir, "events").localCheckpoint()
+    with _events_source(ev):
+        return flagging_suite_q(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

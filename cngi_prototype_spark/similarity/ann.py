@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cngi_prototype_spark.functions.lits import flit_arr, flit_arr2d
+
 
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -306,7 +308,7 @@ def _argmax_dot(vec: Column, centroids: list[list[float]]) -> Column:
     and the identical first-match semantics as the DuckDB twin's
     ``list_position(l, list_max(l))``."""
     def dot(i: int) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
+        lit = flit_arr(centroids[i])
         return F.aggregate(F.zip_with(vec, lit, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
@@ -385,7 +387,7 @@ def probe_cells(
     entries, so per-row cost is O(k + nprobe log nprobe))."""
     if len(centroids) <= max_codegen_k:
         def qdot(i: int) -> Column:
-            lit = F.array(*[F.lit(float(x)) for x in centroids[i]])
+            lit = flit_arr(centroids[i])
             return F.aggregate(
                 F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
                 F.lit(0.0), lambda acc, x: acc + x)
@@ -576,6 +578,22 @@ def sql_ivf_topk(centroids: list[list[float]], k: int = 5, nprobe: int = 4,
     """
 
 
+def _estimated_corpus_rows(corpus: DataFrame) -> int:
+    """Job-free corpus row estimate for LSH plan decisions (r15; the
+    old ``corpus.count()`` cost a full pass over a derived corpus per
+    plan build). The 64 B/row divisor deliberately OVER-estimates rows
+    (a real embedding row is ~520 B on disk), because over-estimation
+    is the safe direction everywhere this is consumed: the
+    ``max_bucket`` cap engages (correct for any corpus) and signature
+    vectorization turns on (value-identical to the fold route —
+    parity-tested). Falls back to an exact count only when Catalyst
+    stats are unreadable (py4j drift)."""
+    from cngi_prototype_spark.plans.inspect import estimated_rows
+
+    est = estimated_rows(corpus, bytes_per_row=64)
+    return est if est is not None else corpus.count()
+
+
 def _lsh_tag(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -604,7 +622,7 @@ def _lsh_tag(
             F.when(
                 F.aggregate(
                     F.zip_with(F.col("uv"),
-                               F.array(*[F.lit(w) for w in planes[b][p]]),
+                               flit_arr(planes[b][p]),
                                lambda x, y: x * y),
                     F.lit(0.0), lambda acc, x: acc + x) >= 0, "1").otherwise("0")
             for p in range(planes_per_band)
@@ -618,11 +636,12 @@ def _lsh_tag(
     # come from ONE broadcast BLAS matmul per Arrow batch (sign of the
     # same dot; a flip would need |dot| within ~1e-15 of zero, and any
     # such pair is still found through its other bands).
-    # route choice needs only a size estimate: pass n_rows when the
-    # corpus is a derived pipeline (an exact count() would evaluate the
-    # whole upstream lineage once before the real work); on a plain
-    # table scan count() is metadata-cheap
-    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
+    # route choice needs only a size estimate: callers pass n_rows (or
+    # their own estimate); the default is the job-free Catalyst
+    # estimate — both routes are value-identical (parity-tested), so
+    # an estimate can only change the plan, never the rows
+    n_corpus = (int(n_rows) if n_rows is not None
+                else _estimated_corpus_rows(corpus))
     if n_corpus > vectorize_above:
         import numpy as np
         import pandas as pd
@@ -712,8 +731,17 @@ def cosine_pairs_lsh(
     import pandas as pd
 
     # one size estimate serves both tier routing (inside _lsh_tag) and
-    # the can-the-cap-bind check below
-    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
+    # the can-the-cap-bind check below. r15: no more corpus.count()
+    # job at plan build — Catalyst's size estimate with a deliberately
+    # LOW bytes-per-row divisor OVER-estimates rows, and over-estimate
+    # is the safe direction for BOTH consumers: the cap-bind check
+    # engages the (always-correct) window guardrail, and the signature
+    # route flips to the vectorized path, which is value-identical to
+    # the fold path (parity-tested; a sign flip needs |dot| ~ 1e-15).
+    # An under-estimate could silently DISABLE the cap, which is why
+    # the divisor (64 B/row vs the real ~520 B/row of a 64-dim
+    # embedding row) errs high by ~8x.
+    n_corpus = int(n_rows) if n_rows is not None else _estimated_corpus_rows(corpus)
     tagged = _lsh_tag(corpus, id_col, vec_col, dim, num_bands,
                       planes_per_band, seed, vectorize_above, n_corpus)
 
@@ -799,8 +827,11 @@ def cosine_lsh_skipped_vectors(
     :func:`cosine_pairs_lsh` disables the cap and scores EVERY bucket,
     so nothing was skipped — this returns empty rather than flagging
     over-cap buckets the pairs run actually examined (the two "same
-    arguments" calls must agree about what was checked)."""
-    n_corpus = int(n_rows) if n_rows is not None else corpus.count()
+    arguments" calls must agree about what was checked). The default
+    estimate here is the same job-free Catalyst estimate the pairs run
+    uses (:func:`_estimated_corpus_rows`), so the two calls agree by
+    construction."""
+    n_corpus = int(n_rows) if n_rows is not None else _estimated_corpus_rows(corpus)
     if n_corpus <= max_bucket:
         return (corpus.sparkSession.createDataFrame(
             [], "vec_id long, band int, sig string, bucket_n long"))
@@ -933,7 +964,7 @@ def lsh_topk(
                 F.aggregate(
                     F.zip_with(
                         v,
-                        F.array(*[F.lit(w) for w in planes[p]]),
+                        flit_arr(planes[p]),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),
@@ -1365,8 +1396,7 @@ def pq_encode(
         def code(j: int) -> Column:
             sub = _pq_sub(vec, j, dsub)
             dists = F.array(*[
-                F.lit(-2.0) * _dot(sub, F.array(*[F.lit(float(x))
-                                                  for x in cw]))
+                F.lit(-2.0) * _dot(sub, flit_arr(cw))
                 + F.lit(_cw_norm2(cw))
                 for cw in codebooks[j]])
             return (F.array_position(dists, F.array_min(dists)) - 1
@@ -1447,8 +1477,7 @@ def pq_topk(
 
         def qdots(j: int) -> Column:
             sub = _pq_sub(F.col("qv"), j, dsub)
-            return F.array(*[_dot(sub, F.array(*[F.lit(float(x))
-                                                 for x in cw]))
+            return F.array(*[_dot(sub, flit_arr(cw))
                              for cw in codebooks[j]])
 
         adc = None
@@ -1456,7 +1485,7 @@ def pq_topk(
         for j in range(m):
             dj = F.element_at(qdots(j), F.element_at(code, j + 1) + 1)
             nj = F.element_at(
-                F.array(*[F.lit(_cw_norm2(cw)) for cw in codebooks[j]]),
+                flit_arr([_cw_norm2(cw) for cw in codebooks[j]]),
                 F.element_at(code, j + 1) + 1)
             adc = dj if adc is None else adc + dj
             cn2 = nj if cn2 is None else cn2 + nj
@@ -1857,8 +1886,7 @@ def ivfpq_topk(
     if cells + cells * mm * kk <= max_codegen_cells:
         cc = assign_cells(c0, centroids, vec_col="cv",
                           max_codegen_k=max_codegen_cells)
-        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                             for c in centroids])
+        cent_arr = flit_arr2d(centroids)
         resid = F.zip_with(F.col("cv"),
                            F.element_at(cent_arr, F.col("cell") + 1),
                            lambda x, y: x - y)
@@ -1944,31 +1972,29 @@ def ivfpq_topk(
         # the ADC cosine hashes identically on both engines. Callers
         # opt in by raising max_codegen_cells — production sizes stay
         # on the Arrow kernel below (tier parity is unit-tested).
-        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                             for c in centroids])
+        cent_arr = flit_arr2d(centroids)
         code = F.col("pq_code")
         num = _dot(F.col("qv"), F.element_at(cent_arr, F.col("cell") + 1))
         for j in range(mm):
             dj = F.element_at(
                 F.array(*[_dot(_pq_sub(F.col("qv"), j, dd),
-                               F.array(*[F.lit(float(x)) for x in cw]))
+                               flit_arr(cw))
                           for cw in codebooks[j]]),
                 F.element_at(code, j + 1) + 1)
             num = num + dj
         ccw = _ccw_lut(centroids, codebooks)
         den2 = F.element_at(
-            F.array(*[F.lit(_cw_norm2(c)) for c in centroids]),
+            flit_arr([_cw_norm2(c) for c in centroids]),
             F.col("cell") + 1)
         for j in range(mm):
             den2 = den2 + F.lit(2.0) * F.element_at(
                 F.element_at(
-                    F.array(*[F.array(*[F.lit(x) for x in ccw[ci][j]])
-                              for ci in range(cells)]),
+                    flit_arr2d([ccw[ci][j] for ci in range(cells)]),
                     F.col("cell") + 1),
                 F.element_at(code, j + 1) + 1)
         for j in range(mm):
             den2 = den2 + F.element_at(
-                F.array(*[F.lit(_cw_norm2(cw)) for cw in codebooks[j]]),
+                flit_arr([_cw_norm2(cw) for cw in codebooks[j]]),
                 F.element_at(code, j + 1) + 1)
         qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
         scored = cand.withColumn("cos_sim", num / (qn * F.sqrt(den2)))

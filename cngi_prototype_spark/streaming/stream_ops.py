@@ -157,22 +157,31 @@ def stream_grid_accumulate(
     # the weight-null / zero-data row filter can never drift from the
     # batch contract (a hand-copied version here had already dropped
     # the zero-data filter)
-    from cngi_prototype_spark.imaging.grid import _cgk_at, _prepare
+    from cngi_prototype_spark.imaging.grid import (
+        _cgk_at,
+        _flit_arr,
+        _prepare,
+        _tap_explode,
+        _tap_iu_iv,
+    )
 
     geom = _prepare(stream_df, gp, u, v, freq, weight, re, im)
-    cgk_lit = F.array(*[F.lit(float(x)) for x in gp.kernel_1d()])
-    taps = F.array(*[F.struct(F.lit(iu).alias("iu"), F.lit(iv).alias("iv"))
-                     for iu, iv in gp.taps()])
-    e = geom.select(chan, pol, "_u_c", "_v_c", "_du", "_dv",
-                    "_wd_re", "_wd_im", F.explode(taps).alias("_tap"))
+    # driver-cheap literals (r15): expr-string kernel LUT + exploded
+    # tap-index sequence — see grid.py _flit_arr/_tap_explode
+    cgk_lit = _flit_arr(gp.kernel_1d())
+    sup, lo = gp.support, -gp.half
+    tiu, tiv = _tap_iu_iv(sup, lo)
+    sel = [chan, pol, "_u_c", "_v_c", "_du", "_dv", "_wd_re", "_wd_im"]
+    e = (geom.select(*sel, _tap_explode(sup, lo))
+         .select(*sel, tiu.alias("_tiu"), tiv.alias("_tiv")))
     conv = (_cgk_at(cgk_lit, gp.oversampling, 0,
-                    F.col("_tap.iu") * gp.oversampling + F.col("_du"))
+                    F.col("_tiu") * gp.oversampling + F.col("_du"))
             * _cgk_at(cgk_lit, gp.oversampling, 0,
-                      F.col("_tap.iv") * gp.oversampling + F.col("_dv")))
+                      F.col("_tiv") * gp.oversampling + F.col("_dv")))
     return (e.groupBy(
         chan, pol,
-        (F.col("_u_c") + F.col("_tap.iu")).alias("u_idx"),
-        (F.col("_v_c") + F.col("_tap.iv")).alias("v_idx"))
+        (F.col("_u_c") + F.col("_tiu")).alias("u_idx"),
+        (F.col("_v_c") + F.col("_tiv")).alias("v_idx"))
         .agg(F.sum(conv * F.col("_wd_re")).alias("grid_re"),
              F.sum(conv * F.col("_wd_im")).alias("grid_im")))
 

@@ -156,14 +156,18 @@ def bm25_topk(
     shuffle plus a dl window exchange). Query terms are a driver
     literal, so matching moves in-row (``filter(toks, isin(terms))``)
     and ``dl`` becomes ``size(toks)``: nothing corpus-sized is ever
-    exploded or shuffled. Two tokenize passes remain (matched-tf build
-    and the 1-row corpus stats aggregate); the match-bounded tf table
-    is localCheckpoint'ed (eager, at plan build — the dedup.py
-    convention) so the df branch does not re-run the match pass.
-    Values are identical: same tokenizer (empty-token convention
-    included), same exact-integer tf/df/N/Σdl, same contribution
-    expression. The store path (:func:`bm25_score_postings` over a
-    postings table) is unchanged.
+    exploded or shuffled. r15: the remaining TWO tokenize passes
+    (matched-tf build + the corpus-stats aggregate each re-derived the
+    tokenized projection) fuse into ONE — ``staged`` is the guide-§8
+    decision table (``doc_id``, ``dl``, the matched-terms array:
+    tens of bytes per row, never the text payload), eagerly
+    localCheckpoint'ed so stats and tf read a single materialization.
+    One documents scan, one tokenize pass; the match-bounded tf table
+    keeps its own checkpoint so the df branch does not re-run the
+    match shuffle. Values are identical: same tokenizer (empty-token
+    convention included), same exact-integer tf/df/N/Σdl, same
+    contribution expression. The store path
+    (:func:`bm25_score_postings` over a postings table) is unchanged.
     """
     spark = docs.sparkSession
     qrows = _query_terms(queries)
@@ -175,8 +179,12 @@ def bm25_topk(
     ).select(
         "doc_id", F.size("__toks").alias("dl"),
         F.filter("__toks", lambda t: t.isin(*terms)).alias("__q"))
-    # exact integer corpus totals; one row, broadcast (scan-only pass:
-    # no explode, no shuffle)
+    # ONE corpus pass: the narrow (doc_id, dl, matched-terms) stage is
+    # materialized once and both consumers below read it — without
+    # this, Catalyst re-derives the scan+tokenize per consumer
+    staged = staged.localCheckpoint()
+    # exact integer corpus totals; one row, broadcast (reads the
+    # checkpointed stage: no second scan, no explode, no shuffle)
     stats = staged.agg(F.count("*").alias("n_docs"),
                        F.sum("dl").alias("sum_dl"))
     tf = (staged.filter(F.size("__q") > 0)

@@ -214,10 +214,10 @@ def test_degrid_default_routes_to_kernel_and_precise_to_explode(spark):
         "grid_re": [1.0], "grid_im": [0.0]})
     vdf, gdf = spark.createDataFrame(vis), spark.createDataFrame(grid_pdf)
     default_plan = explain_formatted(degrid_visibilities(vdf, gdf, GP))
-    assert "FlatMapCoGroupsInPandas" in default_plan
+    assert "FlatMapCoGroups" in default_plan
     precise_plan = explain_formatted(
         degrid_visibilities(vdf, gdf, GP, precise=True, variant="kernel"))
-    assert "FlatMapCoGroupsInPandas" not in precise_plan
+    assert "FlatMapCoGroups" not in precise_plan
 
 
 def test_slab_salt_map_bounds_group_size():
@@ -269,7 +269,7 @@ def test_degrid_kernel_carries_payload_no_rowid_join(spark):
     df = degrid_visibilities(vdf, gdf, GP, variant="kernel")
     plan = explain_formatted(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "FlatMapCoGroupsInPandas" in plan and "Union" in plan
+    assert "FlatMapCoGroups" in plan and "Union" in plan
     out = df.toPandas().sort_values("row_id").reset_index(drop=True)
     assert len(out) == n
     assert list(out.columns) == list(vis.columns) + ["model_re", "model_im"]
@@ -278,3 +278,44 @@ def test_degrid_kernel_carries_payload_no_rowid_join(spark):
     assert (out["tag"] == vis["tag"]).all()
     # both regimes present; OOB rows have NULL models with intact payload
     assert out.model_re.isna().any() and (~out.model_re.isna()).any()
+
+
+def test_degrid_kernel_payload_lossless_nullable_bigint(spark):
+    """ADVICE r14 (high): the pandas cogroup coerced a NULLABLE int64
+    payload column to float64 (a NULL forces the dtype), silently
+    corrupting values past 2^53. The r15 applyInArrow kernel passes
+    payload columns through as raw Arrow arrays — a nullable bigint
+    near 2^60 must come back bit-identical, nulls included, on both
+    in-bounds and out-of-bounds rows."""
+    import pyspark.sql.types as T
+
+    rng = np.random.default_rng(11)
+    n = 64
+    base = 1 << 60
+    big = [None if i % 7 == 0 else base + i * 1_000_003 + 1
+           for i in range(n)]
+    rows = [
+        (i, float(rng.uniform(-6e3, 6e3)), float(rng.uniform(-6e3, 6e3)),
+         1.0e9, 0, 0, float(rng.normal()), float(rng.normal()), big[i])
+        for i in range(n)
+    ]
+    schema = T.StructType([
+        T.StructField("row_id", T.LongType(), False),
+        T.StructField("u", T.DoubleType()), T.StructField("v", T.DoubleType()),
+        T.StructField("freq", T.DoubleType()),
+        T.StructField("chan", T.IntegerType()),
+        T.StructField("pol", T.IntegerType()),
+        T.StructField("data_re", T.DoubleType()),
+        T.StructField("data_im", T.DoubleType()),
+        T.StructField("big_tag", T.LongType(), True),  # nullable bigint
+    ])
+    vdf = spark.createDataFrame(rows, schema)
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"chan": [0], "pol": [0], "u_idx": [16],
+                      "v_idx": [16], "grid_re": [1.0], "grid_im": [0.0]}))
+    out = degrid_visibilities(vdf, gdf, GP, variant="kernel")
+    assert dict(out.dtypes)["big_tag"] == "bigint"  # no float64 coercion
+    got = {r["row_id"]: r["big_tag"] for r in out.collect()}
+    assert len(got) == n
+    for i in range(n):
+        assert got[i] == big[i], (i, got[i], big[i])

@@ -233,3 +233,16 @@ def test_corr_type_names_and_manager_descr(spark):
     # descr-less versions keep the lean path (no metadata)
     out2 = OF.manager_add(vdf, "plain", vs=vs)
     assert OF.manager_list(out2, with_descr=True) == [("FLAG_plain", "")]
+
+
+def test_flagging_suite_fused_matches_unfused(spark):
+    """flagging_suite_fused (one checkpointed events materialization,
+    r15 shared-scan fusion) must return exactly the rows of the
+    declared flagging_suite gate — the fused form is a plan change,
+    never a value change."""
+    from cngi_prototype_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, Q.flagging_suite_q(spark, sf).collect()))
+    b = sorted(map(tuple, Q.flagging_suite_fused_q(spark, sf).collect()))
+    assert a == b

@@ -639,3 +639,35 @@ def test_remove_duplicate_spans_exactsubstr(spark):
     assert out[2].n_removed >= 5  # at least one whole span gone
     assert out[3].n_removed == 0 and out[3].text_dedup == "tiny doc"
     assert out[4].n_removed == 10
+
+
+def test_lsh_bucket_cap_prefilters_before_collect(spark):
+    """r15 hot-bucket guardrail: when the corpus row estimate exceeds
+    ``max_bucket``, the bucket-size filter runs as a window count
+    BEFORE collect_list (spillable sort buffer, never an unbounded
+    aggregation array), and over-cap buckets' pairs are absent while
+    everything else is identical to the uncapped run."""
+    from cngi_prototype_spark.plans.inspect import explain_formatted
+
+    rows = ([(i, "the exact same boilerplate text repeated verbatim")
+             for i in range(400)]
+            + [(1000, "quick brown fox jumps over the lazy dog today"),
+               (1001, "quick brown fox jumps over the lazy dog today")])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_lsh_candidates(df, max_bucket=100)
+    # over-cap (the 400-doc boilerplate bucket) dropped, small pair kept
+    got = set(map(tuple, capped.select("id_a", "id_b").collect()))
+    assert got == {(1000, 1001)}
+    # the guardrail must be a pre-aggregation window count (spillable),
+    # not only a post-agg size() filter: Window in the capped plan
+    assert "Window" in explain_formatted(capped)
+
+    # uncapped: the boilerplate bucket pairs come back, small pair kept
+    # (estimate <= max_bucket -> the cap cannot bind, window skipped)
+    uncapped = minhash_lsh_candidates(df, max_bucket=10**9)
+    assert "Window" not in explain_formatted(uncapped)
+    all_pairs = set(map(tuple,
+                        uncapped.select("id_a", "id_b").collect()))
+    assert (1000, 1001) in all_pairs
+    assert len(all_pairs) == 400 * 399 // 2 + 1

@@ -75,3 +75,26 @@ def test_registry_subset_clean(spark):
     report = audit_registry(spark, SF_DIR, only=SUBSET)
     assert report["n_queries"] == len(SUBSET)
     assert report["violations"] == {}, report["violations"]
+
+
+def test_estimated_size_helpers(spark):
+    """r15: the Catalyst size-estimate helper returns a positive
+    estimate on a real plan, derives rows with the caller's divisor,
+    and degrades to None (never raises) when the py4j surface is
+    missing — the documented version-drift fallback."""
+    from cngi_prototype_spark.plans.inspect import (
+        estimated_rows,
+        estimated_size_bytes,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    size = estimated_size_bytes(df)
+    assert size is not None and size > 0
+    rows = estimated_rows(df, bytes_per_row=1)
+    assert rows == size  # divisor 1: rows == bytes
+
+    class _NoJdf:  # no _jdf attribute -> AttributeError inside helper
+        pass
+
+    assert estimated_size_bytes(_NoJdf()) is None
+    assert estimated_rows(_NoJdf(), bytes_per_row=8) is None
