@@ -663,10 +663,12 @@ def test_lsh_bucket_cap_prefilters_before_collect(spark):
     # not only a post-agg size() filter: Window in the capped plan
     assert "Window" in explain_formatted(capped)
 
-    # uncapped: the boilerplate bucket pairs come back, small pair kept
-    # (estimate <= max_bucket -> the cap cannot bind, window skipped)
+    # uncapped: the boilerplate bucket pairs come back, small pair kept.
+    # (Over a createDataFrame/ExistingRDD input the row estimate
+    # degrades to Long.Max, so the conservative window branch stays on
+    # regardless of max_bucket — the documented safe direction; the
+    # no-window skip on a parquet input is pinned in test_plan_shapes.)
     uncapped = minhash_lsh_candidates(df, max_bucket=10**9)
-    assert "Window" not in explain_formatted(uncapped)
     all_pairs = set(map(tuple,
                         uncapped.select("id_a", "id_b").collect()))
     assert (1000, 1001) in all_pairs

@@ -421,17 +421,18 @@ def test_gopher_annotate_matches_join_form(spark):
 
 def test_bm25_no_corpus_postings_shuffle(spark):
     """r14: bm25_topk matches query terms in-row (driver-literal isin)
-    and derives dl as size(tokens): exactly two corpus passes in total
-    (the matched-tf build — materialized behind the localCheckpoint,
-    so it appears as a Scan ExistingRDD — plus the 1-row stats
-    aggregate, the single parquet scan left in the final plan), and no
-    corpus-wide (doc, term) postings shuffle — every exchange is over
-    match-bounded or model-sized rows. The dl window over the full
-    postings table is gone."""
+    and derives dl as size(tokens); no corpus-wide (doc, term) postings
+    shuffle — every exchange is over match-bounded or model-sized rows,
+    and the old full-postings dl window is gone. r15: the narrow
+    staged projection (doc_id, dl, matched-terms) is ALSO
+    localCheckpointed, so stats and matched-tf read one
+    materialization — ONE corpus pass at checkpoint time and ZERO
+    parquet scans in the final plan (both consumers are Scan
+    ExistingRDD)."""
     from cngi_prototype_spark.plans import explain_formatted
     df = Q.bm25_topk_q(spark, SF)
     plan = explain_formatted(df)
-    assert len(read_schemas(df)) == 1
+    assert len(read_schemas(df)) == 0
     assert re.search(r"Scan ExistingRDD", plan)
     # the old plan's full-postings dl window partitioned by doc_id only
     assert not re.search(r"hashpartitioning\(doc_id#\d+, \d+\)", plan)
@@ -470,18 +471,32 @@ def test_imaging_weights_single_grid_build_per_weighting(spark):
 
 def test_minhash_lsh_candidates_one_corpus_shuffle(spark):
     """r14: bucket pairs come from one groupBy(band, bhash)
-    collect_list pass — no Window guardrail shuffle, no two-sided
-    self-join (the old plan derived the shingle+band subtree once per
-    join side). Exactly one corpus scan; pair set identical to the
-    join form by construction (one row per (doc, band) per bucket)."""
+    collect_list pass — no two-sided self-join (the old plan derived
+    the shingle+band subtree once per join side). Exactly one corpus
+    scan; pair set identical to the join form by construction (one row
+    per (doc, band) per bucket). r15: when the corpus row ESTIMATE can
+    exceed max_bucket, a window count over the same keys pre-filters
+    buckets before collect_list (spillable guardrail; same single
+    exchange — the groupBy reuses the window's partitioning); a
+    max_bucket the estimate cannot reach keeps the window out."""
     from cngi_prototype_spark.dedup.dedup import minhash_lsh_candidates
     from cngi_prototype_spark.plans import explain_formatted
     df = minhash_lsh_candidates(Q._docs(spark, SF), num_hashes=8,
-                                bands=4, shingle_n=3)
+                                bands=4, shingle_n=3, max_bucket=10**9)
     plan = explain_formatted(df)
     assert len(read_schemas(df)) == 1
     assert not re.search(r"\(\d+\) (Window|SortMergeJoin"
                          r"|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+    # default max_bucket: the cap can bind at this corpus estimate, so
+    # the window guardrail appears — but still one scan and no join,
+    # and the window's keys match the groupBy (one corpus exchange)
+    dfg = minhash_lsh_candidates(Q._docs(spark, SF), num_hashes=8,
+                                 bands=4, shingle_n=3)
+    plang = explain_formatted(dfg)
+    assert len(read_schemas(dfg)) == 1
+    assert not re.search(r"\(\d+\) (SortMergeJoin"
+                         r"|BroadcastHashJoin|ShuffledHashJoin)\b", plang)
+    assert len(re.findall(r"hashpartitioning\(band", plang)) == 1
     # guardrail still bites: max_bucket=1 can emit no pairs
     few = minhash_lsh_candidates(Q._docs(spark, SF), num_hashes=8,
                                  bands=4, shingle_n=3, max_bucket=1)
